@@ -1,0 +1,76 @@
+"""Cross-engine determinism helpers (SURVEY.md §5.4 item 1).
+
+Parallel double summation is order-dependent, and shuffle/AQE make the
+order nondeterministic — so a plain ``SUM(double)`` can differ between
+Spark and the DuckDB oracle (and even between two Spark runs) in final
+ulps, occasionally straddling a rounding boundary.
+
+The fix used engine-wide: **cast to DECIMAL before aggregating**. The
+per-row cast is deterministic (both engines see bit-identical doubles
+from the same parquet and round them to the same decimal — decimal
+midpoints are not binary-representable, so round-to-nearest agrees), and
+decimal addition is exact and associative, so any accumulation order
+yields the same sum. Cast back to double + ROUND for a stable, schema-
+simple output column. At 100 TB this also removes float drift from
+partial/final aggregation across thousands of partitions.
+
+The matching oracle-side pattern is
+``ROUND(CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE), r)``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def duck_round(col: Column | str, n: int = 2) -> Column:
+    """Bit-exact mirror of DuckDB's ROUND(double, n).
+
+    DuckDB rounds doubles as ``std::round(x * 10^n) / 10^n`` — half away
+    from zero evaluated on the *scaled double*, so e.g.
+    ``round(101112.72499999999, 2) = 101112.73`` (the scaled product
+    lands exactly on 10111272.5). Spark's ``F.round`` instead rounds the
+    shortest-decimal representation HALF_UP, giving ``101112.72`` —
+    verified divergence on fixture data. Since the driver hash-compares
+    against DuckDB, every computed double the engine emits goes through
+    this mirror: ``floor(|x*p| + 0.5)/p`` with the sign reapplied
+    reproduces the exact IEEE sequence DuckDB executes (multiply, add,
+    truncate, divide — all deterministic per-row ops).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    p = F.lit(float(10**n))
+    mag = F.floor(F.abs(c * p) + F.lit(0.5)) / p
+    return F.when(c < 0, -mag).otherwise(mag)
+
+
+def dec_sum(col_name: str, scale: int = 2, round_to: int | None = None) -> Column:
+    """Order-independent SUM of a money-like double column."""
+    round_to = scale if round_to is None else round_to
+    s = F.sum(F.col(col_name).cast(f"decimal(18,{scale})")).cast("double")
+    return duck_round(s, round_to)
+
+
+def dec_sum_expr(expr: Column, scale: int = 4, round_to: int = 2) -> Column:
+    """Order-independent SUM of a computed double expression.
+
+    The expression is rounded per-row with ``duck_round`` (bit-identical
+    across engines), making the decimal cast exact, so the aggregation
+    is order-independent and both engines sum identical decimals. The
+    matching oracle pattern is
+    ``SUM(CAST(ROUND(expr, scale) AS DECIMAL(18,scale)))``.
+    """
+    return duck_round(
+        F.sum(duck_round(expr, scale).cast(f"decimal(18,{scale})")).cast("double"),
+        round_to,
+    )
+
+
+def as_long(col: Column) -> Column:
+    """Cast to long — DuckDB emits BIGINT for row_number/ntile/year/
+    grouping/levenshtein etc. where Spark emits int; align schemas."""
+    return col.cast("long")
+
+
+def rounded(col: Column, n: int) -> Column:
+    return F.round(col, n)

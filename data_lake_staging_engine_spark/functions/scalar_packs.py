@@ -1,0 +1,246 @@
+"""§2.D Scalar function packs — one projection query per pack.
+
+All built-in ``pyspark.sql.functions`` (JVM-side, whole-stage codegen —
+no Python in the hot path). Cross-dialect notes inline per §5.4 items
+4-5: no raw dayofweek, POSIX-simple regexes, explicit casts where the
+two engines' return types differ (ceil/sign/levenshtein/date parts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_staging_engine_spark.functions.determinism import as_long, duck_round
+from data_lake_staging_engine_spark.registry import query
+from data_lake_staging_engine_spark.sources import load
+
+
+@query(
+    "d01_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS u, lower(p_brand) AS l,
+           trim(concat(' ', p_name, ' ')) AS t,
+           substring(p_name, 1, 5) AS sub5,
+           length(p_name) AS len,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           lpad(p_brand, 12, '*') AS padded,
+           len(string_split(p_name, ' ')) AS n_words,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, ' ', '_') AS snake,
+           levenshtein(p_brand, p_type) AS lev
+    FROM part
+    """,
+)
+def d01_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("u"),
+        F.lower("p_brand").alias("l"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("t"),
+        F.substring("p_name", 1, 5).alias("sub5"),
+        as_long(F.length("p_name")).alias("len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.lpad("p_brand", 12, "*").alias("padded"),
+        as_long(F.size(F.split("p_name", " "))).alias("n_words"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        as_long(F.levenshtein("p_brand", "p_type")).alias("lev"),
+    )
+
+
+@query(
+    "d02_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS TIMESTAMP) AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus30,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           epoch_us(o_orderdate) AS us
+    FROM orders
+    """,
+)
+def d02_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        as_long(F.year("o_orderdate")).alias("y"),
+        as_long(F.month("o_orderdate")).alias("m"),
+        as_long(F.dayofmonth("o_orderdate")).alias("d"),
+        F.to_date(F.date_trunc("month", "o_orderdate"))
+        .cast("timestamp")
+        .alias("month_start"),
+        as_long(F.datediff(d, F.lit("1995-01-01").cast("date"))).alias("days_since"),
+        F.date_add(d, 30).cast("timestamp").alias("plus30"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.unix_micros("o_orderdate").alias("us"),
+    )
+
+
+@query(
+    "d03_fn_math",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(p_retailprice, 1) AS r1,
+           abs(p_retailprice - 1000.0) AS ab,
+           CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+           CAST(floor(p_retailprice) AS BIGINT) AS fl,
+           ROUND(sqrt(p_retailprice), 6) AS sq,
+           ROUND(power(p_retailprice, 2), 4) AS pw,
+           ROUND(ln(p_retailprice), 6) AS lg,
+           ROUND(log10(p_retailprice), 6) AS l10,
+           p_size % 7 AS pm,
+           CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS sg
+    FROM part
+    """,
+)
+def d03_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
+    return p.select(
+        "p_partkey",
+        duck_round(price, 1).alias("r1"),
+        F.abs(price - 1000.0).alias("ab"),
+        as_long(F.ceil(price)).alias("ce"),
+        as_long(F.floor(price)).alias("fl"),
+        duck_round(F.sqrt(price), 6).alias("sq"),
+        duck_round(F.pow(price, 2), 4).alias("pw"),
+        duck_round(F.log(price), 6).alias("lg"),
+        duck_round(F.log10(price), 6).alias("l10"),
+        as_long(F.pmod(F.col("p_size"), F.lit(7))).alias("pm"),
+        F.signum(price - 1000.0).alias("sg"),
+    )
+
+
+@query(
+    "d04_fn_cond",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'neg'
+                WHEN c_acctbal < 1000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(masked)') AS seg_masked,
+           ROUND(greatest(c_acctbal, 0.0), 2) AS bal_floor0,
+           ROUND(least(c_acctbal, 5000.0), 2) AS bal_cap5k,
+           c_nationkey IS NOT DISTINCT FROM 3 AS is_n3
+    FROM customer
+    """,
+)
+def d04_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "neg").when(bal < 1000, "low").otherwise("high").alias(
+            "bal_band"
+        ),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("(masked)")).alias(
+            "seg_masked"
+        ),
+        duck_round(F.greatest(bal, F.lit(0.0)), 2).alias("bal_floor0"),
+        duck_round(F.least(bal, F.lit(5000.0)), 2).alias("bal_cap5k"),
+        F.col("c_nationkey").eqNullSafe(F.lit(3)).alias("is_n3"),
+    )
+
+
+@query(
+    "d05_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_elem,
+           ROUND(list_aggregate(
+               list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+               'sum'), 6) AS sq_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings
+    """,
+)
+def d05_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions. The fold in F.aggregate is a
+    sequential left fold over 64 elements — same op order as DuckDB's
+    list_aggregate sum, so doubles match bit-for-bit."""
+    e = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        as_long(F.size("embedding")).alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("first_elem"),
+        duck_round(sq, 6).alias("sq_norm"),
+        as_long(F.size(F.filter("embedding", lambda x: x > 0))).alias("n_pos"),
+    )
+
+
+@query(
+    "d06_fn_explode",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+    """,
+)
+def d06_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).select("vec_id", as_long(F.col("pos")).alias("pos"), F.col("val").cast("double").alias("val"))
+
+
+@query(
+    "d07_fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_get,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
+    FROM events
+    """,
+)
+def d07_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction two ways: get_json_object path and from_json to a
+    typed MapType (the engine's JSON-column decode path)."""
+    e = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_get"),
+        m.getItem("k").alias("k_map"),
+    )
+
+
+@query(
+    "d08_fn_struct",
+    oracle="""
+    SELECT doc_id, lang AS s_lang, n_chars AS s_nchars,
+           concat(lang, ':', CAST(n_chars AS VARCHAR)) AS s_tag
+    FROM documents
+    """,
+)
+def d08_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct build + field projection round-trip (flattened output per
+    §5.4 item 7)."""
+    d = load(spark, sf_dir, "documents")
+    s = F.struct(
+        F.col("doc_id").alias("id"),
+        F.col("lang").alias("lang"),
+        F.col("n_chars").alias("n_chars"),
+    )
+    built = d.select("doc_id", s.alias("s"))
+    return built.select(
+        "doc_id",
+        F.col("s.lang").alias("s_lang"),
+        F.col("s.n_chars").alias("s_nchars"),
+        F.concat(F.col("s.lang"), F.lit(":"), F.col("s.n_chars").cast("string")).alias(
+            "s_tag"
+        ),
+    )

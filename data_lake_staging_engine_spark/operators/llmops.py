@@ -1,0 +1,683 @@
+"""§2.G LLM-training-data pipeline operators (mandated additions).
+
+Dedup (exact + near-dup Jaccard + MinHash-LSH scale path), vector
+similarity search (brute-force threshold + exact top-k + LSH-bucketed
+scale path), text analysis (tokenize/wordcount/TF-IDF/quality/lang-id),
+and multimodal column plumbing.
+
+Scale design notes:
+- Exact dedup: hash-groupBy — one shuffle on the digest; digests are
+  uniform so no skew.
+- Near-dup: the exact token-Jaccard self-join is the correctness anchor
+  (quadratic in the worst case); the 100 TB path is MinHash banding
+  (g02b) where candidate pairs come from equi-joins on (band, bucket)
+  keys — linear shuffle volume, tunable recall.
+- Similarity: brute-force cosine is O(Q*N) with Q broadcast; the scale
+  path is bucketed LSH (random hyperplane signs) so only same-bucket
+  pairs are scored.
+- All cosine math uses zip_with + a sequential left-fold (aggregate) so
+  per-pair results are bit-deterministic across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_staging_engine_spark.functions.determinism import as_long, dec_sum, duck_round
+from data_lake_staging_engine_spark.registry import query
+from data_lake_staging_engine_spark.sources import load
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    """(doc_id, tok) distinct token sets — whitespace tokenization."""
+    return df.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+
+
+# --------------------------------------------------------------------------
+# Deduplication
+# --------------------------------------------------------------------------
+
+@query(
+    "g01_dedup_exact",
+    oracle="""
+    SELECT doc_id, md5(lower(trim(text))) AS digest
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+                               ORDER BY doc_id) = 1
+    """,
+)
+def g01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text md5, keep lowest doc_id.
+
+    100 TB: digest groupBy shuffles only (digest, doc_id) pairs, not the
+    text; xxhash64 would be cheaper still but md5 is cross-engine."""
+    d = load(spark, sf_dir, "documents")
+    digest = F.md5(F.lower(F.trim(F.col("text"))))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        d.select("doc_id", digest.alias("digest"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@query(
+    "g02_dedup_near",
+    oracle="""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+                   FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT d1, d2,
+           ROUND(shared * 1.0 / (s1.n + s2.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE shared * 1.0 / (s1.n + s2.n - shared) >= 0.8
+    """,
+)
+def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact token-set Jaccard >= 0.8.
+
+    Exact correctness anchor for g02b's MinHash-LSH. The shared-token
+    equi-join shuffles on the token; integer |intersection| / |union|
+    arithmetic then a single double divide => deterministic."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("shared") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("shared"))
+    return (
+        pairs.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.8)
+        .select("d1", "d2", duck_round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("g02b_dedup_lsh", oracle=None)  # approximate — rows-only tier
+def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding — the 100 TB near-dup path.
+
+    k=16 hash functions (seeded xxhash64 variants), 4 bands x 4 rows:
+    docs sharing any band signature become candidate pairs via an
+    equi-join on (band, band_signature). Candidates are then verified
+    with exact Jaccard. Approximate recall => rows-only tier; the exact
+    twin g02 carries the hash-match burden (SURVEY.md §7 hard-list #6).
+
+    Scale: shuffle volume is O(docs * bands), never quadratic; band
+    buckets are the only join keys. Skewed buckets (ultra-common
+    signatures) are handled by AQE skew split.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    n_hashes, bands = 16, 4
+    rows_per_band = n_hashes // bands
+    # minhash_i(doc) = min over tokens of xxhash64(tok, seed=i)
+    minhashes = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    # band signature = hash of the band's rows
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_rows.append(
+            minhashes.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.xxhash64(*cols).alias("sig"),
+            )
+        )
+    sigs = band_rows[0]
+    for extra in band_rows[1:]:
+        sigs = sigs.unionByName(extra)
+    a, b_ = sigs.alias("a"), sigs.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    # verify candidates with exact jaccard
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1, t2 = toks.alias("t1"), toks.alias("t2")
+    shared = (
+        candidates.join(t1, F.col("d1") == F.col("t1.doc_id"))
+        .join(
+            t2,
+            (F.col("d2") == F.col("t2.doc_id")) & (F.col("t1.tok") == F.col("t2.tok")),
+        )
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    s1, s2 = sizes.alias("s1"), sizes.alias("s2")
+    jac = F.col("shared") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("shared"))
+    return (
+        shared.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= 0.8)
+        .select("d1", "d2", duck_round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("g02c_dedup_simhash", oracle=None)  # approximate — rows-only tier
+def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 64-bit signature = sign-sum of per-token hash
+    bits; candidate pairs = equal signatures on any of 4 16-bit bands
+    (Hamming-distance blocking). Rows-only (approximate family)."""
+    d = load(spark, sf_dir, "documents")
+    toks = _tokens(d)
+    h = F.xxhash64("tok")
+    # bit b of signature = sign of sum over tokens of (bit set ? +1 : -1)
+    bit_cols = [
+        F.when(
+            F.sum(
+                F.when(
+                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != 0, 1
+                ).otherwise(-1)
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias(f"b{b}")
+        for b in range(64)
+    ]
+    sig = toks.groupBy("doc_id").agg(*bit_cols)
+    sim = sig.select(
+        "doc_id",
+        sum([F.col(f"b{b}") for b in range(64)], F.lit(0).cast("long")).alias("simhash"),
+    )
+    bands = None
+    for i in range(4):
+        piece = sim.select(
+            "doc_id",
+            F.lit(i).alias("band"),
+            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias(
+                "chunk"
+            ),
+        )
+        bands = piece if bands is None else bands.unionByName(piece)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+def _with_cosine(q: DataFrame, c: DataFrame) -> DataFrame:
+    """Cross-score query x candidate with deterministic cosine.
+
+    zip_with multiplies element-wise; aggregate is a sequential left
+    fold => identical IEEE op order on both engines (oracle mirrors with
+    list_inner_product over DOUBLE[])."""
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    qa, ca = F.col("qe"), F.col("ce")
+    return (
+        q.crossJoin(c)
+        .withColumn("dot", dot(qa, ca))
+        .withColumn("qn", F.sqrt(dot(qa, qa)))
+        .withColumn("cn", F.sqrt(dot(ca, ca)))
+        .withColumn("cos", F.col("dot") / (F.col("qn") * F.col("cn")))
+    )
+
+
+_COS_ORACLE_CORE = """
+    SELECT q.vec_id AS qid, c.vec_id AS cid,
+           list_inner_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (sqrt(list_inner_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+              * sqrt(list_inner_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])))
+           AS cos
+    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+    JOIN embeddings c ON c.vec_id <> q.vec_id
+"""
+
+
+@query(
+    "g03_simsearch_topk",
+    oracle=f"""
+    SELECT qid, cid, ROUND(cos, 4) AS cos_sim
+    FROM ({_COS_ORACLE_CORE})
+    WHERE cos >= 0.2
+    """,
+)
+def g03_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine scoring, threshold form (deterministic across
+    engines — no top-k tie instability). Query side is broadcast: at
+    100 TB this is a map-only scan of the candidate table."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = _with_cosine(q, c).filter(F.col("qid") != F.col("cid"))
+    return scored.filter(F.col("cos") >= 0.2).select(
+        "qid", "cid", duck_round("cos", 4).alias("cos_sim")
+    )
+
+
+@query(
+    "g03b_simsearch_knn",
+    oracle=f"""
+    SELECT qid, cid, ROUND(cos, 4) AS cos_sim,
+           row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rk
+    FROM ({_COS_ORACLE_CORE})
+    QUALIFY rk <= 5
+    """,
+)
+def g03b_simsearch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN (k=5) per query vector; rank on rounded cosine with
+    cid tie-break so cross-engine ulp noise can't reorder."""
+    e = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+        )
+    )
+    c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    scored = _with_cosine(q, c).filter(F.col("qid") != F.col("cid"))
+    w = Window.partitionBy("qid").orderBy(F.desc(duck_round("cos", 6)), F.asc("cid"))
+    return (
+        scored.withColumn("rk", as_long(F.row_number().over(w)))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid", duck_round("cos", 4).alias("cos_sim"), "rk")
+    )
+
+
+@query("g03c_simsearch_lsh", oracle=None)  # approximate — rows-only tier
+def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path: random-hyperplane LSH bucketing.
+
+    8 deterministic pseudo-hyperplanes (seeded per-dimension hash signs)
+    give a 8-bit bucket per vector; only same-bucket pairs are scored.
+    At 100 TB this turns O(N^2) scoring into per-bucket blocks joined on
+    an equi-key. Approximate recall => rows-only."""
+    e = load(spark, sf_dir, "embeddings")
+    # deterministic hyperplane h_ij = hash(i,j) mapped to ±1 — seeds fixed
+    def bucket(vec_col):
+        bits = []
+        for pl in range(8):
+            # dot(vec, signs_pl) where signs are ±1 from xxhash64(pos, pl)
+            proj = F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda x, i: x.cast("double")
+                    * F.when(F.xxhash64(i, F.lit(pl)) % 2 == 0, 1.0).otherwise(-1.0),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bits.append(F.when(proj > 0, F.lit(1 << pl)).otherwise(F.lit(0)))
+        out = bits[0]
+        for x in bits[1:]:
+            out = out + x
+        return out
+
+    b = e.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    a1, a2 = b.alias("a1"), b.alias("a2")
+    pairs = a1.join(
+        a2,
+        (F.col("a1.bucket") == F.col("a2.bucket"))
+        & (F.col("a1.vec_id") < F.col("a2.vec_id")),
+    ).select(
+        F.col("a1.vec_id").alias("qid"),
+        F.col("a2.vec_id").alias("cid"),
+        F.col("a1.embedding").alias("qe"),
+        F.col("a2.embedding").alias("ce"),
+    )
+
+    def dot(a, bb):
+        return F.aggregate(
+            F.zip_with(a, bb, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    scored = (
+        pairs.withColumn("dot", dot(F.col("qe"), F.col("ce")))
+        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
+        .withColumn("cn", F.sqrt(dot(F.col("ce"), F.col("ce"))))
+        .withColumn("cos", F.col("dot") / (F.col("qn") * F.col("cn")))
+    )
+    return scored.filter(F.col("cos") >= 0.2).select(
+        "qid", "cid", duck_round("cos", 4).alias("cos_sim")
+    )
+
+
+@query(
+    "g04_centroids",
+    oracle="""
+    WITH ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS val
+                FROM embeddings)
+    SELECT label, pos, ROUND(AVG(val), 4) AS centroid_val
+    FROM ex GROUP BY label, pos
+    """,
+)
+def g04_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector in long form (label, pos, avg). One
+    explode + one shuffle on (label, pos) — fully parallel at scale."""
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return exploded.groupBy("label", "pos").agg(
+        duck_round(F.avg(F.col("val").cast("double")), 4).alias("centroid_val")
+    ).select("label", as_long(F.col("pos")).alias("pos"), "centroid_val")
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+@query(
+    "g05_text_tokenize",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+    FROM documents
+    """,
+)
+def g05_text_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        as_long(F.size(toks)).alias("n_tokens"),
+        as_long(F.size(F.array_distinct(toks))).alias("n_distinct"),
+    )
+
+
+@query(
+    "g06_text_wordcount",
+    oracle="""
+    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+         counts AS (SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok)
+    SELECT lang, tok, n,
+           row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rk
+    FROM counts
+    QUALIFY rk <= 5
+    """,
+)
+def g06_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per language by frequency, tie-broken alphabetically."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.withColumn("rk", as_long(F.row_number().over(w)))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@query(
+    "g07_text_tfidf",
+    oracle="""
+    WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents) x(doc_id, tok)
+                GROUP BY doc_id, tok),
+         df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.tok,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+    WHERE df.df < (SELECT n_docs FROM n)
+    """,
+)
+def g07_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF long form. Terms present in every doc (idf=0) are dropped
+    to keep output informative. Pure SQL algebra — deterministic: the
+    only float op is one ln + one multiply per row."""
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; computed once driver-side (metadata-cheap)
+    return (
+        tf.join(F.broadcast(df.filter(F.col("df") < n_docs)), "tok")
+        .select(
+            "doc_id",
+            "tok",
+            duck_round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "g08_text_stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+           ROUND(CAST(SUM(length(text)) AS DOUBLE) / COUNT(*), 4) AS avg_len,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def g08_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        duck_round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_chars"
+        ),
+        duck_round(
+            F.sum(F.length("text").cast("long")).cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_len"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "g08b_text_quality",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' ')), 4) AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      t -> t IN ('a','the','of','and','to')))
+                      AS DOUBLE) / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           CASE WHEN length(text) BETWEEN 100 AND 500
+                 AND len(string_split(text, ' ')) >= 20
+                THEN 1 ELSE 0 END AS quality_pass
+    FROM documents
+    """,
+)
+def g08b_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length/stopword heuristics — the
+    filter-stage primitives of a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array([F.lit(x) for x in ("a", "the", "of", "and", "to")])
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    return d.select(
+        "doc_id",
+        as_long(n_tok).alias("n_tokens"),
+        duck_round(F.length("text").cast("double") / n_tok, 4).alias("avg_token_len"),
+        duck_round(n_stop.cast("double") / n_tok, 4).alias("stopword_ratio"),
+        F.when(
+            F.length("text").between(100, 500) & (n_tok >= 20), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("quality_pass"),
+    )
+
+
+@query(
+    "g08c_text_langid",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN len(list_filter(string_split(text, ' '),
+                                     t -> t IN ('join','filter','window','scan',
+                                                'merge','sort','hash'))) * 2
+                     >= len(string_split(text, ' ')) THEN 'sqlish'
+                ELSE 'other' END AS predicted_register,
+           len(string_split(text, ' ')) AS n_tokens
+    FROM documents
+    """,
+)
+def g08c_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language/register ID by token-list heuristic (the fixture corpus
+    is synthetic, so the 'model' is a marker-vocabulary ratio — the
+    Spark plumbing is the real deliverable: pure-columnar token scoring)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    markers = F.array(
+        [F.lit(x) for x in ("join", "filter", "window", "scan", "merge", "sort", "hash")]
+    )
+    n_marked = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(n_marked * 2 >= F.size(toks), "sqlish")
+        .otherwise("other")
+        .alias("predicted_register"),
+        as_long(F.size(toks)).alias("n_tokens"),
+    )
+
+
+@query(
+    "g08d_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             AS shingle_fingerprint
+    FROM documents
+    """,
+)
+def g08d_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct token set — the canonical-form digest used for fuzzy
+    container-level dedup."""
+    d = load(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    return d.select("doc_id", F.md5(canon).alias("shingle_fingerprint"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal + cross-modal joins
+# --------------------------------------------------------------------------
+
+@query(
+    "g09_multimodal_record",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS payload_bytes, lang AS meta_lang,
+           n_chars AS meta_chars
+    FROM documents
+    """,
+)
+def g09_multimodal_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal record assembly: BinaryType payload + typed metadata
+    struct. Emitted flattened (binary in the hash is risky — §5.4);
+    payload byte length proves the binary column round-trips.
+
+    The decode/feature-extract path for real image/audio payloads is in
+    operators.udfs.multimodal_decode_stub (mapInPandas plumbing with the
+    actual codec stubbed — the image/audio libs aren't in this env)."""
+    d = load(spark, sf_dir, "documents")
+    rec = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(F.col("lang"), F.col("n_chars")).alias("meta"),
+    )
+    return rec.select(
+        "doc_id",
+        as_long(F.octet_length("payload")).alias("payload_bytes"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.n_chars").alias("meta_chars"),
+    )
+
+
+@query(
+    "g10_embed_join_docs",
+    oracle="""
+    SELECT d.doc_id, d.lang, e.label, d.n_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE e.label < 3
+    """,
+)
+def g10_embed_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").filter(F.col("label") < 3)
+    return d.join(e, d.doc_id == e.vec_id).select("doc_id", "lang", "label", "n_chars")
+
+
+@query(
+    "g11_events_user_join",
+    oracle="""
+    SELECT c.c_custkey, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey
+    """,
+)
+def g11_events_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    c = F.broadcast(
+        load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    return (
+        e.join(c, e.user_id == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("total_value"),
+        )
+    )

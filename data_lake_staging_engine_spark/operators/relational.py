@@ -1,0 +1,746 @@
+"""§2.B Relational core — scan/project/filter/join/agg/sort/set operators.
+
+All declarative DataFrame API (or SQL entry for subquery forms) so
+Catalyst supplies pushdown, pruning, join selection, AQE re-planning and
+whole-stage codegen (SURVEY.md §4). No RDDs, no collect-loops.
+
+Scale notes per operator family:
+- joins: dimension sides carry explicit ``F.broadcast`` hints where the
+  dim is guaranteed small (region/nation/customer-at-dim-role); fact-fact
+  joins shuffle on the join key and AQE handles skew.
+- aggregations: partial (map-side) aggregation is automatic; decimal
+  casts (functions.determinism) keep parallel sums order-independent.
+- top-k: ``orderBy + limit`` compiles to TakeOrderedAndProject — no full
+  global sort materialization; per-group top-k uses a window over the
+  group partitioning (single shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_staging_engine_spark.functions.determinism import (
+    as_long,
+    dec_sum,
+    dec_sum_expr,
+    duck_round,
+)
+from data_lake_staging_engine_spark.registry import query
+from data_lake_staging_engine_spark.sources import load, register_views
+
+
+# --------------------------------------------------------------------------
+# Projection / filter / distinct
+# --------------------------------------------------------------------------
+
+@query(
+    "b01_project_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charge
+    FROM lineitem
+    """,
+)
+def b01_project_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        duck_round(disc, 2).alias("disc_price"),
+        duck_round(disc * (1 + F.col("l_tax")), 2).alias("charge"),
+    )
+
+
+@query(
+    "b02_filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus IN ('F','P') AND o_totalprice BETWEEN 50000 AND 150000)
+       OR (o_orderpriority LIKE '1-%' AND o_totalprice < 25000)
+    """,
+)
+def b02_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pred = (
+        F.col("o_orderstatus").isin("F", "P")
+        & F.col("o_totalprice").between(50000, 150000)
+    ) | (F.col("o_orderpriority").like("1-%") & (F.col("o_totalprice") < 25000))
+    return o.filter(pred).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
+    "b03_distinct",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def b03_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Join family
+# --------------------------------------------------------------------------
+
+@query(
+    "b10_join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def b10_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@query(
+    "b11_join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+)
+def b11_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "b12_join_right_full",
+    oracle="""
+    SELECT 'right' AS variant, l.l_orderkey AS left_key, o.o_orderkey AS right_key
+    FROM (SELECT * FROM lineitem WHERE l_quantity > 49) l
+    RIGHT JOIN (SELECT * FROM orders WHERE o_orderkey < 2000) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'full' AS variant, c.c_custkey AS left_key, o.o_orderkey AS right_key
+    FROM (SELECT * FROM customer WHERE c_custkey < 750) c
+    FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def b12_join_right_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 49)
+        .select("l_orderkey")
+    )
+    o_small = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey")
+    )
+    right = li.join(o_small, li.l_orderkey == o_small.o_orderkey, "right").select(
+        F.lit("right").alias("variant"),
+        li.l_orderkey.alias("left_key"),
+        o_small.o_orderkey.alias("right_key"),
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 750)
+        .select("c_custkey")
+    )
+    o_f = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey")
+    )
+    full = c.join(o_f, c.c_custkey == o_f.o_custkey, "full").select(
+        F.lit("full").alias("variant"),
+        c.c_custkey.alias("left_key"),
+        o_f.o_orderkey.alias("right_key"),
+    )
+    return right.unionByName(full)
+
+
+@query(
+    "b13_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def b13_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "b14_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def b14_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "b15_join_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers,
+           ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def b15_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim-chain star join with explicit broadcast hints.
+
+    At 100 TB the fact side (customer here; any fact generally) streams
+    through map-side hash joins against the broadcast dims — zero
+    shuffles before the final aggregation."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dec_sum("c_acctbal").alias("sum_bal"),
+        )
+    )
+
+
+@query(
+    "b16_join_theta",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, o.o_totalprice, c.c_acctbal
+    FROM orders o JOIN customer c
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 100 * c.c_acctbal
+    """,
+)
+def b16_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cond = (o.o_custkey == c.c_custkey) & (o.o_totalprice > 100 * c.c_acctbal)
+    return o.join(c, cond).select(
+        "o_orderkey", "c_custkey", "o_totalprice", "c_acctbal"
+    )
+
+
+@query(
+    "b17_join_range_interval",
+    oracle="""
+    SELECT e1.event_id AS signup_id, e1.user_id,
+           e2.event_id AS follow_id, e2.event_type AS follow_type
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'signup'
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    """,
+)
+def b17_join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join. Scale note: the equi-key (user_id) carries the
+    shuffle; the range predicate is applied post-shuffle within matched
+    keys, so this stays a hash join, not a cartesian."""
+    e = load(spark, sf_dir, "events")
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    cond = (
+        (F.col("e1.user_id") == F.col("e2.user_id"))
+        & (F.col("e1.event_type") == "signup")
+        & (F.col("e2.ts") > F.col("e1.ts"))
+        & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    return e1.join(e2, cond).select(
+        F.col("e1.event_id").alias("signup_id"),
+        F.col("e1.user_id").alias("user_id"),
+        F.col("e2.event_id").alias("follow_id"),
+        F.col("e2.event_type").alias("follow_type"),
+    )
+
+
+@query(
+    "b18_join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           e.event_id AS prev_id, e.event_type AS prev_type
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN events e ON p.user_id = e.user_id AND p.ts > e.ts
+    """,
+)
+def b18_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no native Spark support — SURVEY.md §2 b18).
+
+    Technique: because the probe side ('purchase' rows) is a subset of
+    the build side (all events), a single window pass per user ordered by
+    ts gives each row its immediate predecessor — exactly DuckDB's
+    ``ASOF JOIN ... ON p.ts > e.ts`` match (strict inequality; fixtures
+    have no (user_id, ts) duplicates [FIXTURES.md]).
+
+    Scale: one shuffle on user_id, sequential scan per partition — the
+    same cost profile as a sort-merge as-of join; no cross product. For
+    a general as-of (probe table disjoint from build table), union the
+    two tagged inputs and apply ``last(build_col, ignoreNulls) OVER
+    (ORDER BY ts ROWS UNBOUNDED PRECEDING)`` per key — same plan shape.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_id").over(w).alias("prev_id"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        with_prev.filter(
+            (F.col("event_type") == "purchase") & F.col("prev_id").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "prev_id",
+            "prev_type",
+        )
+    )
+
+
+@query(
+    "b19_join_cross",
+    oracle="SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n",
+)
+def b19_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Aggregation family
+# --------------------------------------------------------------------------
+
+@query(
+    "b20_agg_groupby",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_disc_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def b20_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship TPC-H-Q1-shape aggregation (= ``entry()``).
+
+    Partial aggregation is map-side; the decimal casts make the parallel
+    sum order-independent so the result is bit-stable at any parallelism
+    (see functions.determinism)."""
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    qty_sum = F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        duck_round(qty_sum, 2).alias("sum_qty"),
+        dec_sum("l_extendedprice").alias("sum_base_price"),
+        dec_sum_expr(disc, scale=4, round_to=2).alias("sum_disc_price"),
+        duck_round(qty_sum / F.count(F.lit(1)), 4).alias("avg_qty"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "b21_agg_having",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+    """,
+)
+def b21_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@query(
+    "b22_agg_countdistinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def b22_agg_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query("b23_agg_approx_cd", oracle=None)  # approximate — rows-only tier (§5.4)
+def b23_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch — the 100 TB path for distinct counts (no
+    exact-distinct shuffle explosion). Approximate => never hash-matches
+    a different engine's sketch; rows-only tier by design."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+    )
+
+
+@query(
+    "b24_agg_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def b24_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            as_long(F.grouping("l_returnflag")).alias("g_flag"),
+            as_long(F.grouping("l_linestatus")).alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+        )
+    )
+
+
+@query(
+    "b25_agg_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           GROUPING(o_orderstatus) AS g_status, GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def b25_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            as_long(F.grouping("o_orderstatus")).alias("g_status"),
+            as_long(F.grouping("o_orderpriority")).alias("g_priority"),
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("o_totalprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "g_status",
+            "g_priority",
+            "n",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "b26_agg_grouping_sets",
+    oracle="""
+    SELECT COALESCE(lang, 'ALL') AS g_lang, COALESCE(source, 'ALL') AS g_source,
+           GROUPING(lang) AS gf_lang, GROUPING(source) AS gf_source,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+    FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def b26_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT COALESCE(lang, 'ALL') AS g_lang, COALESCE(source, 'ALL') AS g_source,
+               CAST(GROUPING(lang) AS BIGINT) AS gf_lang,
+               CAST(GROUPING(source) AS BIGINT) AS gf_source,
+               COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
+        FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+@query(
+    "b27_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def b27_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        duck_round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        duck_round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        duck_round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "b28_agg_percentile",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def b28_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation — same definition as
+    DuckDB quantile_cont). At 100 TB prefer approx_percentile; the exact
+    form is the correctness anchor."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        duck_round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+        duck_round(F.percentile("value", F.lit(0.50)), 4).alias("p50"),
+        duck_round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@query(
+    "b29_agg_collect_sorted",
+    oracle="""
+    SELECT user_id, string_agg(event_type, ',' ORDER BY event_type) AS types_sorted
+    FROM events GROUP BY user_id
+    """,
+)
+def b29_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list is order-nondeterministic => sort_array canonicalizes;
+    emitted as a joined string (flattened-scalar rule, §5.4 item 7)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_list("event_type")), ",").alias(
+            "types_sorted"
+        )
+    )
+
+
+@query(
+    "b30_agg_minmax_by",
+    oracle="""
+    WITH ranked AS (
+        SELECT p_brand, p_name, p_retailprice,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice DESC, p_name DESC) AS rmax,
+               row_number() OVER (PARTITION BY p_brand
+                                  ORDER BY p_retailprice ASC, p_name ASC) AS rmin
+        FROM part)
+    SELECT p_brand,
+           MAX(CASE WHEN rmax = 1 THEN p_name END) AS top_name,
+           MAX(p_retailprice) AS top_price,
+           MAX(CASE WHEN rmin = 1 THEN p_name END) AS bottom_name
+    FROM ranked GROUP BY p_brand
+    """,
+)
+def b30_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax/argmin with composite (price, name) ordering — fixture has
+    retail-price ties within brands, so the bare argmax would be
+    nondeterministic [probed]."""
+    p = load(spark, sf_dir, "part")
+    key = F.struct(F.col("p_retailprice"), F.col("p_name"))
+    return p.groupBy("p_brand").agg(
+        F.max_by("p_name", key).alias("top_name"),
+        F.max("p_retailprice").alias("top_price"),
+        F.min_by("p_name", key).alias("bottom_name"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / top-k
+# --------------------------------------------------------------------------
+
+@query(
+    "b40_sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+    """,
+)
+def b40_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: compiles to TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows) — no full sort at 100 TB."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "b41_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def b41_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            as_long(F.row_number().over(w)).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations / subqueries
+# --------------------------------------------------------------------------
+
+@query(
+    "b50_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice > 250000
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice < 50000
+    """,
+)
+def b50_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    a = o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 250000))
+    b = o.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") < 50000))
+    return a.unionByName(b)
+
+
+@query(
+    "b51_intersect",
+    oracle="""
+    SELECT o_custkey AS k FROM orders
+    INTERSECT
+    SELECT user_id AS k FROM events
+    """,
+)
+def b51_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    e = load(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    return o.intersect(e)
+
+
+@query(
+    "b52_except",
+    oracle="""
+    SELECT o_custkey AS k FROM orders
+    EXCEPT ALL
+    SELECT user_id AS k FROM events
+    """,
+)
+def b52_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    e = load(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    return o.exceptAll(e)
+
+
+@query(
+    "b53_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def b53_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+        """
+    )
+
+
+@query(
+    "b54_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def b54_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+@query(
+    "b55_subquery_corr_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey
+                    AND l.l_shipdate > TIMESTAMP '2000-06-01 00:00:00')
+    """,
+)
+def b55_subquery_corr_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey
+                        AND l.l_shipdate > TIMESTAMP '2000-06-01 00:00:00')
+        """
+    )

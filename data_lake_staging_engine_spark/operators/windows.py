@@ -1,0 +1,181 @@
+"""§2.C Window functions — ranking, lag/lead, running/moving/range frames.
+
+Determinism discipline: every window ORDER BY carries a unique tie-break
+key (event_id / o_orderkey); frames are always explicit (default frames
+differ between engines for last_value — SURVEY.md §5.4 item 4); frame
+sums use the decimal cast so in-frame accumulation is order-independent.
+
+Scale: a window = one shuffle on the partition key + per-partition sort.
+All partitions here (user_id, o_custkey) are high-cardinality, so the
+shuffle is balanced; AQE splits stragglers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_lake_staging_engine_spark.functions.determinism import as_long, duck_round
+from data_lake_staging_engine_spark.registry import query
+from data_lake_staging_engine_spark.sources import load
+
+
+@query(
+    "c01_win_ranking",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def c01_win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        as_long(F.row_number().over(w)).alias("rn"),
+        as_long(F.rank().over(w)).alias("rnk"),
+        as_long(F.dense_rank().over(w)).alias("drnk"),
+        as_long(F.ntile(4).over(w)).alias("quartile"),
+        duck_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        duck_round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "c02_win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id,
+           lag(event_id)  OVER w AS prev_event_id,
+           lead(event_id) OVER w AS next_event_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS micros_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def c02_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "micros_since_prev"
+        ),
+    )
+
+
+@query(
+    "c03_win_running_sum",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS running_value
+    FROM events
+    """,
+)
+def c03_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "user_id",
+        "event_id",
+        duck_round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("running_value"),
+    )
+
+
+@query(
+    "c04_win_moving_rows",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS moving_avg5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+    """,
+)
+def c04_win_moving_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    e = load(spark, sf_dir, "events")
+    frame_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    frame_n = F.count(F.lit(1)).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        duck_round(frame_sum / frame_n, 4).alias("moving_avg5"),
+    )
+
+
+@query(
+    "c05_win_range_interval",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS trailing_1h
+    FROM events
+    """,
+)
+def c05_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range frame (trailing 1 hour). Spark RANGE frames need a
+    numeric sort key, so both engines order by floored epoch-seconds —
+    identical frame boundaries by construction (§2 c05)."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "_sec", F.expr("unix_micros(ts) div 1000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("_sec").rangeBetween(-3600, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        duck_round(
+            F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"), 2
+        ).alias("trailing_1h"),
+    )
+
+
+@query(
+    "c06_win_first_last",
+    oracle="""
+    SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS TIMESTAMP) AS event_date,
+           first_value(event_type) OVER w AS first_et,
+           last_value(event_type)  OVER w AS last_et
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def c06_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts").cast("timestamp")
+    )
+    w = (
+        Window.partitionBy("user_id", "event_date")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_date",
+        F.first("event_type").over(w).alias("first_et"),
+        F.last("event_type").over(w).alias("last_et"),
+    ).distinct()

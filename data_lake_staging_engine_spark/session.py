@@ -1,0 +1,77 @@
+"""SparkSession factory with deterministic, scale-aware defaults.
+
+Local test/bench runs use ``local[N]``; on a real cluster the same
+builder config applies unchanged — nothing here depends on local mode.
+
+Config rationale (SURVEY.md §4, §5.4):
+
+- ``session.timeZone=UTC``: pinned on both engines (DuckDB oracle runs
+  ``SET TimeZone='UTC'``) so timestamp-derived values hash-match.
+- AQE on (default in Spark 4): runtime join-strategy switch, skew-join
+  split, shuffle-partition coalescing — the 100 TB levers that don't
+  need code changes.
+- ``shuffle.partitions=32``: right-sized for local[32] test SFs; at
+  cluster scale AQE coalescing makes the static number mostly moot, and
+  a real deployment would raise it to ~2-3x total cores.
+- Arrow enabled: vectorized JVM<->Python transfer for pandas UDFs and
+  ``toPandas`` (10-100x over row-at-a-time pickling).
+- timestamps: the fixtures are tz-naive parquet; events.ts is
+  NANOS-precision which Spark cannot read as a timestamp at all
+  ([PARQUET_TYPE_ILLEGAL], verified) — so ``nanosAsLong`` reads it as
+  an int64 and the table loader converts with ``timestamp_micros(ns div
+  1000)``, the same truncation DuckDB applies reading ns parquet
+  (verified value-equal). ``inferTimestampNTZ=false`` keeps the ms-
+  precision TPC-H timestamps as plain TimestampType so the engine has
+  one timestamp type; under the UTC session its values equal DuckDB's
+  naive TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "data-lake-staging-engine-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession."""
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable determinism/perf settings to an
+    externally-provided session (the driver passes its own ``spark``)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    for key, val in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(key, val)
+        except Exception:
+            pass  # static-only conf on some builds
+    return spark

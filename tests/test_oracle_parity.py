@@ -1,0 +1,26 @@
+"""Replicates the driver's t2 gate locally: every registered query with
+an oracle must match DuckDB exactly at sf=0.01 (SURVEY.md §5.3 #1)."""
+
+import pytest
+
+from data_lake_staging_engine_spark.registry import registry
+from data_lake_staging_engine_spark.testing import compare
+
+_REG = registry()
+_ORACLE_NAMES = [n for n, rq in _REG.items() if rq.oracle is not None]
+_ROWS_ONLY_NAMES = [n for n, rq in _REG.items() if rq.oracle is None]
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_oracle_parity(name, spark, duck, sf_dir):
+    rq = _REG[name]
+    df = rq.fn(spark, sf_dir)
+    res = compare(name, df, duck, rq.oracle)
+    assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY_NAMES)
+def test_rows_only_runs(name, spark, sf_dir):
+    rq = _REG[name]
+    df = rq.fn(spark, sf_dir)
+    assert df.count() >= 0
