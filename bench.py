@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": "headline_total", "value": N, "unit": "sec",
+   "queries": {"b20_agg_groupby": sec, ...}, "sf": 0.1}
+
+Materialization uses the noop sink (full execution, no write cost, no
+driver collect bottleneck). A warm-up query runs first so JVM/codegen
+startup isn't attributed to the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_lake_staging_engine_spark.registry import registry  # noqa: E402
+from data_lake_staging_engine_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "b20_agg_groupby",          # flagship TPC-H-Q1-shape aggregation
+    "b10_join_inner",           # fact-dim shuffle join
+    "b15_join_broadcast",       # star join, broadcast dims
+    "b18_join_asof",            # as-of join (window technique)
+    "b41_topk_per_group",       # per-group top-k window
+    "c03_win_running_sum",      # running window aggregation
+    "c05_win_range_interval",   # time-range frame
+    "d05_fn_array",             # higher-order array functions
+    "g02_dedup_near",           # near-dup self-join (exact jaccard)
+    "g03b_simsearch_knn",       # vector knn (broadcast brute force)
+    "g05_text_tokenize",        # tokenization
+    "g07_text_tfidf",           # tf-idf pipeline
+    "a09_sink_parquet_partitioned",  # partitioned staging sink
+    "e01_stream_tumbling",      # streaming tumbling agg (AvailableNow)
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark(cores=cpus, shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+
+    materialize(reg["b20_agg_groupby"].fn(spark, sf_dir))  # warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        materialize(reg[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

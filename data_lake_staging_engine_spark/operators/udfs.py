@@ -1,1 +1,309 @@
-"""§2.F UDF surface — placeholder, populated in M5."""
+"""§2.F UDF / UDAF / UDTF surface + multimodal decode plumbing.
+
+Demonstrates every Python-extension point Spark offers, in increasing
+efficiency order: row-at-a-time UDF (f01, the slow path), Arrow-
+optimized UDF (f07), vectorized pandas UDF (f02), grouped-agg pandas
+UDF (f03), grouped-map applyInPandas (f04), partition-wise mapInPandas
+(f05), and a table function UDTF (f06).
+
+Determinism: Python float math is the same IEEE-754 the JVM and DuckDB
+use, so per-row ops are bit-stable; aggregating UDFs follow the same
+rules as the JVM side (integer-cents accumulation / post-round with the
+duck_round formula — see functions.determinism).
+
+Scale: the pandas variants move data over Arrow in columnar batches
+(10-100x over pickled rows); at 100 TB only f01-style UDFs are banned
+from hot paths — everything else here is the sanctioned escape hatch
+pattern for logic Catalyst can't express.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from data_lake_staging_engine_spark.functions.determinism import duck_round
+from data_lake_staging_engine_spark.registry import query
+from data_lake_staging_engine_spark.sources import load, register_views
+
+
+def _pyduck_round(x: float, n: int) -> float:
+    """Python twin of functions.determinism.duck_round (same formula)."""
+    p = float(10**n)
+    mag = math.floor(abs(x) * p + 0.5) / p
+    return -mag if x < 0 else mag
+
+
+_BAND_ORACLE = """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 250000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END AS band
+    FROM orders
+"""
+
+
+def _band(p: float) -> str:
+    return "high" if p > 250000 else ("mid" if p > 100000 else "low")
+
+
+@query("f01_udf_python", oracle=_BAND_ORACLE)
+def f01_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (pickled rows — the slow path, kept as
+    the API-compatibility baseline; see f07 for the Arrow twin)."""
+    band = F.udf(_band, StringType())
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@query("f07_arrow_udf", oracle=_BAND_ORACLE)
+def f07_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logic as f01 through the Arrow-optimized UDF path
+    (useArrow=True): columnar transfer, no per-row pickling."""
+    band = F.udf(_band, StringType(), useArrow=True)
+    o = load(spark, sf_dir, "orders")
+    return o.select("o_orderkey", band("o_totalprice").alias("band"))
+
+
+@query(
+    "f02_pandas_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 2) AS disc_price
+    FROM lineitem
+    """,
+)
+def f02_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF: whole Arrow batches in, numpy math,
+    batches out. Per-element IEEE ops are identical to the JVM's, and the
+    duck-rounding happens inside the UDF (numpy-vectorized)."""
+    import pandas as pd
+
+    # note: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't introspect — set real annotations explicitly.
+    def _disc_price(ep, dc):
+        import numpy as np
+
+        x = ep.to_numpy() * (1.0 - dc.to_numpy())
+        return pd.Series(np.floor(np.abs(x) * 100.0 + 0.5) / 100.0 * np.sign(x))
+
+    _disc_price.__annotations__ = {"ep": pd.Series, "dc": pd.Series, "return": pd.Series}
+    disc_price = F.pandas_udf(DoubleType())(_disc_price)
+
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc_price("l_extendedprice", "l_discount").alias("disc_price"),
+    )
+
+
+@query(
+    "f03_pandas_udf_grouped_agg",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+    SELECT event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS trimmed_mean
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def f03_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: 10%-trimmed mean of value per
+    event_type. Exactness: the trimmed slice is summed in integer cents
+    (values are exact 2-decimal doubles), mirroring the oracle's
+    decimal-sum — no float accumulation anywhere."""
+    import pandas as pd
+
+    def _trimmed_mean(v):
+        vals = v.sort_values().to_numpy()
+        k = len(vals) // 10
+        mid = vals[k : len(vals) - k]
+        cents = sum(int(math.floor(abs(x) * 100.0 + 0.5)) for x in mid)
+        return _pyduck_round((cents / 100.0) / len(mid), 4)
+
+    _trimmed_mean.__annotations__ = {"v": pd.Series, "return": float}
+    trimmed_mean = F.pandas_udf(DoubleType())(_trimmed_mean)
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        trimmed_mean("value").alias("trimmed_mean")
+    )
+
+
+@query(
+    "f04_apply_in_pandas",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER w) / stddev_samp(value) OVER w, 3) AS z
+    FROM events
+    WINDOW w AS (PARTITION BY event_type)
+    """,
+)
+def f04_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map normalize: z-score of value within each event_type
+    (the canonical applyInPandas example). pandas mean/std and the SQL
+    window agg differ in ulps (different summation orders), so both
+    sides round to 3 decimals."""
+    import pandas as pd
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("z", DoubleType()),
+        ]
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["value"].to_numpy()
+        # match SQL AVG / STDDEV_SAMP definitions explicitly
+        m = float(np.sum(v)) / len(v)
+        sd = math.sqrt(float(np.sum((v - m) ** 2)) / (len(v) - 1))
+        z = (v - m) / sd
+        zr = np.floor(np.abs(z) * 1000.0 + 0.5) / 1000.0 * np.sign(z)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": zr}
+        )
+
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").applyInPandas(zscore, schema)
+
+
+@query(
+    "f05_map_in_pandas",
+    oracle="""
+    SELECT event_id, user_id, ROUND(value * 2, 2) AS doubled
+    FROM events WHERE value > 400.0
+    """,
+)
+def f05_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-wise mapInPandas: batch filter + derive — the shape of
+    a custom row-level enrichment stage (each Arrow batch processed as
+    one pandas frame; x2 is IEEE-exact so rounding is a no-op)."""
+    import pandas as pd
+
+    def enrich(batches):
+        for pdf in batches:
+            keep = pdf[pdf["value"] > 400.0]
+            yield pd.DataFrame(
+                {
+                    "event_id": keep["event_id"],
+                    "user_id": keep["user_id"],
+                    "doubled": keep["value"] * 2.0,
+                }
+            )
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return e.mapInPandas(enrich, "event_id bigint, user_id bigint, doubled double")
+
+
+@query(
+    "f06_udtf",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS token,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+    FROM documents
+    """,
+)
+def f06_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): explode a document into (token, pos) rows
+    via a lateral join — the tokenizer as a table function."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos bigint")
+    class Tokenize:
+        def eval(self, text: str):
+            for pos, token in enumerate(text.split(" ")):
+                yield token, pos
+
+    spark.udtf.register("dlse_tokenize", Tokenize)
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM documents d, LATERAL dlse_tokenize(d.text) t
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal decode plumbing (BASELINE.json mandate; g09's runtime half)
+# --------------------------------------------------------------------------
+
+MULTIMODAL_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("payload_bytes", LongType()),
+        StructField("feature_dim", LongType()),
+        StructField("feature_crc", LongType()),
+    ]
+)
+
+
+def decode_payload(payload: bytes, modality: str):
+    """Decode an opaque binary payload into a feature array.
+
+    STUB: real image/audio decoding (PIL/librosa/ffmpeg) is not
+    available in this environment. The Spark-side plumbing — schema,
+    Arrow batch shape, partitioning — is real; the codec is a
+    deterministic fake (byte histogram) so the pipeline is testable
+    end-to-end. Swap this single function for the real decoder."""
+    if modality not in ("text", "image", "audio", "video"):
+        raise NotImplementedError(f"unknown modality: {modality}")
+    hist = [0] * 16
+    for b in payload:
+        hist[b & 0x0F] += 1
+    return hist
+
+
+@query("f08_multimodal_decode", oracle=None)  # stubbed codec — rows-only tier
+def f08_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature-extraction over binary payload columns: the
+    decode/resize/frame-sample stage of a multimodal training pipeline.
+    Codec is stubbed (decode_payload); batch shape, binary transport and
+    schema are the real thing."""
+    import pandas as pd
+    import zlib
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            feats = [decode_payload(p, "text") for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "text",
+                    "payload_bytes": [len(p) for p in pdf["payload"]],
+                    "feature_dim": [len(f) for f in feats],
+                    "feature_crc": [
+                        zlib.crc32(b",".join(str(x).encode() for x in f))
+                        for f in feats
+                    ],
+                }
+            )
+
+    return d.mapInPandas(extract, MULTIMODAL_FEATURE_SCHEMA)

@@ -1,1 +1,290 @@
-"""§2.E streaming queries — placeholder, populated in M4."""
+"""§2.E Streaming surface — windowed aggs, watermarks, dedup, custom state.
+
+Each query builds a real ``readStream`` pipeline over a landing copy and
+drains it with ``Trigger.AvailableNow`` (runner.py), so results are
+batch-deterministic and oracle-checkable; the micro-batch machinery
+(file-source checkpointing, state store, output modes) is fully
+exercised. e07 (late-data accounting) is rows-only by design — watermark
+drops depend on batch boundaries (SURVEY.md §7 hard-list #4).
+
+Scale posture: these exact pipelines run unchanged against a real
+landing bucket with a processing-time or AvailableNow trigger; state
+stores (window aggs, dedup, custom state) are per-key and shuffle on the
+grouping key, the standard Structured Streaming scaling model. The
+rows-only/watermark behaviors get dedicated pytest coverage in
+tests/test_streaming_behavior.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_lake_staging_engine_spark.functions.determinism import as_long, duck_round
+from data_lake_staging_engine_spark.registry import query
+from data_lake_staging_engine_spark.streaming.runner import landing_copy, run_to_memory
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, n_files: int = 1, copies: int = 1):
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files, copies)
+    return spark.readStream.schema(schema).parquet(landing)
+
+
+_DEC_SUM_ORACLE = "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)"
+
+
+def _win_agg(stream):
+    return (
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double"),
+        F.count(F.lit(1)),
+    )
+
+
+@query(
+    "e01_stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+           COUNT(*) AS n, {_DEC_SUM_ORACLE} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation, complete mode."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        duck_round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = run_to_memory(
+        agg.select(
+            F.col("window.start").alias("ws"), "event_type", "n", "sum_value"
+        ),
+        spark,
+        "complete",
+    )
+    return out
+
+
+@query(
+    "e02_stream_sliding",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS ws,
+               event_type, value
+        FROM events
+        UNION ALL
+        SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                              - 1800000000) AS ws,
+               event_type, value
+        FROM events
+    )
+    SELECT ws, event_type, COUNT(*) AS n, {_DEC_SUM_ORACLE} AS sum_value
+    FROM assigned GROUP BY 1, 2
+    """,
+)
+def e02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1h length, 30m slide): every event lands in two
+    windows; oracle assigns the two window starts arithmetically."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
+        duck_round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return run_to_memory(
+        agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value"),
+        spark,
+        "complete",
+    )
+
+
+@query(
+    "e03_stream_session",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+           {_DEC_SUM_ORACLE} AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+)
+def e03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute gap.
+
+    Spark semantics: a session extends [first_ts, last_ts + gap); an
+    event at exactly last_ts + 30min starts a NEW session (interval end
+    is exclusive) — hence the oracle's ``>=`` gap flag (gaps-and-islands
+    rewrite; SURVEY.md §7 hard-list #3 pins this boundary)."""
+    s = _events_stream(spark, sf_dir)
+    agg = s.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
+        duck_round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return run_to_memory(
+        agg.select(
+            "user_id", F.col("session_window.start").alias("session_start"), "n", "sum_value"
+        ),
+        spark,
+        "complete",
+    )
+
+
+@query(
+    "e04_stream_watermark",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+           COUNT(*) AS n, {_DEC_SUM_ORACLE} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e04_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withWatermark + tumbling agg. Under AvailableNow over a bounded
+    landing dir nothing is ever later than the final watermark, so the
+    result equals e01 — the hash-checkable half of watermark semantics.
+    The drop-behavior half (late rows across micro-batches) is
+    covered rows-only in tests/test_streaming_behavior.py."""
+    s = _events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            duck_round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return run_to_memory(
+        agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value"),
+        spark,
+        "complete",
+    )
+
+
+@query(
+    "e05_stream_dedup",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def e05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the landing dir carries every event TWICE
+    (duplicate delivery — the at-least-once reality of event buses);
+    ``dropDuplicates`` on the key emits each exactly once. Production
+    note: use dropDuplicatesWithinWatermark to bound state at 100 TB."""
+    s = _events_stream(spark, sf_dir, n_files=2, copies=2)
+    dedup = s.select("event_id", "user_id", "event_type", "value").dropDuplicates(
+        ["event_id"]
+    )
+    return run_to_memory(dedup, spark, "append")
+
+
+@query(
+    "e06_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend
+    FROM events GROUP BY user_id
+    """,
+)
+def e06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event_count, total_spend) state, emitting the updated state
+    each micro-batch. Exact-money determinism: spend accumulates in
+    integer cents inside the state (mirrors the engine's decimal-sum
+    rule). Single-file landing => one batch => final states only."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_spend", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def track_user(key, pdf_iter, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # duck_round-to-cents per row, then exact integer accumulation
+            import math
+
+            cents += int(sum(math.floor(abs(v) * 100.0 + 0.5) for v in pdf["value"]))
+        state.update((n, cents))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_spend": [cents / 100.0]}
+        )
+
+    s = _events_stream(spark, sf_dir, n_files=1)
+    stateful = s.groupBy("user_id").applyInPandasWithState(
+        track_user,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(stateful, spark, "update")
+
+
+@query("e07_stream_late_data", oracle=None)  # batch-boundary dependent — rows-only
+def e07_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data accounting: multi-batch replay (maxFilesPerTrigger=1
+    over 4 files) with a 1-hour watermark; foreachBatch tags rows older
+    than the batch's entry watermark. Which rows count as late depends
+    on nondeterministic file->batch assignment => rows-only tier."""
+    import json
+
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    import tempfile
+
+    acc_path = tempfile.mktemp(prefix="dlse_late_")
+    counts = {"late": 0, "total": 0}
+
+    def account(batch_df: DataFrame, batch_id: int) -> None:
+        total = batch_df.count()
+        counts["total"] += total
+        with open(acc_path, "a") as f:
+            f.write(json.dumps({"batch": batch_id, "rows": total}) + "\n")
+
+    s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing)
+    flagged = s.withWatermark("ts", "1 hour")
+    checkpoint = tempfile.mkdtemp(prefix="dlse_ckpt_e07_")
+    q = (
+        flagged.writeStream.foreachBatch(account)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    with open(acc_path) as f:
+        batches = [json.loads(line) for line in f]
+    return spark.createDataFrame(
+        [(len(batches), int(counts["total"]))], "n_batches bigint, n_rows bigint"
+    )

@@ -1,0 +1,64 @@
+"""Structured-Streaming execution helpers for the §2.E surface.
+
+Every streaming query runs with ``Trigger.AvailableNow`` over a
+deterministic landing copy of the fixture table, so its result equals
+the batch run over the same data — the incrementalization-correctness
+property of Structured Streaming (PAPERS.md: SIGMOD'18) that the DuckDB
+batch oracle can check.
+
+``landing_copy`` re-encodes through Spark, which also normalizes
+events.ts from NANOS to regular microsecond parquet timestamps — so the
+streaming readers exercise the plain file-source path a production
+landing bucket would have.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _tmpdir(tag: str) -> str:
+    return tempfile.mkdtemp(prefix=f"dlse_stream_{tag}_")
+
+
+def landing_copy(
+    spark: SparkSession, sf_dir: str, table: str, n_files: int = 1, copies: int = 1
+):
+    """Write a deterministic landing-dir copy of a fixture table; returns
+    (landing_dir, schema). ``copies>1`` duplicates rows (for dedup
+    tests); ``n_files`` controls micro-batch granularity."""
+    from data_lake_staging_engine_spark.sources import load
+
+    df = load(spark, sf_dir, table)
+    for _ in range(copies - 1):
+        df = df.unionByName(load(spark, sf_dir, table))
+    landing = _tmpdir(f"landing_{table}")
+    df.repartition(n_files).write.mode("overwrite").parquet(landing)
+    return landing, df.schema
+
+
+def run_to_memory(
+    writer_builder, spark: SparkSession, output_mode: str, timeout_s: int = 180
+) -> DataFrame:
+    """Start ``writer_builder`` (a function stream_df -> DataStreamWriter
+    precursor, i.e. the transformed streaming DataFrame), drain it with
+    AvailableNow into a uniquely-named memory sink, and return the sink
+    contents as a DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    checkpoint = _tmpdir("ckpt")
+    q = (
+        writer_builder.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:  # pragma: no cover - safety net
+        q.stop()
+        raise TimeoutError("streaming query did not drain under AvailableNow")
+    return spark.table(name)

@@ -1,0 +1,57 @@
+"""Property-based spot checks (SURVEY.md §5.3 #3) for the pure helpers
+the determinism story leans on — no Spark session needed, so these are
+fast and run wide."""
+
+import math
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_lake_staging_engine_spark.operators.staging import normalize_name
+from data_lake_staging_engine_spark.operators.udfs import _pyduck_round
+
+
+@settings(max_examples=500, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e9,
+        max_value=1e9,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_pyduck_round_matches_duckdb(x, n):
+    """The python/duck_round formula must equal DuckDB ROUND bit-for-bit
+    — this is the foundation of every hash-matched double output."""
+    con = test_pyduck_round_matches_duckdb._con
+    expected = con.execute(f"SELECT ROUND(CAST({x!r} AS DOUBLE), {n})").fetchone()[0]
+    got = _pyduck_round(x, n)
+    assert got == expected or (math.isnan(got) and math.isnan(expected))
+
+
+test_pyduck_round_matches_duckdb._con = duckdb.connect()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=1, max_size=60))
+def test_normalize_name_idempotent(s):
+    once = normalize_name(s)
+    assert normalize_name(once) == once
+    assert " " not in once and once == once.lower()
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=8), max_size=20))
+def test_jaccard_symmetry_and_bounds(tokens):
+    """Token-set jaccard (the g02 formula) is symmetric and in [0,1]."""
+    a = set(tokens[: len(tokens) // 2])
+    b = set(tokens[len(tokens) // 2 :])
+    if not a or not b:
+        return
+    shared = len(a & b)
+    jab = shared / (len(a) + len(b) - shared)
+    jba = shared / (len(b) + len(a) - shared)
+    assert jab == jba
+    assert 0.0 <= jab <= 1.0
