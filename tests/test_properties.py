@@ -26,7 +26,12 @@ def test_pyduck_round_matches_duckdb(x, n):
     """The python/duck_round formula must equal DuckDB ROUND bit-for-bit
     — this is the foundation of every hash-matched double output."""
     con = test_pyduck_round_matches_duckdb._con
-    expected = con.execute(f"SELECT ROUND(CAST({x!r} AS DOUBLE), {n})").fetchone()[0]
+    # Bind as a parameter: a repr() literal in SQL text parses as DECIMAL,
+    # and the decimal->double cast is lossy once the mantissa digits exceed
+    # 2^53 (verified: 900719925.5078125 via literal lands below the .5 tie).
+    # Parquet-sourced doubles — the only path the driver exercises — are
+    # bit-exact, which parameter binding reproduces.
+    expected = con.execute("SELECT ROUND(CAST(? AS DOUBLE), ?)", [x, n]).fetchone()[0]
     got = _pyduck_round(x, n)
     assert got == expected or (math.isnan(got) and math.isnan(expected))
 
