@@ -85,11 +85,75 @@ def g01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact token-set Jaccard >= 0.8.
 
-    Exact correctness anchor for g02b's MinHash-LSH. The shared-token
-    equi-join shuffles on the token; integer |intersection| / |union|
-    arithmetic then a single double divide => deterministic."""
+    Exact correctness anchor for g02b's MinHash-LSH. Two physical
+    strategies behind the same semantics, selected by vocabulary size
+    (one cheap count job):
+
+    - **Small-universe bitmask path** (vocab <= 62): each doc's token
+      set becomes one long via ``bit_or(1 << token_id)``; Jaccard is
+      ``bit_count(m1 & m2) / bit_count(m1 | m2)`` — exact integer
+      arithmetic. All-pairs runs over *distinct masks* only (bounded by
+      min(2^vocab, #docs), observed ~4k at sf0.1 vs a ~500M-row token
+      self-join), broadcast both sides, then doc pairs are enumerated by
+      two broadcast joins back to the per-doc masks. Output-bound, no
+      quadratic shuffle.
+    - **Token-join fallback** (large vocab): shared-token equi-join +
+      |intersection|/|union| — shuffles on the token key; for real
+      corpora the scale path is g02b's MinHash-LSH banding.
+
+    Both paths compute shared/union on exact ints then one double
+    divide, so results are bit-identical to the DuckDB oracle."""
     d = load(spark, sf_dir, "documents")
     toks = _tokens(d)
+    vocab_n = toks.select("tok").distinct().count()
+    if vocab_n <= 62:
+        return _g02_bitmask(toks)
+    return _g02_token_join(toks)
+
+
+def _g02_bitmask(toks: DataFrame) -> DataFrame:
+    vocab = toks.select("tok").distinct().withColumn(
+        "tok_id", F.row_number().over(Window.orderBy("tok")) - F.lit(1)
+    )
+    masks = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, tok_id)")).alias("mask")
+        )
+    )
+    dm = masks.select("mask").distinct()
+    m1, m2 = dm.alias("m1"), dm.alias("m2")
+    shared = F.bit_count(F.col("m1.mask").bitwiseAND(F.col("m2.mask")))
+    union = F.bit_count(F.col("m1.mask").bitwiseOR(F.col("m2.mask")))
+    # Ordered mask pairs (both directions + self-pairs): a qualifying doc
+    # pair (d1 < d2) then matches exactly one ordered mask pair.
+    mask_pairs = (
+        m1.join(F.broadcast(m2), shared * F.lit(1.0) / union >= 0.8)
+        .select(
+            F.col("m1.mask").alias("mask1"),
+            F.col("m2.mask").alias("mask2"),
+            duck_round(shared * F.lit(1.0) / union, 6).alias("jaccard"),
+        )
+    )
+    a = masks.alias("a")
+    b = masks.alias("b")
+    return (
+        a.join(F.broadcast(mask_pairs), F.col("a.mask") == F.col("mask1"))
+        .join(
+            b,
+            (F.col("b.mask") == F.col("mask2"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            "jaccard",
+        )
+    )
+
+
+def _g02_token_join(toks: DataFrame) -> DataFrame:
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -240,25 +304,28 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search
 # --------------------------------------------------------------------------
 
+def _dot(a, b):
+    """Sequential left-fold dot product => identical IEEE op order on
+    both engines (oracle mirrors with list_inner_product over DOUBLE[])."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _with_cosine(q: DataFrame, c: DataFrame) -> DataFrame:
     """Cross-score query x candidate with deterministic cosine.
 
-    zip_with multiplies element-wise; aggregate is a sequential left
-    fold => identical IEEE op order on both engines (oracle mirrors with
-    list_inner_product over DOUBLE[])."""
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    qa, ca = F.col("qe"), F.col("ce")
+    Norms are computed ONCE per vector before the cross join (N + Q
+    dots), not per pair (3*Q*N dots) — at 100 TB the candidate norm is a
+    map-side projection fused into the scan, and only the pairwise dot
+    remains in the O(Q*N) stage."""
+    qn = q.withColumn("qn", F.sqrt(_dot(F.col("qe"), F.col("qe"))))
+    cn = c.withColumn("cn", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
     return (
-        q.crossJoin(c)
-        .withColumn("dot", dot(qa, ca))
-        .withColumn("qn", F.sqrt(dot(qa, qa)))
-        .withColumn("cn", F.sqrt(dot(ca, ca)))
+        qn.crossJoin(cn)
+        .withColumn("dot", _dot(F.col("qe"), F.col("ce")))
         .withColumn("cos", F.col("dot") / (F.col("qn") * F.col("cn")))
     )
 
@@ -357,7 +424,12 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + x
         return out
 
-    b = e.select("vec_id", "embedding", bucket(F.col("embedding")).alias("bucket"))
+    b = e.select(
+        "vec_id",
+        "embedding",
+        bucket(F.col("embedding")).alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
     a1, a2 = b.alias("a1"), b.alias("a2")
     pairs = a1.join(
         a2,
@@ -368,20 +440,12 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a2.vec_id").alias("cid"),
         F.col("a1.embedding").alias("qe"),
         F.col("a2.embedding").alias("ce"),
+        F.col("a1.norm").alias("qn"),
+        F.col("a2.norm").alias("cn"),
     )
 
-    def dot(a, bb):
-        return F.aggregate(
-            F.zip_with(a, bb, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    scored = (
-        pairs.withColumn("dot", dot(F.col("qe"), F.col("ce")))
-        .withColumn("qn", F.sqrt(dot(F.col("qe"), F.col("qe"))))
-        .withColumn("cn", F.sqrt(dot(F.col("ce"), F.col("ce"))))
-        .withColumn("cos", F.col("dot") / (F.col("qn") * F.col("cn")))
+    scored = pairs.withColumn("dot", _dot(F.col("qe"), F.col("ce"))).withColumn(
+        "cos", F.col("dot") / (F.col("qn") * F.col("cn"))
     )
     return scored.filter(F.col("cos") >= 0.2).select(
         "qid", "cid", duck_round("cos", 4).alias("cos_sim")
