@@ -300,6 +300,51 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "g02d_dedup_ngram",
+    oracle="""
+    WITH pos AS (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text)-2)) AS i
+                 FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                       substring(text, CAST(i AS INT), 3) AS g
+                FROM pos),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+                   FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+    SELECT d1, d2,
+           ROUND(shared * 1.0 / (s1.n + s2.n - shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE shared * 1.0 / (s1.n + s2.n - shared) >= 0.8
+    """,
+)
+def g02d_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 3-gram (shingle) Jaccard near-dup, threshold 0.8.
+
+    Shingling is robust to word-boundary edits where token Jaccard
+    (g02) is not. Shingle sets are built JVM-side: sequence(1, len-2)
+    exploded, substr per position, distinct — then the same exact
+    |intersection|/|union| algebra as g02's token-join path.
+
+    100 TB: the shingle universe is large (no bitmask shortcut), so the
+    exact self-join carries the correctness tier at test scale and the
+    scale path is MinHash over shingles — identical banding machinery
+    to g02b with ``_tokens`` swapped for this shingler."""
+    d = load(spark, sf_dir, "documents")
+    positions = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = (
+        d.select("doc_id", "text", F.explode(positions).alias("i"))
+        .select("doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok"))
+        .distinct()
+    )
+    return _g02_token_join(shingles)
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -449,6 +494,51 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.filter(F.col("cos") >= 0.2).select(
         "qid", "cid", duck_round("cos", 4).alias("cos_sim")
+    )
+
+
+@query(
+    "g03d_embed_neardup",
+    oracle="""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 4) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+             * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+    """,
+)
+def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: ALL vector pairs with
+    cosine >= 0.4 (exact, d1 < d2).
+
+    Complements text-based dedup (g01/g02*) with semantic near-dup
+    detection. Norms are a map-side projection; the pair stage is a
+    broadcast nested-loop on the vec_id inequality. Exact all-pairs is
+    the correctness anchor at test scale; at 100 TB the same scoring
+    runs behind g03c's hyperplane-LSH blocking so only same-bucket
+    pairs are scored."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cos = F.col("dot") / (F.col("a.norm") * F.col("b.norm"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("dot", _dot(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            duck_round(cos, 4).alias("cos_sim"),
+        )
     )
 
 

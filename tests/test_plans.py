@@ -1,0 +1,90 @@
+"""Physical-plan posture tests (SURVEY.md §4): the scale properties the
+engine claims — pushdown, pruning, broadcast, map-side combine, codegen
+— asserted against the actual Catalyst output so they can't silently
+regress. Correctness tests prove the small-SF answer; these prove the
+plan still holds at 1000 executors."""
+
+from data_lake_staging_engine_spark.plans.inspect import (
+    codegen_ids,
+    join_kinds,
+    partial_aggregation,
+    physical_plan,
+    pushed_filters,
+    read_columns,
+)
+from data_lake_staging_engine_spark.registry import registry
+
+_REG = registry()
+
+
+def _plan(name, spark, sf_dir):
+    return physical_plan(_REG[name].fn(spark, sf_dir))
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan("b02_filter_pred", spark, sf_dir)
+    pf = pushed_filters(plan, "orders")
+    assert "o_totalprice" in pf and "o_orderstatus" in pf, pf
+
+
+def test_column_pruning_flagship(spark, sf_dir):
+    """The flagship Q1-shape agg must read only the 7 columns it uses
+    from 16-column lineitem — at 100 TB this is the difference between
+    scanning 100 TB and scanning ~30 TB."""
+    plan = _plan("b20_agg_groupby", spark, sf_dir)
+    cols = read_columns(plan, "lineitem")
+    assert cols <= {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_shipdate",
+    }, cols
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    """Map-side combine: shuffle volume bounded by group count (6), not
+    row count."""
+    plan = _plan("b20_agg_groupby", spark, sf_dir)
+    assert partial_aggregation(plan), plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """customer |><| nation |><| region must broadcast the dims — no
+    shuffle of the fact side on a dim key."""
+    plan = _plan("b15_join_broadcast", spark, sf_dir)
+    kinds = join_kinds(plan)
+    assert kinds and all(k == "BroadcastHashJoin" for k in kinds), kinds
+
+
+def test_equi_joins_never_cartesian(spark, sf_dir):
+    for name in ("b10_join_inner", "b11_join_left", "b13_join_semi",
+                 "b14_join_anti", "g10_embed_join_docs", "g11_events_user_join"):
+        kinds = join_kinds(_plan(name, spark, sf_dir))
+        assert "CartesianProduct" not in kinds, (name, kinds)
+
+
+def test_scalar_pipeline_single_codegen_stage(spark, sf_dir):
+    """A pure projection pack must stay in ONE whole-stage-codegen span
+    — scan to output without a pipeline break."""
+    plan = _plan("d03_fn_math", spark, sf_dir)
+    assert len(codegen_ids(plan)) == 1, plan
+
+
+def test_dedup_near_is_not_quadratic_join(spark, sf_dir):
+    """g02's small-universe path: the only joins are broadcasts (vocab
+    map, mask pairs) — a SortMergeJoin here would mean the quadratic
+    token self-join came back."""
+    plan = _plan("g02_dedup_near", spark, sf_dir)
+    kinds = join_kinds(plan)
+    assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds, kinds
+
+
+def test_simsearch_broadcasts_queries(spark, sf_dir):
+    """Query vectors broadcast => candidate scan is map-only (no shuffle
+    of the big side)."""
+    plan = _plan("g03_simsearch_topk", spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in join_kinds(plan), join_kinds(plan)
