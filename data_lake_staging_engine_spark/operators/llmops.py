@@ -542,6 +542,84 @@ def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("g03e_simsearch_ivf", oracle=None)  # approximate (nprobe=1) — rows-only
+def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer + inverted lists, nprobe=1.
+
+    Build: per-label mean vectors (the g04 centroids, rebuilt in array
+    form) act as the coarse codebook; every vector is assigned to its
+    nearest centroid (one broadcast join against 10 centroids — map
+    side at any scale). Search: each query vector probes ONLY its own
+    list, so the scored candidate set shrinks by ~the number of lists.
+    Approximate (a true neighbor may live in another list) => rows-only
+    tier; exact twins g03/g03b carry the hash burden.
+
+    100 TB: lists are the partition key — co-locating each list makes
+    the probe a partition-local scan; more lists (a real k-means
+    codebook) and nprobe>1 trade recall for fan-out the same way."""
+    e = load(spark, sf_dir, "embeddings")
+    # codebook: per-label element-wise mean, rebuilt as array<double>
+    cent = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("list_id"), "centroid")
+    )
+    # assign every vector to its nearest centroid (cosine, top-1)
+    scored = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(cent))
+        .withColumn(
+            "cos",
+            _dot(F.col("embedding"), F.col("centroid"))
+            / (
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+            ),
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("list_id"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "vec_id",
+            "embedding",
+            "list_id",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        )
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"), "list_id",
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"), "list_id",
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, "list_id")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn(
+            "cos", _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+        )
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.desc(duck_round("cos", 6)), F.asc("cid"))
+    return (
+        pairs.withColumn("rk", as_long(F.row_number().over(w_rank)))
+        .filter(F.col("rk") <= 5)
+        .select("qid", "cid", as_long(F.col("list_id")).alias("list_id"),
+                duck_round("cos", 4).alias("cos_sim"), "rk")
+    )
+
+
 @query(
     "g04_centroids",
     oracle="""
@@ -565,6 +643,32 @@ def g04_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
+
+@query(
+    "g05b_token_bpe",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def g05b_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split vs a BPE-style
+    pre-tokenizer regex (letter runs | digit runs | single non-alnum),
+    the shape GPT-2-family tokenizers use before merges. The regex is
+    kept POSIX-simple so the Java and RE2 dialects agree. Pure
+    projection — stays in one codegen span at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        as_long(F.size(F.split("text", " "))).alias("n_ws_tokens"),
+        as_long(
+            F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        ).alias("n_bpe_tokens"),
+    )
+
 
 @query(
     "g05_text_tokenize",
