@@ -34,5 +34,9 @@ from data_lake_staging_engine_spark.registry import (  # noqa: F401
     all_queries,
     all_oracles,
 )
+from data_lake_staging_engine_spark.pipeline import (  # noqa: F401
+    Engine,
+    StagingPipeline,
+)
 
 __version__ = "0.1.0"

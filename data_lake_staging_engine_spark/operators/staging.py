@@ -274,35 +274,22 @@ def a13_stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFram
     This is the Spark-native equivalent of the reference's
     S3-event->Lambda->Parquet->Glue loop: the file-source checkpoint
     replaces S3 notifications, foreachBatch replaces the Lambda body,
-    saveAsTable/Glue-catalog replaces the Glue sync call."""
+    saveAsTable/Glue-catalog replaces the Glue sync call. The pipeline
+    object itself is the public ``pipeline.StagingPipeline``; this query
+    drives it end-to-end under the oracle check."""
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
     from data_lake_staging_engine_spark.streaming.runner import landing_copy
 
     landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
-    staged = _tmpdir("staged13")
-    checkpoint = _tmpdir("ckpt13")
-    cat = SessionCatalogSync()
-
-    def stage_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = derive_date_partitions(normalize_columns(batch_df))
-        (
-            out.write.mode("append")
-            .partitionBy("year", "month", "day")
-            .parquet(staged)
-        )
-
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(landing)
-        .writeStream.foreachBatch(stage_batch)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=_tmpdir("staged13"),
+        checkpoint_dir=_tmpdir("ckpt13"),
+        table="staged_events_stream",
+        schema=schema,
     )
-    stream.awaitTermination(120)
-    # catalog-sync the staged location and read back by name
-    staged_df = spark.read.parquet(staged)
-    cat.sync_table(staged_df, "staged_events_stream")
-    back = cat.read_table(spark, "staged_events_stream")
+    back = pipe.run_available_now(timeout_s=120)
     return back.select(
         "event_id",
         "user_id",

@@ -1,0 +1,156 @@
+"""User-facing engine facade.
+
+``Engine`` is the session-level entry point a user of the reference
+project would reach for: load/register the staged tables, run SQL or
+any named query from the registry, and construct staging pipelines.
+
+``StagingPipeline`` is the reference's ingestion loop as a reusable
+object (SURVEY.md §3.2 EP1): a landing directory is drained by a
+Structured Streaming file source (the S3-notification replacement),
+each micro-batch is normalized/cast/partition-derived and appended to a
+date-partitioned Parquet prefix (the Lambda-body replacement), and the
+result is synced to a catalog (the Glue-sync replacement). Running with
+``Trigger.AvailableNow`` makes the drain batch-deterministic; running
+with ``start()`` leaves a continuous micro-batch loop. The registered
+query ``a13_stream_ingest_foreachbatch`` is this pipeline driven
+end-to-end under the driver's oracle check.
+
+At cluster scale nothing here changes: the file-source checkpoint
+tracks S3 listings, the partitioned append is executor-parallel, and
+the catalog sync is a driver-side metadata call per batch.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from data_lake_staging_engine_spark.catalog import CatalogSync, SessionCatalogSync
+from data_lake_staging_engine_spark.operators.staging import (
+    derive_date_partitions,
+    normalize_columns,
+)
+from data_lake_staging_engine_spark.registry import registry
+from data_lake_staging_engine_spark.session import DEFAULT_SF_DIR, get_spark, tune_session
+from data_lake_staging_engine_spark.sources import TABLES, load, register_views
+
+
+class StagingPipeline:
+    """landing dir -> readStream -> transform -> partitioned parquet +
+    catalog sync."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        landing_dir: str,
+        staged_dir: str,
+        checkpoint_dir: str,
+        table: str,
+        schema: StructType,
+        fmt: str = "parquet",
+        ts_col: str = "ts",
+        partition_cols: tuple[str, ...] = ("year", "month", "day"),
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        catalog: CatalogSync | None = None,
+    ) -> None:
+        self.spark = spark
+        self.landing_dir = landing_dir
+        self.staged_dir = staged_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.table = table
+        self.schema = schema
+        self.fmt = fmt
+        self.ts_col = ts_col
+        self.partition_cols = partition_cols
+        self.transform = transform or self._default_transform
+        self.catalog = catalog or SessionCatalogSync()
+
+    def _default_transform(self, df: DataFrame) -> DataFrame:
+        return derive_date_partitions(normalize_columns(df), self.ts_col)
+
+    def _reader(self):
+        r = self.spark.readStream.schema(self.schema)
+        if self.fmt == "parquet":
+            return r.parquet(self.landing_dir)
+        if self.fmt == "json":
+            return r.json(self.landing_dir)
+        if self.fmt == "csv":
+            return r.option("header", True).csv(self.landing_dir)
+        raise ValueError(f"unsupported landing format {self.fmt!r}")
+
+    def _stage_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        out = self.transform(batch_df)
+        (
+            out.write.mode("append")
+            .partitionBy(*self.partition_cols)
+            .parquet(self.staged_dir)
+        )
+
+    def _writer(self):
+        return (
+            self._reader()
+            .writeStream.foreachBatch(self._stage_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+
+    def run_available_now(self, timeout_s: int = 300) -> DataFrame:
+        """Drain everything currently in the landing dir (deterministic,
+        batch-equivalent), sync the catalog, return the staged table."""
+        q = self._writer().trigger(availableNow=True).start()
+        q.awaitTermination(timeout_s)
+        return self.sync()
+
+    def start(self):
+        """Continuous micro-batch ingestion; returns the StreamingQuery.
+        Call ``sync()`` after (or from a scheduler) to refresh the
+        catalog entry."""
+        return self._writer().start()
+
+    def sync(self) -> DataFrame:
+        staged = self.spark.read.parquet(self.staged_dir)
+        self.catalog.sync_table(staged, self.table, list(self.partition_cols))
+        return self.catalog.read_table(self.spark, self.table)
+
+
+class Engine:
+    """Session-level facade over the whole surface.
+
+    >>> eng = Engine(data_dir="/root/testdata/sf0.01")
+    >>> eng.sql("SELECT COUNT(*) FROM lineitem").show()
+    >>> eng.query("b20_agg_groupby").show()
+    >>> pipe = eng.staging_pipeline(landing, staged, ckpt, "events_staged", schema)
+    """
+
+    def __init__(
+        self, spark: SparkSession | None = None, data_dir: str = DEFAULT_SF_DIR
+    ) -> None:
+        self.spark = tune_session(spark) if spark is not None else get_spark()
+        self.data_dir = data_dir
+        self._views_registered = False
+
+    # -- query surface ----------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return load(self.spark, self.data_dir, name)
+
+    def register_views(self) -> None:
+        register_views(self.spark, self.data_dir, *TABLES)
+        self._views_registered = True
+
+    def sql(self, statement: str) -> DataFrame:
+        if not self._views_registered:
+            self.register_views()
+        return self.spark.sql(statement)
+
+    def query(self, name: str) -> DataFrame:
+        """Run a named query from the registry (SURVEY.md §2)."""
+        return registry()[name].fn(self.spark, self.data_dir)
+
+    @staticmethod
+    def query_names() -> list[str]:
+        return sorted(registry())
+
+    # -- staging surface --------------------------------------------------
+    def staging_pipeline(self, *args, **kwargs) -> StagingPipeline:
+        return StagingPipeline(self.spark, *args, **kwargs)

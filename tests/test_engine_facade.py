@@ -1,0 +1,72 @@
+"""The public Engine/StagingPipeline facade — what a user of the
+reference project actually calls after switching."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from data_lake_staging_engine_spark.pipeline import Engine, StagingPipeline
+from data_lake_staging_engine_spark.streaming.runner import landing_copy
+
+
+def test_engine_sql_and_named_queries(spark, sf_dir):
+    eng = Engine(spark=spark, data_dir=sf_dir)
+    n_sql = eng.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0].n
+    n_df = eng.table("lineitem").count()
+    assert n_sql == n_df > 0
+    flagship = eng.query("b20_agg_groupby")
+    assert flagship.count() > 0
+    assert "b20_agg_groupby" in Engine.query_names()
+
+
+def test_staging_pipeline_availablenow_equals_batch(spark, sf_dir):
+    """The pipeline's streamed+staged output must equal the batch
+    transform of the same landing data (the Structured Streaming
+    correctness property), including the derived partition columns."""
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=3)
+    base = tempfile.mkdtemp(prefix="pipe_test_")
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=os.path.join(base, "staged"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        table="pipe_test_events",
+        schema=schema,
+    )
+    staged = pipe.run_available_now(timeout_s=120)
+    batch = (
+        spark.read.schema(schema)
+        .parquet(landing)
+        .withColumn("year", F.year("ts"))
+        .withColumn("month", F.month("ts"))
+        .withColumn("day", F.dayofmonth("ts"))
+    )
+    assert staged.count() == batch.count()
+    got = {
+        tuple(r)
+        for r in staged.select("event_id", "year", "month", "day").collect()
+    }
+    want = {
+        tuple(r)
+        for r in batch.select("event_id", "year", "month", "day").collect()
+    }
+    assert got == want
+
+
+def test_staging_pipeline_is_incremental(spark, sf_dir):
+    """A second AvailableNow run with no new landing files appends
+    nothing — the checkpoint makes ingestion exactly-once per file."""
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=2)
+    base = tempfile.mkdtemp(prefix="pipe_incr_")
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=os.path.join(base, "staged"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        table="pipe_incr_events",
+        schema=schema,
+    )
+    n1 = pipe.run_available_now(timeout_s=120).count()
+    n2 = pipe.run_available_now(timeout_s=120).count()
+    assert n1 == n2
