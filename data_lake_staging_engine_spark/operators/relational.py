@@ -591,6 +591,48 @@ def b30_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b31_agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def b31_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys, result identical
+    to a plain GROUP BY (the oracle proves it).
+
+    ``events.event_type`` has a handful of values over 100k+ rows — the
+    worst-case skew shape: a plain groupBy sends each key's entire
+    volume to ONE reducer. Salting splits every key into 32 subkeys
+    (deterministic hash of the row id), aggregates partials per
+    (key, salt), then combines the 32 partials per key — reducer fan-in
+    drops from O(rows-per-key) to 32, at the cost of one extra (tiny)
+    shuffle. Decimal partials keep the two-phase sum bit-equal to the
+    one-phase oracle sum regardless of combine order.
+
+    Spark's map-side partial aggregation + AQE skew handling cover most
+    real cases; explicit salting is the technique for when a single
+    reduce key still exceeds an executor (100 TB posture)."""
+    e = load(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(32)).alias("salt")
+    partial = (
+        e.select("event_type", salt, "value")
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        duck_round(F.sum("pv").cast("double"), 2).alias("total_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / top-k
 # --------------------------------------------------------------------------

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -298,6 +299,83 @@ def a13_stream_ingest_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFram
         as_long(F.col("year")).alias("year"),
         as_long(F.col("month")).alias("month"),
         as_long(F.col("day")).alias("day"),
+    )
+
+
+@query(
+    "a15_bucketed_join",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_price
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def a15_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: both sides written with
+    ``bucketBy(8, join_key)`` so the join needs NO shuffle exchange —
+    bucket files are already hash-partitioned identically on disk.
+
+    At 100 TB this is THE lever for repeated fact-dim joins on the same
+    key: pay the shuffle once at staging time, never at query time
+    (`tests/test_plans.py` asserts the exchange-free plan). The merge
+    hint pins SortMergeJoin so the demonstration doesn't degenerate to
+    a broadcast at test scale."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    for df, table, key in (
+        (cust, "bkt_customer", "c_custkey"),
+        (orders, "bkt_orders", "o_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        path = os.path.join(warehouse.removeprefix("file:"), table)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(table)
+        )
+    c = spark.table("bkt_customer").hint("merge")
+    o = spark.table("bkt_orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dec_sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "a16_partition_pruned_scan",
+    oracle="""
+    SELECT day(ts) AS day, COUNT(*) AS n
+    FROM events
+    WHERE day(ts) <= 7
+    GROUP BY 1
+    """,
+)
+def a16_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition pruning over the staged layout: a day filter on the
+    date-partitioned sink must touch only matching directories — the
+    scan's PartitionFilters prune ~3/4 of the fixture's 30 day-dirs
+    before any file is opened (`tests/test_plans.py` asserts it). This
+    is why the staging layout derives date partitions at ingest: at
+    100 TB a one-week query reads one week, not the lake."""
+    staged = _tmpdir("staged16")
+    e = derive_date_partitions(load(spark, sf_dir, "events"))
+    e.write.mode("overwrite").partitionBy("year", "month", "day").parquet(staged)
+    back = spark.read.parquet(staged)
+    return (
+        back.filter(F.col("day") <= 7)
+        .groupBy(as_long(F.col("day")).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

@@ -83,6 +83,31 @@ def test_dedup_near_is_not_quadratic_join(spark, sf_dir):
     assert "SortMergeJoin" not in kinds and "CartesianProduct" not in kinds, kinds
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """a15: both sides bucketed on the join key => SortMergeJoin with
+    NO shuffle exchange feeding it — the staged-once/joined-many lever."""
+    plan = _plan("a15_bucketed_join", spark, sf_dir)
+    assert "SortMergeJoin" in join_kinds(plan), join_kinds(plan)
+    join_part = plan.split("SortMergeJoin")[0]
+    assert "Exchange hashpartitioning" not in join_part, plan
+
+
+def test_partition_pruning_on_staged_layout(spark, sf_dir):
+    """a16: the day filter must land in PartitionFilters (pruned before
+    file listing), not in the data filter."""
+    plan = _plan("a16_partition_pruned_scan", spark, sf_dir)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day" in m.group(1), plan
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    """b31 must aggregate in two keyed phases (salted then combined)."""
+    plan = _plan("b31_agg_salted_skew", spark, sf_dir)
+    assert plan.count("HashAggregate") >= 3, plan  # partial+final x2 phases
+
+
 def test_simsearch_broadcasts_queries(spark, sf_dir):
     """Query vectors broadcast => candidate scan is map-only (no shuffle
     of the big side)."""
