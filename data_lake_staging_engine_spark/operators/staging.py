@@ -198,10 +198,21 @@ def a08_quality_nullcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a09_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write the date-partitioned staging layout, then read it back and
     count per partition — verifies the physical sink + partition
-    discovery. Partition values come back as directory-derived ints."""
+    discovery. Partition values come back as directory-derived ints.
+
+    The pre-write ``repartition(partition_cols)`` co-locates each
+    output partition in one task: one file per (y,m,d) dir instead of
+    tasks x dirs small files — at 100 TB the difference between a
+    healthy layout and a file-count explosion (pair with a10
+    compaction for size targets)."""
     staged = _tmpdir("staged")
     e = derive_date_partitions(load(spark, sf_dir, "events"))
-    e.write.mode("overwrite").partitionBy("year", "month", "day").parquet(staged)
+    (
+        e.repartition("year", "month", "day")
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .parquet(staged)
+    )
     back = spark.read.parquet(staged)
     return back.groupBy(
         as_long(F.col("year")).alias("year"),
@@ -370,12 +381,53 @@ def a16_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB a one-week query reads one week, not the lake."""
     staged = _tmpdir("staged16")
     e = derive_date_partitions(load(spark, sf_dir, "events"))
-    e.write.mode("overwrite").partitionBy("year", "month", "day").parquet(staged)
+    (
+        e.repartition("year", "month", "day")
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day")
+        .parquet(staged)
+    )
     back = spark.read.parquet(staged)
     return (
         back.filter(F.col("day") <= 7)
         .groupBy(as_long(F.col("day")).alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "a17_dynamic_partition_overwrite",
+    oracle="""
+    SELECT day(ts) AS day, COUNT(*) AS n
+    FROM events
+    WHERE NOT (day(ts) = 5 AND event_type = 'click')
+    GROUP BY 1
+    """,
+)
+def a17_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reprocess one partition in place: dynamic partition overwrite
+    replaces ONLY the partitions present in the incoming write, leaving
+    the rest of the table untouched.
+
+    Scenario: the staged layout holds a month of day-partitioned
+    events; a quality fix (drop 'click' rows) must be re-applied to
+    day 5 only. With ``partitionOverwriteMode=dynamic`` the corrected
+    day-5 frame overwrites exactly the day=5 directory — the idempotent
+    backfill/reprocess primitive every event-driven lake needs (static
+    overwrite mode would wipe the other 29 days)."""
+    staged = _tmpdir("staged17")
+    e = derive_date_partitions(load(spark, sf_dir, "events"))
+    e.write.mode("overwrite").partitionBy("year", "month", "day").parquet(staged)
+    fixed_day5 = e.filter((F.col("day") == 5) & (F.col("event_type") != "click"))
+    (
+        fixed_day5.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year", "month", "day")
+        .parquet(staged)
+    )
+    back = spark.read.parquet(staged)
+    return back.groupBy(as_long(F.col("day")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
     )
 
 

@@ -82,8 +82,11 @@ class StagingPipeline:
 
     def _stage_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         out = self.transform(batch_df)
+        # one task per output partition dir => one file per partition per
+        # micro-batch, not tasks x dirs (the small-files guard)
         (
-            out.write.mode("append")
+            out.repartition(*self.partition_cols)
+            .write.mode("append")
             .partitionBy(*self.partition_cols)
             .parquet(self.staged_dir)
         )

@@ -288,3 +288,84 @@ def e07_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(len(batches), int(counts["total"]))], "n_batches bigint, n_rows bigint"
     )
+
+
+@query(
+    "e08_stream_stream_join",
+    oracle="""
+    SELECT e1.event_id AS signup_id, e1.user_id,
+           e2.event_id AS follow_id, e2.event_type AS follow_type
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e1.event_type = 'signup'
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    """,
+)
+def e08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks + a time-range bound —
+    the b17 interval-join semantics incrementalized.
+
+    Both sides carry a watermark and the join condition bounds e2.ts to
+    (e1.ts, e1.ts+10min], so Spark can expire buffered state: each
+    side's join state holds at most watermark+10min of data per user —
+    the property that makes an unbounded two-stream join runnable
+    forever at scale. AvailableNow drain => equals the batch/oracle
+    result."""
+    s1 = _events_stream(spark, sf_dir)
+    s2 = _events_stream(spark, sf_dir)
+    e1 = (
+        s1.filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("ts1"),
+        )
+    )
+    e2 = s2.withWatermark("ts", "1 hour").select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id").alias("user_id2"),
+        F.col("event_type").alias("follow_type"),
+        F.col("ts").alias("ts2"),
+    )
+    joined = e1.join(
+        e2,
+        (F.col("user_id") == F.col("user_id2"))
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("signup_id", "user_id", "follow_id", "follow_type")
+    return run_to_memory(joined, spark, "append")
+
+
+@query(
+    "e09_stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment, COUNT(*) AS n, {_DEC_SUM_ORACLE} AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def e09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static (stream-to-dimension) join + aggregation: the
+    enrich-then-aggregate shape of a production staging flow. The
+    static dim is broadcast into every micro-batch — no streaming state
+    for the join itself, only for the aggregation."""
+    from data_lake_staging_engine_spark.sources import load
+
+    s = _events_stream(spark, sf_dir)
+    dim = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    agg = (
+        s.join(dim, s["user_id"] == dim["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            duck_round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+    return run_to_memory(agg, spark, "complete")
