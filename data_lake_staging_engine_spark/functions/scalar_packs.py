@@ -244,3 +244,26 @@ def d08_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_tag"
         ),
     )
+
+
+@query(
+    "d09_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+           json_extract_string(props, '$.k') AS k_string
+    FROM events
+    """,
+)
+def d09_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT type: parse_json into the binary semi-structured
+    encoding, then typed path extraction with variant_get — the
+    shred-on-read JSON path a lakehouse staging layer uses when the
+    payload schema is open-ended (vs d07's schema-ful from_json)."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_variant"),
+        F.variant_get(v, "$.k", "string").alias("k_string"),
+    )

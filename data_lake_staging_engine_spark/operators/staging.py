@@ -431,6 +431,46 @@ def a17_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@query(
+    "a18_python_datasource",
+    oracle="""
+    WITH feed AS (SELECT i AS txn_id, CAST(i % 10 AS INT) AS bucket,
+                         (i * 7919 % 10000) / 100.0 AS amount
+                  FROM generate_series(0, 9999) t(i))
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(amount AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_amount
+    FROM feed GROUP BY bucket
+    """,
+)
+def a18_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 Python DataSource API
+    (sources/custom.py): a deterministic synthetic ledger feed planned
+    as 8 executor-side partitions, aggregated per bucket. The generator
+    is seeded integer arithmetic, so DuckDB reproduces the identical
+    rows from generate_series and the full connector path (partition
+    planning -> per-partition read -> Arrow batches -> agg) is
+    hash-verified."""
+    from data_lake_staging_engine_spark.sources.custom import (
+        build_synthetic_ledger_datasource,
+    )
+
+    try:
+        spark.dataSource.register(build_synthetic_ledger_datasource())
+    except Exception:
+        pass  # already registered in this session
+    feed = (
+        spark.read.format("synthetic_ledger")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return feed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("amount").alias("total_amount"),
+    )
+
+
 @query("a14_bad_records", oracle=None)  # JSON corruption handling — rows-only tier
 def a14_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-record quarantine: PERMISSIVE ingest with

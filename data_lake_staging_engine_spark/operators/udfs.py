@@ -53,15 +53,26 @@ _BAND_ORACLE = """
 """
 
 
-def _band(p: float) -> str:
-    return "high" if p > 250000 else ("mid" if p > 100000 else "low")
+# Executor-shipped functions are defined INSIDE each query function:
+# cloudpickle serializes module-level functions by reference, so a
+# closure over one would require this package on every executor's
+# PYTHONPATH — which a driver that merely sys.path-hacks its own
+# process does not provide (verified failure mode: ModuleNotFoundError
+# from the Python worker). Function-scoped defs pickle by value.
+
+
+def _make_band():
+    def band(p: float) -> str:
+        return "high" if p > 250000 else ("mid" if p > 100000 else "low")
+
+    return band
 
 
 @query("f01_udf_python", oracle=_BAND_ORACLE)
 def f01_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time Python UDF (pickled rows — the slow path, kept as
     the API-compatibility baseline; see f07 for the Arrow twin)."""
-    band = F.udf(_band, StringType())
+    band = F.udf(_make_band(), StringType())
     o = load(spark, sf_dir, "orders")
     return o.select("o_orderkey", band("o_totalprice").alias("band"))
 
@@ -70,7 +81,7 @@ def f01_udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 def f07_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same logic as f01 through the Arrow-optimized UDF path
     (useArrow=True): columnar transfer, no per-row pickling."""
-    band = F.udf(_band, StringType(), useArrow=True)
+    band = F.udf(_make_band(), StringType(), useArrow=True)
     o = load(spark, sf_dir, "orders")
     return o.select("o_orderkey", band("o_totalprice").alias("band"))
 
@@ -136,7 +147,10 @@ def f03_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         k = len(vals) // 10
         mid = vals[k : len(vals) - k]
         cents = sum(int(math.floor(abs(x) * 100.0 + 0.5)) for x in mid)
-        return _pyduck_round((cents / 100.0) / len(mid), 4)
+        # inline duck-round (self-contained for executor pickling)
+        x = (cents / 100.0) / len(mid)
+        mag = math.floor(abs(x) * 1e4 + 0.5) / 1e4
+        return -mag if x < 0 else mag
 
     _trimmed_mean.__annotations__ = {"v": pd.Series, "return": float}
     trimmed_mean = F.pandas_udf(DoubleType())(_trimmed_mean)
@@ -261,20 +275,25 @@ MULTIMODAL_FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_payload(payload: bytes, modality: str):
-    """Decode an opaque binary payload into a feature array.
+def make_decoder():
+    """Build the payload decoder shipped to executors (pickle-by-value;
+    see _make_band note).
 
     STUB: real image/audio decoding (PIL/librosa/ffmpeg) is not
     available in this environment. The Spark-side plumbing — schema,
     Arrow batch shape, partitioning — is real; the codec is a
     deterministic fake (byte histogram) so the pipeline is testable
-    end-to-end. Swap this single function for the real decoder."""
-    if modality not in ("text", "image", "audio", "video"):
-        raise NotImplementedError(f"unknown modality: {modality}")
-    hist = [0] * 16
-    for b in payload:
-        hist[b & 0x0F] += 1
-    return hist
+    end-to-end. Swap this factory's body for the real decoder."""
+
+    def decode_payload(payload: bytes, modality: str):
+        if modality not in ("text", "image", "audio", "video"):
+            raise NotImplementedError(f"unknown modality: {modality}")
+        hist = [0] * 16
+        for b in payload:
+            hist[b & 0x0F] += 1
+        return hist
+
+    return decode_payload
 
 
 @query("f08_multimodal_decode", oracle=None)  # stubbed codec — rows-only tier
@@ -289,6 +308,7 @@ def f08_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
+    decode_payload = make_decoder()
 
     def extract(batches):
         for pdf in batches:

@@ -369,3 +369,92 @@ def e09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory(agg, spark, "complete")
+
+
+def _tws_supported() -> bool:
+    """Spark 4's transformWithStateInPandas runs a driver-side state
+    server whose Python worker imports google.protobuf; in environments
+    without protobuf the worker crashes at startup
+    (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — reproduced here).
+    Gate the query registration on the dependency so ``queries()`` only
+    declares what the runtime can actually execute; e06 carries the
+    custom-stateful-operator coverage either way."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _e10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e06's semantics on Spark 4's transformWithStateInPandas — the
+    successor stateful API: named state variables on a handle
+    (ValueState here; List/MapState and timers available), RocksDB-
+    backed per key at scale. Spend accumulates in integer cents inside
+    the state, so the emitted total is exact and equals the decimal-sum
+    oracle."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class SpendTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("spend", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    sum(math.floor(abs(v) * 100.0 + 0.5) for v in pdf["value"])
+                )
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_spend": [cents / 100.0],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState requires the RocksDB state store (the default
+    # HDFS-backed provider is unsupported for this operator)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = _events_stream(spark, sf_dir, n_files=1)
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            SpendTracker(),
+            outputStructType="user_id BIGINT, n_events BIGINT, total_spend DOUBLE",
+            outputMode="Update",
+            timeMode="None",
+        )
+        return run_to_memory(out, spark, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+if _tws_supported():  # pragma: no cover - env-dependent registration
+    query(
+        "e10_transform_with_state",
+        oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend
+        FROM events GROUP BY user_id
+        """,
+    )(_e10_transform_with_state)
