@@ -37,7 +37,10 @@ HEADLINE = [
     "g05_text_tokenize",        # tokenization
     "g07_text_tfidf",           # tf-idf pipeline
     "a09_sink_parquet_partitioned",  # partitioned staging sink
+    "a15_bucketed_join",        # co-located bucketed join (no shuffle)
     "e01_stream_tumbling",      # streaming tumbling agg (AvailableNow)
+    "e08_stream_stream_join",   # watermarked stream-stream interval join
+    "g02d_dedup_ngram",         # char 3-gram shingle jaccard
 ]
 
 

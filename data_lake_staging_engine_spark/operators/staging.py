@@ -471,6 +471,81 @@ def a18_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a19_stream_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def a19_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert (CDC-style merge) via foreachBatch: a
+    multi-batch replay maintains a 'current state per user' table —
+    each micro-batch's latest row per key replaces that key's previous
+    state (read current + union batch + keep-latest + atomic swap).
+
+    Equals the batch keep-latest dedup (a07 semantics) regardless of
+    how files were split into micro-batches — the exactly-once upsert
+    argument. At warehouse scale the read-modify-write swap is what
+    MERGE INTO does on a transactional table format (Delta/Iceberg);
+    on plain parquet the atomic-directory-swap here is the idempotent
+    equivalent. Tie-break (ts, event_id) keeps replays deterministic."""
+    landing_dir, schema = None, None
+    from data_lake_staging_engine_spark.streaming.runner import landing_copy
+
+    landing_dir, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    state_dir = _tmpdir("upsert_state")
+    checkpoint = _tmpdir("ckpt19")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        batch_latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        current_path = os.path.join(state_dir, "current")
+        if os.path.isdir(current_path):
+            current = spark.read.schema(batch_df.schema).parquet(current_path)
+            merged = (
+                current.unionByName(batch_latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = batch_latest
+        next_path = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(next_path)
+        # atomic-swap the 'current' pointer (rename is atomic per-dir)
+        tmp_old = os.path.join(state_dir, f"old{batch_id}")
+        if os.path.isdir(current_path):
+            os.rename(current_path, tmp_old)
+        os.rename(next_path, current_path)
+        shutil.rmtree(tmp_old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination(180)
+    final = spark.read.schema(schema).parquet(os.path.join(state_dir, "current"))
+    return final.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+    )
+
+
 @query("a14_bad_records", oracle=None)  # JSON corruption handling — rows-only tier
 def a14_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-record quarantine: PERMISSIVE ingest with
