@@ -633,6 +633,85 @@ def b31_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "b32_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def b32_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per priority with one column
+    per status. Explicit pivot values keep the plan single-pass (no
+    distinct-values pre-query) and the output schema static — required
+    at scale AND for schema-stable verification. Absent cells are
+    coalesced to 0 to match SQL's FILTER counts."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(f"{s.lower()}_cnt")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@query(
+    "b33_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+    FROM part
+    """,
+)
+def b33_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): numeric part attributes to
+    (key, metric, value) rows — the normalization step feeding
+    metric-generic pipelines. Pure narrow transform (each input row
+    emits its melted rows map-side; no shuffle)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@query(
+    "b34_sample_systematic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+    """,
+)
+def b34_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% systematic sample: keep rows whose key-digest
+    prefix falls under the cut ('1a' hex = 26/256 ~ 10.2%). Unlike
+    TABLESAMPLE/rand(), the digest rule is engine- and run-stable
+    (md5 hex compares identically everywhere), reproducible at any
+    scale, and trivially stratifiable by switching the hashed key —
+    the data-selection primitive for training-corpus subsampling."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    return o.filter(bucket < "1a").select("o_orderkey", "o_totalprice")
+
+
 # --------------------------------------------------------------------------
 # Sort / top-k
 # --------------------------------------------------------------------------

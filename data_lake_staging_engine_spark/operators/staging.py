@@ -37,7 +37,11 @@ from pyspark.sql.types import (
 )
 
 from data_lake_staging_engine_spark.catalog import SessionCatalogSync
-from data_lake_staging_engine_spark.functions.determinism import as_long, dec_sum
+from data_lake_staging_engine_spark.functions.determinism import (
+    as_long,
+    dec_sum,
+    duck_round,
+)
 from data_lake_staging_engine_spark.registry import query
 from data_lake_staging_engine_spark.sources import load
 from data_lake_staging_engine_spark.sources.incremental import IncrementalLoader
@@ -543,6 +547,43 @@ def a19_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id").alias("last_event_id"),
         F.col("event_type").alias("last_event_type"),
+    )
+
+
+@query(
+    "a20_observed_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(value) AS BIGINT) AS null_values,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events
+    """,
+)
+def a20_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight data-quality metrics via the Observation API: the
+    ingest scan carries observe() accumulators (row count, null count,
+    decimal total), collected as a side effect of the pass the pipeline
+    already makes — no second scan. This is how a staging flow emits
+    per-batch quality telemetry at 100 TB without re-reading; the same
+    observe() attaches to StagingPipeline micro-batches."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_quality")
+    e = load(spark, sf_dir, "events")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_values"),
+        duck_round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("total_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the ingest pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["null_values"], m["total_value"])],
+        "n_rows bigint, null_values bigint, total_value double",
     )
 
 
