@@ -587,6 +587,34 @@ def a20_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "a21_schema_evolution",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+    FROM events
+    """,
+)
+def a21_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the staged layout: an old batch written
+    WITHOUT a column and a new batch written WITH it are read back as
+    one table via ``mergeSchema`` — the old rows surface NULL for the
+    added column. This is the additive-evolution contract a staging
+    layer must honor when upstream feeds grow fields (the
+    inferred-then-pinned model of SURVEY §1.1: new columns append to
+    the pinned schema; they never rewrite history)."""
+    staged = _tmpdir("staged21")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    old_batch = e.filter(F.col("event_id") % 2 == 0).drop("event_type")
+    new_batch = e.filter(F.col("event_id") % 2 == 1)
+    old_batch.write.mode("append").parquet(staged)
+    new_batch.write.mode("append").parquet(staged)
+    back = spark.read.option("mergeSchema", "true").parquet(staged)
+    return back.select("event_id", "user_id", "value", "event_type")
+
+
 @query("a14_bad_records", oracle=None)  # JSON corruption handling — rows-only tier
 def a14_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-record quarantine: PERMISSIVE ingest with

@@ -311,9 +311,12 @@ def e08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side's join state holds at most watermark+10min of data per user —
     the property that makes an unbounded two-stream join runnable
     forever at scale. AvailableNow drain => equals the batch/oracle
-    result."""
-    s1 = _events_stream(spark, sf_dir)
-    s2 = _events_stream(spark, sf_dir)
+    result. Both stream readers share one landing copy (two
+    independent readStream sources over the same dir, as production
+    dual-readers of one bucket would)."""
+    landing, schema = landing_copy(spark, sf_dir, "events")
+    s1 = spark.readStream.schema(schema).parquet(landing)
+    s2 = spark.readStream.schema(schema).parquet(landing)
     e1 = (
         s1.filter(F.col("event_type") == "signup")
         .withWatermark("ts", "1 hour")

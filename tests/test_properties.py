@@ -60,3 +60,42 @@ def test_jaccard_symmetry_and_bounds(tokens):
     jba = shared / (len(b) + len(a) - shared)
     assert jab == jba
     assert 0.0 <= jab <= 1.0
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.frozensets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([0.5, 0.7, 0.8, 0.9]),
+)
+def test_prefix_filter_lemma(sets, t):
+    """The AllPairs prefix-filtering principle behind _g02_token_join:
+    with tokens in a global total order, any pair with Jaccard >= t
+    shares a token within each side's first n - ceil(t*n) + 1 tokens.
+    A counterexample here would mean the Spark candidate join can MISS
+    qualifying pairs (a correctness bug, not a perf bug)."""
+    import math as m
+
+    # global order: by ascending frequency then token (as in the impl)
+    freq = {}
+    for s in sets:
+        for tok in s:
+            freq[tok] = freq.get(tok, 0) + 1
+    order = {tok: (freq[tok], tok) for tok in freq}
+
+    def prefix(s):
+        n = len(s)
+        p = n - m.ceil(t * n) + 1
+        return set(sorted(s, key=lambda x: order[x])[:p])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= t:
+                assert prefix(a) & prefix(b), (
+                    f"prefix filter would miss pair with jaccard {jac}: {a} {b}"
+                )
