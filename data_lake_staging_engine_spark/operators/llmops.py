@@ -1041,3 +1041,49 @@ def g11_events_user_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum("value").alias("total_value"),
         )
     )
+
+
+@query(
+    "g12_contamination",
+    oracle="""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+                   FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         nd AS (SELECT d1, d2
+                FROM pairs
+                JOIN sizes s1 ON d1 = s1.doc_id
+                JOIN sizes s2 ON d2 = s2.doc_id
+                WHERE shared * 1.0 / (s1.n + s2.n - shared) >= 0.8)
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_neardup_pairs
+    FROM nd
+    JOIN documents da ON nd.d1 = da.doc_id
+    JOIN documents db ON nd.d2 = db.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def g12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination report: near-duplicate pair counts
+    per (source, source) bucket — the train/eval leakage check a
+    corpus pipeline runs before splitting by source. Reuses the exact
+    Jaccard pair machinery (bitmap strategy) and joins pair endpoints
+    back to their source labels; source pair is canonicalized
+    least/greatest so the report is orientation-free."""
+    d = load(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(_tokens(d), threshold=0.8)
+    src = d.select("doc_id", "source")
+    s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
+    s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
+    return (
+        pairs.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .groupBy(
+            F.least("src1", "src2").alias("source_a"),
+            F.greatest("src1", "src2").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+    )

@@ -179,3 +179,50 @@ def c06_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_et"),
         F.last("event_type").over(w).alias("last_et"),
     ).distinct()
+
+
+@query(
+    "c07_gapfill",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                           date_trunc('hour', MAX(ts)) AS hi FROM events),
+         hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                   FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM events),
+         grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+         agg AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2)
+    SELECT h, event_type, COALESCE(n, 0) AS n
+    FROM grid LEFT JOIN agg USING (h, event_type)
+    """,
+)
+def c07_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: the dense (hour x event_type) grid with
+    zero-filled empty buckets (215 of 3600 cells at sf0.01) — the
+    resample step dashboards and training-data time features need,
+    since a plain groupBy silently drops empty buckets.
+
+    Grid construction is sequence() over the global [min,max] hour
+    bounds (one tiny agg) cross-joined with the distinct keys, then a
+    left join back to the aggregated counts — grid side is broadcast;
+    the only big-data pass is the original aggregation."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(hours.crossJoin(types))
+    return grid.join(agg, ["h", "event_type"], "left").select(
+        "h", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
+    )
