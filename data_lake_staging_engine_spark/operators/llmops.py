@@ -85,24 +85,13 @@ def g01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact token-set Jaccard >= 0.8.
 
-    Exact correctness anchor for g02b's MinHash-LSH. Two physical
-    strategies behind the same semantics, selected by vocabulary size
-    (one cheap count job):
-
-    - **Small-universe bitmask path** (vocab <= 62): each doc's token
-      set becomes one long via ``bit_or(1 << token_id)``; Jaccard is
-      ``bit_count(m1 & m2) / bit_count(m1 | m2)`` — exact integer
-      arithmetic. All-pairs runs over *distinct masks* only (bounded by
-      min(2^vocab, #docs), observed ~4k at sf0.1 vs a ~500M-row token
-      self-join), broadcast both sides, then doc pairs are enumerated by
-      two broadcast joins back to the per-doc masks. Output-bound, no
-      quadratic shuffle.
-    - **Token-join fallback** (large vocab): shared-token equi-join +
-      |intersection|/|union| — shuffles on the token key; for real
-      corpora the scale path is g02b's MinHash-LSH banding.
-
-    Both paths compute shared/union on exact ints then one double
-    divide, so results are bit-identical to the DuckDB oracle."""
+    Exact correctness anchor for g02b's MinHash-LSH. Routed through
+    ``_jaccard_pairs``: small universes (vocab <= 1024) take the
+    multi-word bitmap strategy (popcount arithmetic over distinct
+    bitmaps, pure codegen), open universes take the prefix-filtered
+    token join. Both paths compute shared/union on exact ints then one
+    double divide, so results are bit-identical to the DuckDB oracle;
+    see the strategy docstrings below for the scale analysis."""
     d = load(spark, sf_dir, "documents")
     return _jaccard_pairs(_tokens(d), threshold=0.8)
 

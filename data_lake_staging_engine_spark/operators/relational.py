@@ -712,6 +712,56 @@ def b34_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(bucket < "1a").select("o_orderkey", "o_totalprice")
 
 
+@query(
+    "b35_join_salted_skew",
+    oracle="""
+    WITH dim AS (SELECT DISTINCT event_type,
+                        upper(event_type) AS type_label
+                 FROM events)
+    SELECT e.event_type, d.type_label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY 1, 2
+    """,
+)
+def b35_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join for skewed keys: the fact side joins a tiny dim on
+    ``event_type`` — a handful of values over 100k+ rows, the shape
+    where a shuffle join sends each key's entire volume to one reducer.
+    Salting appends a deterministic fact-side salt (``pmod(xxhash64)``)
+    and replicates the dim across all 16 salt values (explode), so the
+    join key becomes (event_type, salt) and fan-in per reducer drops
+    16x. Result is identical to the plain join (oracle proves it).
+
+    At this dim size a broadcast join (b15) is strictly better — the
+    technique matters when BOTH sides are too big to broadcast and one
+    key dominates; AQE skew-split covers post-shuffle skew, salting
+    covers it at the key level."""
+    e = load(spark, sf_dir, "events")
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("type_label", F.upper("event_type"))
+    )
+    n_salts = 16
+    salted_fact = e.withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    )
+    salted_dim = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    return (
+        salted_fact.join(salted_dim, ["event_type", "salt"])
+        .groupBy("event_type", "type_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dec_sum("value").alias("total_value"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Sort / top-k
 # --------------------------------------------------------------------------
