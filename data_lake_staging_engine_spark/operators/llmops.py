@@ -1076,3 +1076,86 @@ def g12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
     )
+
+
+@query("g13_kmeans_iterations", oracle=None)  # iterative float refinement — rows-only
+def g13_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative algorithm representative: 2 Lloyd iterations of
+    k-means over the embedding table (k = 10, deterministic init from
+    the per-label means — no RNG). Each iteration: broadcast the
+    centroids, assign every vector to its nearest centroid by squared
+    L2 (sequential fold => deterministic), recompute means via
+    posexplode + groupBy. The input is persisted once and re-scanned
+    from memory each iteration — the cache-for-iteration pattern every
+    iterative Spark algorithm needs (plan test pins InMemoryRelation).
+
+    Rows-only tier: assignment boundaries sit on float comparisons, so
+    cross-engine hashing is out by design (SURVEY §5.4 item 6); the
+    emitted (cluster, pos, centroid) rows are deterministic within
+    Spark. Output: k x 64 rounded centroid coordinates after iteration
+    2, plus each cluster's member count."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    e = e.persist()
+    try:
+        # deterministic init: per-label mean vectors (the g04 centroids)
+        init = (
+            load(spark, sf_dir, "embeddings")
+            .select("label", F.posexplode("embedding").alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c")
+            )
+            .select(F.col("label").cast("long").alias("cluster"), "c")
+        )
+        centroids = init
+        for _ in range(2):
+            dist = F.aggregate(
+                F.zip_with(F.col("v"), F.col("c"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+            w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+            assigned = (
+                e.join(F.broadcast(centroids))
+                .withColumn("d2", dist)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select("vec_id", "cluster", "v")
+            )
+            centroids = (
+                assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cluster", "pos")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                        lambda s: s["m"],
+                    ).alias("c")
+                )
+            )
+        counts = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_members"))
+        out = (
+            centroids.join(counts, "cluster")
+            .select(
+                "cluster",
+                "n_members",
+                F.posexplode(
+                    F.transform(F.col("c"), lambda x: duck_round(x, 4))
+                ).alias("pos", "centroid_val"),
+            )
+        )
+        # materialize while the cache is alive
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "cluster long, n_members long, pos int, centroid_val double"
+        )
+    finally:
+        e.unpersist()
