@@ -1,20 +1,24 @@
 """§2.G LLM-training-data pipeline operators (mandated additions).
 
-Dedup (exact + near-dup Jaccard + MinHash-LSH scale path), vector
-similarity search (brute-force threshold + exact top-k + LSH-bucketed
-scale path), text analysis (tokenize/wordcount/TF-IDF/quality/lang-id),
-and multimodal column plumbing.
+Dedup (exact digest, token/3-gram Jaccard, MinHash-LSH, SimHash),
+vector similarity search (brute-force threshold, exact top-k,
+hyperplane-LSH, IVF), text analysis (tokenize/BPE counts/wordcount/
+TF-IDF/quality/lang-id/fingerprint), contamination reporting,
+multimodal column plumbing, and an iterative k-means representative.
 
 Scale design notes:
 - Exact dedup: hash-groupBy — one shuffle on the digest; digests are
   uniform so no skew.
-- Near-dup: the exact token-Jaccard self-join is the correctness anchor
-  (quadratic in the worst case); the 100 TB path is MinHash banding
-  (g02b) where candidate pairs come from equi-joins on (band, bucket)
-  keys — linear shuffle volume, tunable recall.
-- Similarity: brute-force cosine is O(Q*N) with Q broadcast; the scale
-  path is bucketed LSH (random hyperplane signs) so only same-bucket
-  pairs are scored.
+- Exact near-dup (`_jaccard_pairs`): runtime strategy pick — small
+  universes (vocab <= 1024) pack token sets into multi-word bitmaps
+  and do popcount Jaccard over DISTINCT bitmaps (pure codegen, no
+  quadratic token shuffle); open universes use the AllPairs-style
+  prefix-filtered join (candidates only from rare-token collisions).
+  The approximate 100 TB path is MinHash banding (g02b), whose
+  candidates are ALSO verified via the bitmap packing.
+- Similarity: brute-force cosine is O(Q*N) with Q broadcast and norms
+  precomputed per vector; the scale paths are hyperplane-LSH blocking
+  (g03c) and IVF inverted lists (g03e).
 - All cosine math uses zip_with + a sequential left-fold (aggregate) so
   per-pair results are bit-deterministic across engines and runs.
 """
