@@ -14,6 +14,7 @@ landing bucket would have.
 
 from __future__ import annotations
 
+import os
 import tempfile
 import uuid
 
@@ -24,19 +25,32 @@ def _tmpdir(tag: str) -> str:
     return tempfile.mkdtemp(prefix=f"dlse_stream_{tag}_")
 
 
+_LANDING_CACHE: dict[tuple, tuple] = {}
+
+
 def landing_copy(
     spark: SparkSession, sf_dir: str, table: str, n_files: int = 1, copies: int = 1
 ):
     """Write a deterministic landing-dir copy of a fixture table; returns
     (landing_dir, schema). ``copies>1`` duplicates rows (for dedup
-    tests); ``n_files`` controls micro-batch granularity."""
+    tests); ``n_files`` controls micro-batch granularity.
+
+    Copies are content-immutable once written (streaming queries only
+    READ them; each query keeps its own checkpoint), so identical
+    (sf_dir, table, n_files, copies) requests reuse one directory per
+    process — one write job instead of one per streaming query."""
     from data_lake_staging_engine_spark.sources import load
 
+    key = (sf_dir, table, n_files, copies)
+    cached = _LANDING_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached[0]):
+        return cached
     df = load(spark, sf_dir, table)
     for _ in range(copies - 1):
         df = df.unionByName(load(spark, sf_dir, table))
     landing = _tmpdir(f"landing_{table}")
     df.repartition(n_files).write.mode("overwrite").parquet(landing)
+    _LANDING_CACHE[key] = (landing, df.schema)
     return landing, df.schema
 
 
