@@ -327,3 +327,42 @@ def f08_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return d.mapInPandas(extract, MULTIMODAL_FEATURE_SCHEMA)
+
+
+@query("f09_multimodal_framesample", oracle=None)  # stubbed codec — rows-only tier
+def f09_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas frame sampling: each binary payload expands to N
+    frame rows (1:N batch shape — the video/audio segmentation stage,
+    vs f08's 1:1 feature extraction). The sampler is stubbed like
+    f08's codec (no av libs in env): deterministic byte-stride
+    'frames' of the payload, 4 per document, each with offset + crc
+    metadata. Row expansion happens inside the Arrow batch, so the
+    output partitioning inherits the input's — no shuffle."""
+    import zlib
+
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    n_frames = 4
+
+    def sample_frames(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "offset": [], "frame_crc": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                stride = max(1, n // n_frames)
+                for i in range(n_frames):
+                    off = min(i * stride, max(0, n - 1))
+                    frame = payload[off : off + stride]
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["offset"].append(off)
+                    out["frame_crc"].append(zlib.crc32(frame))
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        sample_frames,
+        "doc_id bigint, frame_no int, offset bigint, frame_crc bigint",
+    )
