@@ -1163,3 +1163,74 @@ def g13_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         e.unpersist()
+
+
+@query(
+    "g14_text_clean",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS clean_text,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                                           '[^a-z0-9 ]', '', 'g'),
+                            ' +', ' ', 'g'))) AS BIGINT) AS clean_len
+    FROM documents
+    """,
+)
+def g14_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: lowercase, strip non-alphanumerics, collapse
+    whitespace, trim — the canonical pre-tokenization cleaning stage of
+    a corpus pipeline. Pure projection (one codegen span at any scale);
+    POSIX-simple regexes so the Java and RE2 dialects agree (DuckDB
+    needs the 'g' flag for global replace; Spark's regexp_replace is
+    global by default)."""
+    d = load(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        as_long(F.length(clean)).alias("clean_len"),
+    )
+
+
+@query(
+    "g15_vocab_prune",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         df_counts AS (SELECT tok, COUNT(DISTINCT doc_id) AS df
+                       FROM toks GROUP BY tok),
+         kept AS (SELECT tok, df FROM df_counts
+                  WHERE df >= 5 AND df <= 450)
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept_tokens,
+           CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_kept_distinct
+    FROM toks t JOIN kept k ON t.tok = k.tok
+    GROUP BY t.doc_id
+    """,
+)
+def g15_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning by document frequency: drop tokens that are
+    too rare (df < 5, typically noise/typos) or too common (df > 450
+    of 500 docs, stopword-like), then re-count each document's
+    surviving tokens — the vocab-filter stage before embedding/BoW
+    featurization. The kept-vocabulary table is tiny by construction
+    (it is a vocabulary) => broadcast join against the token stream;
+    the only big shuffles key on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dfc = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    kept = dfc.filter((F.col("df") >= 5) & (F.col("df") <= 450)).select("tok")
+    return (
+        toks.join(F.broadcast(kept), "tok")
+        .groupBy("doc_id")
+        .agg(
+            as_long(F.count(F.lit(1))).alias("n_kept_tokens"),
+            as_long(F.countDistinct("tok")).alias("n_kept_distinct"),
+        )
+    )
