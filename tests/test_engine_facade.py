@@ -70,3 +70,39 @@ def test_staging_pipeline_is_incremental(spark, sf_dir):
     n1 = pipe.run_available_now(timeout_s=120).count()
     n2 = pipe.run_available_now(timeout_s=120).count()
     assert n1 == n2
+
+
+def test_staging_pipeline_resumes_for_new_files_only(spark, sf_dir):
+    """Files that land AFTER the first drain are picked up by the next
+    drain exactly once — the checkpoint carries per-file progress
+    across runs (the S3-notification replacement semantics)."""
+    import shutil
+
+    from data_lake_staging_engine_spark.sources import load
+
+    base = tempfile.mkdtemp(prefix="pipe_resume_")
+    landing = os.path.join(base, "landing")
+    os.makedirs(landing)
+    e = load(spark, sf_dir, "events")
+    first = e.filter(F.col("event_id") % 2 == 0)
+    second = e.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(landing)
+    for crc in [f for f in os.listdir(landing) if f.endswith(".crc")]:
+        os.remove(os.path.join(landing, crc))
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=os.path.join(base, "staged"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        table="pipe_resume_events",
+        schema=e.schema,
+    )
+    n1 = pipe.run_available_now(timeout_s=120).count()
+    assert n1 == first.count()
+    # new files land; stale Hadoop CRC sidecars from coalesce removed
+    second.coalesce(1).write.mode("append").parquet(landing)
+    for crc in [f for f in os.listdir(landing) if f.endswith(".crc")]:
+        os.remove(os.path.join(landing, crc))
+    n2 = pipe.run_available_now(timeout_s=120).count()
+    assert n2 == e.count(), f"expected exactly-once union, got {n2}"
+    shutil.rmtree(base, ignore_errors=True)
