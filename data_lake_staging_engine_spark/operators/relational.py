@@ -915,3 +915,38 @@ def b55_subquery_corr_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
                         AND l.l_shipdate > TIMESTAMP '2000-06-01 00:00:00')
         """
     )
+
+
+@query(
+    "b36_histogram",
+    oracle="""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+               FROM orders)
+    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def b36_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bucket histogram of order totals. Bucketing is
+    plain arithmetic (floor of the scaled offset, top edge clamped into
+    the last bucket) rather than width_bucket(), so both engines run
+    the identical IEEE expression. The min/max bounds are one tiny
+    aggregate broadcast into the bucketing scan — two passes total,
+    both full-scan-shaped, no row-level shuffle beyond the 20-group
+    aggregation."""
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .groupBy(bucket.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
