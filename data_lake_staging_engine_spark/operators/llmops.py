@@ -1234,3 +1234,110 @@ def g15_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             as_long(F.countDistinct("tok")).alias("n_kept_distinct"),
         )
     )
+
+
+@query(
+    "g16_event_funnel",
+    oracle="""
+    WITH per_user AS (
+        SELECT e.user_id, c.c_mktsegment,
+               MIN(e.ts) FILTER (WHERE e.event_type = 'signup') AS first_signup,
+               MIN(e.ts) FILTER (WHERE e.event_type = 'purchase') AS first_purchase
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY e.user_id, c.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) FILTER (WHERE first_signup IS NOT NULL) AS BIGINT)
+             AS n_signup_users,
+           CAST(COUNT(*) FILTER (WHERE first_signup IS NOT NULL
+                                   AND first_purchase > first_signup) AS BIGINT)
+             AS n_converted,
+           ROUND(COUNT(*) FILTER (WHERE first_signup IS NOT NULL
+                                    AND first_purchase > first_signup) * 1.0
+                 / COUNT(*) FILTER (WHERE first_signup IS NOT NULL), 4)
+             AS conversion
+    FROM per_user
+    GROUP BY c_mktsegment
+    """,
+)
+def g16_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel / conversion: per market segment, users whose first
+    'purchase' strictly follows their first 'signup' — the two-step
+    funnel primitive of event analytics. One conditional-MIN pass per
+    user (map-side partials, no window), then a tiny segment rollup;
+    the integer-count ratio divides once at the end, so rounding is the
+    only float step."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    per_user = (
+        e.join(c, "user_id")
+        .groupBy("user_id", "c_mktsegment")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+                "first_signup"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "first_purchase"
+            ),
+        )
+    )
+    signed = F.col("first_signup").isNotNull()
+    converted = signed & (F.col("first_purchase") > F.col("first_signup"))
+    return per_user.groupBy("c_mktsegment").agg(
+        F.sum(signed.cast("long")).alias("n_signup_users"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+        duck_round(
+            F.sum(converted.cast("long"))
+            * F.lit(1.0)
+            / F.sum(signed.cast("long")),
+            4,
+        ).alias("conversion"),
+    )
+
+
+@query(
+    "g17_text_bigrams",
+    oracle="""
+    WITH seq AS (
+        SELECT doc_id, tok, ord
+        FROM (SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS tok,
+                     generate_subscripts(string_split(text, ' '), 1) AS ord
+              FROM documents) t
+    ),
+    bigrams AS (
+        SELECT tok || ' ' || lead(tok) OVER w AS bigram
+        FROM seq
+        WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bigrams
+    WHERE bigram IS NOT NULL
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def g17_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams (order-preserving token pairs via lead()
+    over the in-document position, tie-broken alphabetically) — the
+    n-gram counting primitive under language-model statistics and
+    collocation mining. The window shuffles once on doc_id; the count
+    shuffles once on the bigram key."""
+    d = load(spark, sf_dir, "documents")
+    seq = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("ord", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    bigrams = seq.select(
+        F.concat_ws(" ", F.col("tok"), F.lead("tok").over(w)).alias("bigram"),
+        F.lead("tok").over(w).alias("_next"),
+    ).filter(F.col("_next").isNotNull())
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )

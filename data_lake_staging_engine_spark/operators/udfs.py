@@ -366,3 +366,63 @@ def f09_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         sample_frames,
         "doc_id bigint, frame_no int, offset bigint, frame_crc bigint",
     )
+
+
+@query(
+    "f10_cogroup_in_pandas",
+    oracle="""
+    WITH e AS (SELECT user_id, COUNT(*) AS n_events,
+                      ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                        AS total_value
+               FROM events GROUP BY user_id)
+    SELECT c.c_custkey AS user_id, c.c_mktsegment,
+           COALESCE(e.n_events, 0) AS n_events,
+           COALESCE(e.total_value, 0.0) AS total_value
+    FROM customer c LEFT JOIN e ON c.c_custkey = e.user_id
+    WHERE c.c_custkey < 200
+    """,
+)
+def f10_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas map: events and customers cogrouped per user
+    key, merged in pandas — the extension point for per-key logic that
+    needs BOTH sides' full frames at once (custom as-of merges,
+    per-entity reconciliation). Each side shuffles once on the key;
+    the pandas function sees one (events_frame, customer_frame) pair
+    per key. Money accumulates in integer cents, mirroring the
+    decimal-sum oracle."""
+    import math as _m
+
+    import pandas as pd
+
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 200)
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+
+    def merge(events_pdf, cust_pdf):
+        if len(cust_pdf) == 0:
+            return pd.DataFrame(
+                columns=["user_id", "c_mktsegment", "n_events", "total_value"]
+            )
+        cents = int(
+            sum(_m.floor(abs(v) * 100.0 + 0.5) for v in events_pdf["value"])
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(cust_pdf["user_id"].iloc[0])],
+                "c_mktsegment": [cust_pdf["c_mktsegment"].iloc[0]],
+                "n_events": [len(events_pdf)],
+                "total_value": [cents / 100.0],
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .cogroup(c.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, c_mktsegment string, n_events bigint, total_value double",
+        )
+    )
