@@ -1341,3 +1341,47 @@ def g17_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@query(
+    "g18_embed_quantize",
+    oracle="""
+    WITH stats AS (
+        SELECT vec_id,
+               list_min(embedding::DOUBLE[]) AS lo,
+               list_max(embedding::DOUBLE[]) AS hi
+        FROM embeddings
+    ),
+    ex AS (
+        SELECT e.vec_id,
+               generate_subscripts(e.embedding, 1) - 1 AS pos,
+               CAST(unnest(e.embedding) AS DOUBLE) AS x
+        FROM embeddings e
+    )
+    SELECT ex.vec_id, ex.pos,
+           CAST(FLOOR((ex.x - s.lo) / ((s.hi - s.lo) / 255) + 0.5) AS BIGINT)
+             AS code
+    FROM ex JOIN stats s ON ex.vec_id = s.vec_id
+    """,
+)
+def g18_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings: per-vector [min, max]
+    range mapped to 0..255 codes — the 4x storage reduction step a
+    100 TB vector store takes before indexing (codes + 2 floats
+    reconstruct to within step/2). Codes are exact integers (floor of
+    the identical IEEE expression on both engines), so the whole
+    quantizer is hash-verified. Emitted long-form (vec_id, pos, code);
+    at scale the codes pack back into a binary column."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    stats = e.select(
+        "vec_id",
+        F.array_min(v).alias("lo"),
+        F.array_max(v).alias("hi"),
+    )
+    ex = e.select("vec_id", F.posexplode(v).alias("pos", "x"))
+    step = (F.col("hi") - F.col("lo")) / F.lit(255)
+    code = F.floor((F.col("x") - F.col("lo")) / step + F.lit(0.5))
+    return ex.join(stats, "vec_id").select(
+        "vec_id", "pos", code.cast("long").alias("code")
+    )

@@ -649,3 +649,51 @@ def a14_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
         F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_bad"),
     )
+
+
+@query(
+    "a22_versioned_snapshot",
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE day(ts) <= 15
+    """,
+)
+def a22_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-versioned staging (time travel lite): each publish
+    writes an immutable version directory and flips a manifest pointer;
+    readers resolve a version (or 'latest') through the manifest, so an
+    in-progress publish can never be half-read and old versions stay
+    queryable — the core isolation idea of table formats
+    (Delta/Iceberg), reduced to a manifest file over plain Parquet.
+
+    The query publishes v1 (first half of the month) then v2 (full
+    month), reads v1 BACK through the manifest, and the oracle proves
+    the old snapshot is intact after the v2 publish."""
+    import json
+
+    root = _tmpdir("versioned")
+    manifest = os.path.join(root, "manifest.json")
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+
+    def publish(df: DataFrame, version: int) -> None:
+        vdir = os.path.join(root, f"v{version}")
+        df.write.mode("overwrite").parquet(vdir)
+        entry = {"version": version, "path": vdir}
+        versions = []
+        if os.path.exists(manifest):
+            versions = json.load(open(manifest))["versions"]
+        versions.append(entry)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"latest": version, "versions": versions}, f)
+        os.replace(tmp, manifest)  # atomic pointer flip
+
+    def read_version(version: int | None = None) -> DataFrame:
+        meta = json.load(open(manifest))
+        version = meta["latest"] if version is None else version
+        path = next(v["path"] for v in meta["versions"] if v["version"] == version)
+        return spark.read.parquet(path)
+
+    publish(e.filter(F.dayofmonth("ts") <= 15), 1)
+    publish(e, 2)
+    assert read_version().count() == e.count()  # latest == v2
+    return read_version(1).select("event_id", "user_id", "value")
