@@ -1385,3 +1385,78 @@ def g18_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.join(stats, "vec_id").select(
         "vec_id", "pos", code.cast("long").alias("code")
     )
+
+
+@query(
+    "g19_stratified_sample",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (
+                WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33')
+                AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def g19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: ~20% per language stratum by
+    key-digest prefix ('33' hex = 51/256) — the class-balancing /
+    down-sampling primitive for training-corpus construction. Same
+    digest rule as b34 so samples are reproducible, engine-stable, and
+    composable (a doc's membership never changes across runs or
+    strata definitions)."""
+    d = load(spark, sf_dir, "documents")
+    in_sample = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "33"
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(in_sample.cast("long")).alias("n_sampled"),
+    )
+
+
+@query(
+    "g20_unigram_logprob",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+         tot AS (SELECT COUNT(*) AS n FROM toks),
+         scored AS (
+             SELECT t.doc_id,
+                    CAST(ROUND(-ln(f.c * 1.0 / tot.n), 9)
+                         AS DECIMAL(18,9)) AS nll
+             FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+         )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def g20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram negative-log-likelihood per document — the
+    perplexity-proxy quality score (CCNet-style filtering: documents
+    whose tokens are improbable under the corpus unigram model are
+    flagged as noise). Per-token -ln p is rounded to 9 decimals and
+    summed as DECIMAL so the per-doc aggregation is order-independent
+    (§5.4 discipline); the unigram table is a vocabulary => broadcast
+    join against the token stream."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    nll = duck_round(-F.log(F.col("c") * F.lit(1.0) / F.lit(total)), 9).cast(
+        "decimal(18,9)"
+    )
+    return (
+        toks.join(F.broadcast(freq), "tok")
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            duck_round(
+                F.sum("nll").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_nll"),
+        )
+    )
