@@ -461,3 +461,36 @@ if _tws_supported():  # pragma: no cover - env-dependent registration
         FROM events GROUP BY user_id
         """,
     )(_e10_transform_with_state)
+
+
+@query(
+    "e11_stream_dedup_then_window",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS ws, event_type,
+           COUNT(*) AS n, {_DEC_SUM_ORACLE} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e11_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful streaming: exactly-once dedup state feeding a
+    windowed aggregation state in ONE streaming query. The landing copy
+    duplicates every event (copies=2); dropDuplicates on the event key
+    collapses them back before the tumbling aggregation, so the result
+    equals e01 over the clean table — proving the dedup stage actually
+    ran. This is the at-least-once-source => exactly-once-sink shape of
+    a production ingest topology; both stages keep per-key state, which
+    is why dedup needs the key (and at scale a watermark via
+    dropDuplicatesWithinWatermark, exercised in e05) to stay bounded."""
+    s = _events_stream(spark, sf_dir, n_files=2, copies=2)
+    deduped = s.dropDuplicates(["event_id"])
+    agg = deduped.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        duck_round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+            "sum_value"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return run_to_memory(
+        agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value"),
+        spark,
+        "complete",
+    )
