@@ -226,3 +226,61 @@ def c07_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.join(agg, ["h", "event_type"], "left").select(
         "h", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
+
+
+@query(
+    "c08_win_forward_fill",
+    oracle="""
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                           date_trunc('hour', MAX(ts)) AS hi FROM events),
+         hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                   FROM bounds),
+         types AS (SELECT DISTINCT event_type FROM events),
+         grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+         agg AS (SELECT date_trunc('hour', ts) AS h, event_type,
+                        ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                          AS hour_sum
+                 FROM events GROUP BY 1, 2)
+    SELECT h, event_type, hour_sum,
+           last_value(hour_sum IGNORE NULLS)
+             OVER (PARTITION BY event_type ORDER BY h
+                   ROWS UNBOUNDED PRECEDING) AS filled_sum
+    FROM grid LEFT JOIN agg USING (h, event_type)
+    """,
+)
+def c08_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill over the dense time grid: empty (hour, type) cells
+    carry the last observed hourly sum forward (last_value IGNORE
+    NULLS over an explicit running frame) — the fill step after c07's
+    gap detection, and the standard treatment for sensor/metric series
+    before feature extraction. Leading cells before any observation
+    stay NULL on both engines. One window shuffle on event_type."""
+    e = load(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        duck_round(
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("hour_sum")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = e.select("event_type").distinct()
+    grid = F.broadcast(hours.crossJoin(types))
+    sparse = grid.join(agg, ["h", "event_type"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "h",
+        "event_type",
+        "hour_sum",
+        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+    )
