@@ -1460,3 +1460,47 @@ def g20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "g21_dedup_agreement",
+    oracle="""
+    WITH toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+         tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+                FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+         text_pairs AS (
+             SELECT d1, d2,
+                    ROUND(shared * 1.0 / (s1.n + s2.n - shared), 6) AS jaccard
+             FROM tp JOIN sizes s1 ON d1 = s1.doc_id
+                     JOIN sizes s2 ON d2 = s2.doc_id
+             WHERE shared * 1.0 / (s1.n + s2.n - shared) >= 0.8),
+         vec_pairs AS (
+             SELECT a.vec_id AS d1, b.vec_id AS d2,
+                    ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                          / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                             * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                          4) AS cos_sim
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4)
+    SELECT t.d1, t.d2, t.jaccard, v.cos_sim
+    FROM text_pairs t JOIN vec_pairs v ON t.d1 = v.d1 AND t.d2 = v.d2
+    """,
+)
+def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup agreement: pairs flagged near-duplicate by
+    BOTH lexical Jaccard (g02 machinery) and embedding cosine (g03d
+    machinery) — the high-precision core a pipeline deletes first when
+    single-signal flags are too noisy. Pure composition of two exact
+    operators joined on the (d1, d2) pair key; documents and vectors
+    align on doc_id = vec_id (verified fixture invariant)."""
+    d = load(spark, sf_dir, "documents")
+    text_pairs = _jaccard_pairs(_tokens(d), threshold=0.8)
+    vec_pairs = g03d_embed_neardup(d.sparkSession, sf_dir)
+    return text_pairs.join(vec_pairs, ["d1", "d2"]).select(
+        "d1", "d2", "jaccard", "cos_sim"
+    )

@@ -950,3 +950,47 @@ def b36_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.cast("long").alias("bucket"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "b37_null_ordering",
+    oracle="""
+    SELECT c.c_custkey AS left_key, o.o_orderkey AS right_key
+    FROM (SELECT * FROM customer WHERE c_custkey < 750) c
+    FULL JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY right_key DESC NULLS LAST, left_key ASC NULLS FIRST
+    LIMIT 20
+    """,
+)
+def b37_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ordering under LIMIT: engines disagree on default
+    NULL placement (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST), and
+    the driver's hash is order-insensitive EXCEPT where LIMIT selects
+    rows — so every nullable sort under a LIMIT must pin NULLS
+    FIRST/LAST explicitly on both sides (§5.4 item 3 extended to
+    nullable keys). Full-join output supplies genuine NULL keys; the
+    two-level order is total (non-null right keys unique; NULL-right
+    rows distinguished by unique left keys)."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 750)
+        .select("c_custkey")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full")
+        .select(
+            F.col("c_custkey").alias("left_key"),
+            F.col("o_orderkey").alias("right_key"),
+        )
+        .orderBy(
+            F.col("right_key").desc_nulls_last(),
+            F.col("left_key").asc_nulls_first(),
+        )
+        .limit(20)
+    )
