@@ -1504,3 +1504,39 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_pairs.join(vec_pairs, ["d1", "d2"]).select(
         "d1", "d2", "jaccard", "cos_sim"
     )
+
+
+@query(
+    "g22_corpus_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                    THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def g22_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10 by key-digest
+    prefix: 'cc' = 204/256, 'e6' = 230/256) with per-language split
+    counts — the corpus-splitting primitive. Digest-based membership
+    means a document's split NEVER changes as the corpus grows (no
+    re-shuffling leakage between training runs), and the same rule
+    composes with the g12 contamination report for cross-split
+    near-dup checks."""
+    d = load(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -994,3 +994,61 @@ def b37_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+@query(
+    "b38_sql_cte_chain",
+    oracle="""
+    WITH cust_spend AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                 AS spend
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_nationkey
+    ),
+    nation_top AS (
+        SELECT n.n_regionkey, cs.c_custkey, cs.spend,
+               row_number() OVER (PARTITION BY n.n_regionkey
+                                  ORDER BY cs.spend DESC, cs.c_custkey) AS rk
+        FROM cust_spend cs JOIN nation n ON cs.c_nationkey = n.n_nationkey
+    )
+    SELECT r.r_name, nt.c_custkey AS top_customer, nt.spend
+    FROM nation_top nt JOIN region r ON nt.n_regionkey = r.r_regionkey
+    WHERE nt.rk = 1
+    """,
+)
+def b38_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point (SURVEY §3.2 EP3) with a chained-CTE analytic:
+    top spender per region through two CTE stages and a window — the
+    exact SQL text runs on Spark over the registered views, proving the
+    SQL surface end-to-end (same Catalyst pipeline as the DataFrame
+    queries after parsing)."""
+    register_views(spark, sf_dir, "customer", "orders", "nation", "region")
+    return spark.sql(
+        """
+        WITH cust_spend AS (
+            SELECT c.c_custkey, c.c_nationkey,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS spend_raw
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey, c.c_nationkey
+        ),
+        rounded AS (
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN spend_raw < 0
+                        THEN -(CAST(FLOOR(ABS(spend_raw * 100.0) + 0.5) AS DOUBLE) / 100.0)
+                        ELSE CAST(FLOOR(ABS(spend_raw * 100.0) + 0.5) AS DOUBLE) / 100.0
+                   END AS spend
+            FROM cust_spend
+        ),
+        nation_top AS (
+            SELECT n.n_regionkey, cs.c_custkey, cs.spend,
+                   row_number() OVER (PARTITION BY n.n_regionkey
+                                      ORDER BY cs.spend DESC, cs.c_custkey) AS rk
+            FROM rounded cs JOIN nation n ON cs.c_nationkey = n.n_nationkey
+        )
+        SELECT r.r_name, nation_top.c_custkey AS top_customer, nation_top.spend
+        FROM nation_top JOIN region r ON nation_top.n_regionkey = r.r_regionkey
+        WHERE nation_top.rk = 1
+        """
+    )
