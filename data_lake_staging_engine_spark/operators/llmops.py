@@ -1493,16 +1493,37 @@ def g20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-modal dedup agreement: pairs flagged near-duplicate by
-    BOTH lexical Jaccard (g02 machinery) and embedding cosine (g03d
-    machinery) — the high-precision core a pipeline deletes first when
-    single-signal flags are too noisy. Pure composition of two exact
-    operators joined on the (d1, d2) pair key; documents and vectors
-    align on doc_id = vec_id (verified fixture invariant)."""
+    BOTH lexical Jaccard (g02 machinery) and embedding cosine — the
+    high-precision core a pipeline deletes first when single-signal
+    flags are too noisy. Documents and vectors align on doc_id =
+    vec_id (verified fixture invariant).
+
+    Intersection-aware plan: the cheap signal runs first (bitmap
+    Jaccard) and cosine is scored ONLY on the text-flagged pairs — a
+    two-embedding lookup join per candidate instead of g03d's full
+    all-pairs scan (25s -> ~7s at sf0.1, identical result: filtering
+    a superset then intersecting equals intersecting both filtered
+    sets)."""
     d = load(spark, sf_dir, "documents")
     text_pairs = _jaccard_pairs(_tokens(d), threshold=0.8)
-    vec_pairs = g03d_embed_neardup(d.sparkSession, sf_dir)
-    return text_pairs.join(vec_pairs, ["d1", "d2"]).select(
-        "d1", "d2", "jaccard", "cos_sim"
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    e = e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    e1 = e.select(
+        F.col("vec_id").alias("d1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
+    )
+    e2 = e.select(
+        F.col("vec_id").alias("d2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
+    )
+    cos = F.col("dot") / (F.col("n1") * F.col("n2"))
+    return (
+        text_pairs.join(e1, "d1")
+        .join(e2, "d2")
+        .withColumn("dot", _dot(F.col("v1"), F.col("v2")))
+        .filter(cos >= 0.4)
+        .select("d1", "d2", "jaccard", duck_round(cos, 4).alias("cos_sim"))
     )
 
 
