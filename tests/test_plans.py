@@ -113,3 +113,19 @@ def test_simsearch_broadcasts_queries(spark, sf_dir):
     of the big side)."""
     plan = _plan("g03_simsearch_topk", spark, sf_dir)
     assert "BroadcastNestedLoopJoin" in join_kinds(plan), join_kinds(plan)
+
+
+def test_salted_join_never_cartesian(spark, sf_dir):
+    """b35's dim replication must still join on the composite
+    (key, salt) equi-key — no nested-loop degeneration."""
+    kinds = join_kinds(_plan("b35_join_salted_skew", spark, sf_dir))
+    assert "CartesianProduct" not in kinds
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+
+
+def test_quantize_reads_only_needed_columns(spark, sf_dir):
+    """g18 must prune the embeddings scan to (vec_id, embedding) —
+    label is not read."""
+    plan = _plan("g18_embed_quantize", spark, sf_dir)
+    cols = read_columns(plan, "embeddings")
+    assert "label" not in cols, cols
