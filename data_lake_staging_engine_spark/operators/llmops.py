@@ -106,19 +106,52 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITMAP_MAX_VOCAB = 1024
 
 
-def _jaccard_pairs(toks: DataFrame, threshold: float) -> DataFrame:
-    """Exact Jaccard>=t pairs with a runtime strategy pick (one cheap
-    count job): small universes go through the multi-word-bitmap path,
-    open universes through the prefix-filtered token join."""
+def _bitmap_vocab_n(toks: DataFrame) -> int | None:
+    """Exact vocabulary size IF the universe is provably small enough
+    for the bitmap strategy, else None (take the token-join path).
+
+    Two-stage probe: an ``approx_count_distinct`` sketch first — a
+    single pass that merges fixed-size HLL sketches, never shuffling the
+    token universe (the exact ``distinct().count()`` this replaces costs
+    a full distinct aggregation over every token at 100 TB, more than
+    the plan it selects). Only when the sketch answers "small" (with
+    margin for its ~5% rsd) do we run the exact count, which is then
+    bounded cheap by construction; the exact count re-checks the
+    threshold so a sketch underestimate can never send an oversized
+    vocabulary down the bitmap path."""
+    approx_n = int(toks.agg(F.approx_count_distinct("tok").alias("n")).first()[0])
+    if approx_n > _BITMAP_MAX_VOCAB * 1.15:
+        return None
     vocab_n = toks.select("tok").distinct().count()
-    if vocab_n <= _BITMAP_MAX_VOCAB:
+    if vocab_n > _BITMAP_MAX_VOCAB:
+        return None
+    return vocab_n
+
+
+def _jaccard_pairs(toks: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard>=t pairs with a runtime strategy pick (sketch probe
+    + at most one small exact count): small universes go through the
+    multi-word-bitmap path, open universes through the prefix-filtered
+    token join."""
+    vocab_n = _bitmap_vocab_n(toks)
+    if vocab_n is not None:
         return _g02_bitmask(toks, vocab_n, threshold)
     return _g02_token_join(toks, threshold)
 
 
 def _doc_bitmaps(toks: DataFrame, vocab_n: int) -> tuple[DataFrame, list[str]]:
     """(doc_id, w0..wk) bitmap columns — each doc's token set packed
-    into ceil(vocab/64) longs via a broadcast token-id join + bit_or."""
+    into ceil(vocab/64) longs via a broadcast token-id join + bit_or.
+
+    Callers must pre-check the vocabulary via ``_bitmap_vocab_n``: the
+    guard below makes the single-partition ``row_number`` token-id
+    assignment provably bounded (<= _BITMAP_MAX_VOCAB rows through one
+    task) and caps the plan at ceil(1024/64) = 16 bitmap columns."""
+    if vocab_n > _BITMAP_MAX_VOCAB:
+        raise ValueError(
+            f"bitmap strategy requires vocab <= {_BITMAP_MAX_VOCAB}, got {vocab_n}; "
+            "route through _bitmap_vocab_n / the token-join path"
+        )
     n_words = (vocab_n + 63) // 64
     vocab = toks.select("tok").distinct().withColumn(
         "tok_id", F.row_number().over(Window.orderBy("tok")) - F.lit(1)
@@ -238,6 +271,17 @@ def _g02_token_join(toks: DataFrame, threshold: float = 0.8) -> DataFrame:
         .select(F.col("p1.doc_id").alias("d1"), F.col("p2.doc_id").alias("d2"))
         .distinct()
     )
+    return _verify_pairs_token_join(cands, toks, threshold)
+
+
+def _verify_pairs_token_join(
+    cands: DataFrame, toks: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (d1, d2) pairs via a
+    candidate-bounded token join: cost is O(candidates x doc_len), it
+    never touches non-candidate pairs and builds no vocabulary-wide
+    structure — the open-vocabulary verify path (any vocab size)."""
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     t1, t2 = toks.alias("t1"), toks.alias("t2")
     pairs = (
         cands.join(t1, F.col("d1") == F.col("t1.doc_id"))
@@ -257,6 +301,41 @@ def _g02_token_join(toks: DataFrame, threshold: float = 0.8) -> DataFrame:
         .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .filter(jac >= threshold)
         .select("d1", "d2", duck_round(jac, 6).alias("jaccard"))
+    )
+
+
+def _verify_pairs_bitmap(
+    cands: DataFrame, toks: DataFrame, vocab_n: int, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate (d1, d2) pairs via packed
+    bitmaps: one popcount expression per candidate pair (pure codegen)
+    instead of re-joining token lists. Small-universe only — callers
+    must have validated ``vocab_n`` via ``_bitmap_vocab_n``."""
+    masks, wcols = _doc_bitmaps(toks, vocab_n)
+    m1 = masks.select(
+        F.col("doc_id").alias("d1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
+    )
+    m2 = masks.select(
+        F.col("doc_id").alias("d2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
+    )
+    paired = cands.join(m1, "d1").join(m2, "d2")
+    shared = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    union = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    jac = shared * F.lit(1.0) / union
+    return paired.filter(jac >= threshold).select(
+        "d1", "d2", duck_round(jac, 6).alias("jaccard")
     )
 
 
@@ -310,38 +389,17 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # verify candidates with exact jaccard over packed bitmaps: one
-    # popcount expression per candidate pair (pure codegen) instead of
-    # re-joining token lists — with a dense corpus the candidate set is
-    # large and the token-join verify dominated (measured 68s -> ~4s at
-    # sf0.1, identical output)
-    vocab_n = toks.select("tok").distinct().count()
-    masks, wcols = _doc_bitmaps(toks, vocab_n)
-    m1 = masks.select(
-        F.col("doc_id").alias("d1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
-    )
-    m2 = masks.select(
-        F.col("doc_id").alias("d2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
-    )
-    paired = candidates.join(m1, "d1").join(m2, "d2")
-    shared = sum(
-        (
-            F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
-            for c in wcols
-        ),
-        F.lit(0),
-    )
-    union = sum(
-        (
-            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
-            for c in wcols
-        ),
-        F.lit(0),
-    )
-    jac = shared * F.lit(1.0) / union
-    return paired.filter(jac >= 0.8).select(
-        "d1", "d2", duck_round(jac, 6).alias("jaccard")
-    )
+    # verify candidates with exact jaccard — same strategy switch as
+    # _jaccard_pairs: small universes take packed-bitmap popcount (one
+    # codegen expression per candidate pair; with a dense fixture corpus
+    # the candidate set is large and the token-join verify dominated,
+    # measured 68s -> ~4s at sf0.1), open vocabularies take the
+    # candidate-bounded token join (a bitmap plan there would need
+    # ceil(vocab/64) columns — thousands — and die at plan time)
+    vocab_n = _bitmap_vocab_n(toks)
+    if vocab_n is not None:
+        return _verify_pairs_bitmap(candidates, toks, vocab_n, 0.8)
+    return _verify_pairs_token_join(candidates, toks, 0.8)
 
 
 @query("g02c_dedup_simhash", oracle=None)  # approximate — rows-only tier
@@ -534,58 +592,87 @@ def g03b_simsearch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_TABLES = 4
+_LSH_BITS = 6
+
+
 @query("g03c_simsearch_lsh", oracle=None)  # approximate — rows-only tier
 def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN scale path: random-hyperplane LSH bucketing.
+    """ANN scale path: multi-table random-hyperplane LSH with
+    OR-amplification (the standard e2LSH construction).
 
-    8 deterministic pseudo-hyperplanes (seeded per-dimension hash signs)
-    give a 8-bit bucket per vector; only same-bucket pairs are scored.
-    At 100 TB this turns O(N^2) scoring into per-bucket blocks joined on
-    an equi-key. Approximate recall => rows-only."""
+    4 independent tables of 6 deterministic pseudo-hyperplanes each
+    (per-dimension hash signs, fixed seeds): a vector gets one 6-bit
+    bucket per table, and a pair becomes a candidate if it collides in
+    ANY table — P[candidate] = 1-(1-p^6)^4 with p = 1-theta/pi, e.g.
+    ~0.87 at cos 0.9, ~0.23 at cos 0.4 (measured against the exact
+    anchor in tests/test_ann_recall.py). Only candidates are scored.
+
+    100 TB shape: the bucket join carries only (table, bucket, vec_id)
+    — 4 small rows per vector, never the embeddings; candidate pairs
+    are deduped across tables and the vectors join back once for
+    scoring, so the scored set is bounded by true collisions, not N^2.
+    Approximate recall => rows-only."""
     e = load(spark, sf_dir, "embeddings")
-    # deterministic hyperplane h_ij = hash(i,j) mapped to ±1 — seeds fixed
-    def bucket(vec_col):
+
+    # deterministic hyperplane: sign_ij = ±1 from xxhash64(dim_pos, plane)
+    def plane_proj(vec_col, pl: int):
+        return F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda x, i: x.cast("double")
+                * F.when(F.xxhash64(i, F.lit(pl)) % 2 == 0, 1.0).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(vec_col, table: int):
         bits = []
-        for pl in range(8):
-            # dot(vec, signs_pl) where signs are ±1 from xxhash64(pos, pl)
-            proj = F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda x, i: x.cast("double")
-                    * F.when(F.xxhash64(i, F.lit(pl)) % 2 == 0, 1.0).otherwise(-1.0),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bits.append(F.when(proj > 0, F.lit(1 << pl)).otherwise(F.lit(0)))
+        for p in range(_LSH_BITS):
+            proj = plane_proj(vec_col, table * _LSH_BITS + p)
+            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
         out = bits[0]
         for x in bits[1:]:
             out = out + x
         return out
 
-    b = e.select(
+    v = e.select(
         "vec_id",
         "embedding",
-        bucket(F.col("embedding")).alias("bucket"),
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        F.array(
+            *[bucket(F.col("embedding"), t) for t in range(_LSH_TABLES)]
+        ).alias("buckets"),
     )
-    a1, a2 = b.alias("a1"), b.alias("a2")
-    pairs = a1.join(
-        a2,
-        (F.col("a1.bucket") == F.col("a2.bucket"))
-        & (F.col("a1.vec_id") < F.col("a2.vec_id")),
-    ).select(
-        F.col("a1.vec_id").alias("qid"),
-        F.col("a2.vec_id").alias("cid"),
-        F.col("a1.embedding").alias("qe"),
-        F.col("a2.embedding").alias("ce"),
-        F.col("a1.norm").alias("qn"),
-        F.col("a2.norm").alias("cn"),
+    sigs = v.select("vec_id", F.posexplode("buckets").alias("table", "bucket"))
+    a1, a2 = sigs.alias("a1"), sigs.alias("a2")
+    cands = (
+        a1.join(
+            a2,
+            (F.col("a1.table") == F.col("a2.table"))
+            & (F.col("a1.bucket") == F.col("a2.bucket"))
+            & (F.col("a1.vec_id") < F.col("a2.vec_id")),
+        )
+        .select(F.col("a1.vec_id").alias("qid"), F.col("a2.vec_id").alias("cid"))
+        .distinct()
     )
-
-    scored = pairs.withColumn("dot", _dot(F.col("qe"), F.col("ce"))).withColumn(
-        "cos", F.col("dot") / (F.col("qn") * F.col("cn"))
+    q = v.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = v.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = (
+        cands.join(q, "qid")
+        .join(c, "cid")
+        .withColumn("dot", _dot(F.col("qe"), F.col("ce")))
+        .withColumn("cos", F.col("dot") / (F.col("qn") * F.col("cn")))
     )
     return scored.filter(F.col("cos") >= 0.2).select(
         "qid", "cid", duck_round("cos", 4).alias("cos_sim")
@@ -602,31 +689,39 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  4) AS cos_sim
     FROM embeddings a
     JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+    WHERE substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 2) < '1a'
+      AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
           / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
              * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
     """,
 )
 def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: ALL vector pairs with
-    cosine >= 0.4 (exact, d1 < d2).
+    """Embedding-cosine near-duplicate pairs from a BOUNDED anchor set:
+    anchors are the ~10% of vectors whose key digest starts below '1a'
+    (26/256 — the b34/g19 deterministic-sample rule), each scored
+    exactly against every higher-id vector (cosine >= 0.4, d1 < d2).
 
-    Complements text-based dedup (g01/g02*) with semantic near-dup
-    detection. Norms are a map-side projection; the pair stage is a
-    broadcast nested-loop on the vec_id inequality. Exact all-pairs is
-    the correctness anchor at test scale; at 100 TB the same scoring
-    runs behind g03c's hyperplane-LSH blocking so only same-bucket
-    pairs are scored."""
+    Demoted from full all-pairs per VERDICT r01 (#4): exact O(N^2)
+    scoring is a correctness/recall ANCHOR, not a production near-dup
+    surface — the canonical scale paths are g03c (hyperplane LSH) and
+    g03e (IVF), whose recall against this anchor is measured in
+    tests/test_ann_recall.py. The digest-bounded anchor keeps the
+    scored-pair count at ~10% of N^2 while remaining deterministic and
+    hash-verified cross-engine; norms stay a map-side projection and
+    the pair stage a broadcast nested-loop on the vec_id inequality."""
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    a, b = v.alias("a"), v.alias("b")
+    in_anchor = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < "1a"
+    a, b = v.filter(in_anchor).alias("a"), v.alias("b")
     cos = F.col("dot") / (F.col("a.norm") * F.col("b.norm"))
+    # broadcast the small anchor side; the full table is the streamed
+    # side, so at scale this is a map-only scan like g03's query scoring
     return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        b.join(F.broadcast(a), F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("dot", _dot(F.col("a.embedding"), F.col("b.embedding")))
         .filter(cos >= 0.4)
         .select(
@@ -637,21 +732,26 @@ def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("g03e_simsearch_ivf", oracle=None)  # approximate (nprobe=1) — rows-only
+_IVF_NPROBE = 3
+
+
+@query("g03e_simsearch_ivf", oracle=None)  # approximate (nprobe=3) — rows-only
 def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer + inverted lists, nprobe=1.
+    """IVF-style ANN: coarse quantizer + inverted lists, nprobe=3.
 
     Build: per-label mean vectors (the g04 centroids, rebuilt in array
     form) act as the coarse codebook; every vector is assigned to its
     nearest centroid (one broadcast join against 10 centroids — map
-    side at any scale). Search: each query vector probes ONLY its own
-    list, so the scored candidate set shrinks by ~the number of lists.
-    Approximate (a true neighbor may live in another list) => rows-only
-    tier; exact twins g03/g03b carry the hash burden.
+    side at any scale). Search: each query vector probes its 3 nearest
+    lists (nprobe=3 — recall@5 vs the exact g03b measured in
+    tests/test_ann_recall.py), so the scored candidate set is ~3/k of
+    the corpus instead of all of it. Approximate (a true neighbor may
+    live in an unprobed list) => rows-only tier; exact twins g03/g03b
+    carry the hash burden.
 
     100 TB: lists are the partition key — co-locating each list makes
     the probe a partition-local scan; more lists (a real k-means
-    codebook) and nprobe>1 trade recall for fan-out the same way."""
+    codebook) and nprobe trade recall for fan-out the same way."""
     e = load(spark, sf_dir, "embeddings")
     # codebook: per-label element-wise mean, rebuilt as array<double>
     cent = (
@@ -680,19 +780,22 @@ def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("list_id"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "vec_id",
-            "embedding",
-            "list_id",
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-        )
+    ranked = scored.withColumn("_rn", F.row_number().over(w_assign))
+    # every vector lives in exactly ONE list (top-1 assignment)...
+    assigned = ranked.filter(F.col("_rn") == 1).select(
+        "vec_id",
+        "embedding",
+        "list_id",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
     )
-    q = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"), "list_id",
+    # ...but each query probes its nprobe nearest lists
+    q = ranked.filter(
+        (F.col("vec_id") < 10) & (F.col("_rn") <= _IVF_NPROBE)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
+        "list_id",
     )
     c = assigned.select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
@@ -837,8 +940,12 @@ def g07_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = d.count()  # scalar; computed once driver-side (metadata-cheap)
+    # no broadcast hint on the document-frequency table: it is an
+    # aggregate over an OPEN vocabulary, so its size is unbounded at
+    # 100 TB — AQE broadcasts it at runtime when (and only when) the
+    # built side actually fits (fixture scale: still a broadcast join)
     return (
-        tf.join(F.broadcast(df.filter(F.col("df") < n_docs)), "tok")
+        tf.join(df.filter(F.col("df") < n_docs), "tok")
         .select(
             "doc_id",
             "tok",
@@ -1219,15 +1326,17 @@ def g15_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     too rare (df < 5, typically noise/typos) or too common (df > 450
     of 500 docs, stopword-like), then re-count each document's
     surviving tokens — the vocab-filter stage before embedding/BoW
-    featurization. The kept-vocabulary table is tiny by construction
-    (it is a vocabulary) => broadcast join against the token stream;
-    the only big shuffles key on doc_id."""
+    featurization. The kept-vocabulary table is usually tiny, but it is
+    an open-vocabulary aggregate, so the broadcast decision is left to
+    AQE's runtime size check; the only big shuffles key on doc_id."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     dfc = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     kept = dfc.filter((F.col("df") >= 5) & (F.col("df") <= 450)).select("tok")
+    # kept-vocab is df-bounded but still an open-vocabulary aggregate —
+    # no hard broadcast hint; AQE picks broadcast when it actually fits
     return (
-        toks.join(F.broadcast(kept), "tok")
+        toks.join(kept, "tok")
         .groupBy("doc_id")
         .agg(
             as_long(F.count(F.lit(1))).alias("n_kept_tokens"),
@@ -1359,8 +1468,9 @@ def g17_text_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e
     )
     SELECT ex.vec_id, ex.pos,
-           CAST(FLOOR((ex.x - s.lo) / ((s.hi - s.lo) / 255) + 0.5) AS BIGINT)
-             AS code
+           CAST(CASE WHEN s.hi = s.lo THEN 0
+                     ELSE FLOOR((ex.x - s.lo) / ((s.hi - s.lo) / 255) + 0.5)
+                END AS BIGINT) AS code
     FROM ex JOIN stats s ON ex.vec_id = s.vec_id
     """,
 )
@@ -1381,10 +1491,13 @@ def g18_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = e.select("vec_id", F.posexplode(v).alias("pos", "x"))
     step = (F.col("hi") - F.col("lo")) / F.lit(255)
-    code = F.floor((F.col("x") - F.col("lo")) / step + F.lit(0.5))
-    return ex.join(stats, "vec_id").select(
-        "vec_id", "pos", code.cast("long").alias("code")
+    # degenerate range (constant vector): step would be 0, making the
+    # quantizer expression NaN -> NULL in Spark but an error in DuckDB —
+    # guard the case to code 0 on BOTH engines (oracle has the same CASE)
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.floor((F.col("x") - F.col("lo")) / step + F.lit(0.5)).cast("long")
     )
+    return ex.join(stats, "vec_id").select("vec_id", "pos", code.alias("code"))
 
 
 @query(
@@ -1440,8 +1553,8 @@ def g20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose tokens are improbable under the corpus unigram model are
     flagged as noise). Per-token -ln p is rounded to 9 decimals and
     summed as DECIMAL so the per-doc aggregation is order-independent
-    (§5.4 discipline); the unigram table is a vocabulary => broadcast
-    join against the token stream."""
+    (§5.4 discipline); the unigram table is an open-vocabulary
+    aggregate, so AQE decides the broadcast at runtime."""
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
@@ -1449,8 +1562,10 @@ def g20_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     nll = duck_round(-F.log(F.col("c") * F.lit(1.0) / F.lit(total)), 9).cast(
         "decimal(18,9)"
     )
+    # unigram table = open-vocabulary aggregate: let AQE decide the
+    # build side instead of hard-coding an unbounded broadcast
     return (
-        toks.join(F.broadcast(freq), "tok")
+        toks.join(freq, "tok")
         .select("doc_id", nll.alias("nll"))
         .groupBy("doc_id")
         .agg(

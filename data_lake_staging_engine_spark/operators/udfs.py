@@ -146,7 +146,13 @@ def f03_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = v.sort_values().to_numpy()
         k = len(vals) // 10
         mid = vals[k : len(vals) - k]
-        cents = sum(int(math.floor(abs(x) * 100.0 + 0.5)) for x in mid)
+        # sign-preserving round-to-cents (mirrors _pyduck_round)
+        cents = sum(
+            -int(math.floor(abs(x) * 100.0 + 0.5))
+            if x < 0
+            else int(math.floor(abs(x) * 100.0 + 0.5))
+            for x in mid
+        )
         # inline duck-round (self-contained for executor pickling)
         x = (cents / 100.0) / len(mid)
         mag = math.floor(abs(x) * 1e4 + 0.5) / 1e4
@@ -407,7 +413,12 @@ def f10_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["user_id", "c_mktsegment", "n_events", "total_value"]
             )
         cents = int(
-            sum(_m.floor(abs(v) * 100.0 + 0.5) for v in events_pdf["value"])
+            sum(
+                -_m.floor(abs(v) * 100.0 + 0.5)
+                if v < 0
+                else _m.floor(abs(v) * 100.0 + 0.5)
+                for v in events_pdf["value"]
+            )
         )
         return pd.DataFrame(
             {

@@ -231,10 +231,18 @@ def e06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            # duck_round-to-cents per row, then exact integer accumulation
+            # duck_round-to-cents per row (sign-preserving, mirrors
+            # _pyduck_round), then exact integer accumulation
             import math
 
-            cents += int(sum(math.floor(abs(v) * 100.0 + 0.5) for v in pdf["value"]))
+            cents += int(
+                sum(
+                    -math.floor(abs(v) * 100.0 + 0.5)
+                    if v < 0
+                    else math.floor(abs(v) * 100.0 + 0.5)
+                    for v in pdf["value"]
+                )
+            )
         state.update((n, cents))
         import pandas as pd
 
@@ -414,7 +422,12 @@ def _e10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             for pdf in rows:
                 n += len(pdf)
                 cents += int(
-                    sum(math.floor(abs(v) * 100.0 + 0.5) for v in pdf["value"])
+                    sum(
+                        -math.floor(abs(v) * 100.0 + 0.5)
+                        if v < 0
+                        else math.floor(abs(v) * 100.0 + 0.5)
+                        for v in pdf["value"]
+                    )
                 )
             self._state.update((n, cents))
             yield pd.DataFrame(
@@ -450,6 +463,46 @@ def _e10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset(provider_key)
         else:
             spark.conf.set(provider_key, prev)
+
+
+@query(
+    "e10_batch_twin",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spend
+    FROM events GROUP BY user_id
+    """,
+)
+def e10_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-batch twin of e10's state logic (VERDICT r01 next-round #7):
+    the identical per-user (n_events, integer-cents spend) fold that
+    ``SpendTracker.handleInputRows`` performs per micro-batch, driven by
+    ``applyInPandas`` over the batch table — so the state-transition
+    *semantics* are hash-verified against the decimal-sum oracle even in
+    environments where the transformWithStateInPandas runtime path is
+    dependency-gated off (google.protobuf absent). Where the gate opens,
+    e10_transform_with_state must equal this query by construction
+    (AvailableNow over a bounded landing = one batch = one fold)."""
+    import math
+
+    import pandas as pd
+
+    from data_lake_staging_engine_spark.sources import load
+
+    def fold(key, pdf):
+        n, cents = 0, 0  # the ValueState init
+        n += len(pdf)
+        for v in pdf["value"]:
+            c = math.floor(abs(v) * 100.0 + 0.5)
+            cents += -c if v < 0 else c
+        return pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_spend": [cents / 100.0]}
+        )
+
+    e = load(spark, sf_dir, "events").select("user_id", "value")
+    return e.groupBy("user_id").applyInPandas(
+        fold, "user_id bigint, n_events bigint, total_spend double"
+    )
 
 
 if _tws_supported():  # pragma: no cover - env-dependent registration

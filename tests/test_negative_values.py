@@ -1,0 +1,77 @@
+"""Negative-money parity (ADVICE r01): the cents-accumulating closures
+(f03, f10, e06, e10 batch twin) round each value as
+``floor(abs(v)*100 + 0.5)`` and must restore the sign before summing —
+the fixture ``events.value`` domain is non-negative, so this latent
+divergence needs a synthetic corpus with negative values to surface.
+Each query runs against its REGISTERED oracle SQL on the same synthetic
+parquet, exactly like the driver's sweep."""
+
+import datetime as dt
+import os
+
+import duckdb
+import pytest
+
+from data_lake_staging_engine_spark.registry import registry
+from data_lake_staging_engine_spark.testing import compare
+
+_REG = registry()
+
+# values chosen exact-at-2-decimals, mixed sign, with a sign flip inside
+# every user's stream so an unsigned accumulation visibly diverges
+_VALUES = [-1.23, 4.56, -1000.01, 0.0, 2.5, -2.5, 777.77, -0.01]
+
+
+@pytest.fixture(scope="module")
+def neg_sf_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("neg_sf"))
+    base = dt.datetime(2024, 1, 1)
+    events = [
+        (
+            i,
+            base + dt.timedelta(minutes=7 * i),
+            i % 5,
+            "purchase" if i % 2 else "refund",
+            _VALUES[i % len(_VALUES)],
+            "{}",
+        )
+        for i in range(64)
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    cust = [
+        (i, f"Customer#{i}", "BUILDING" if i % 2 else "MACHINERY")
+        for i in range(5)
+    ]
+    spark.createDataFrame(
+        cust, "c_custkey long, c_name string, c_mktsegment string"
+    ).coalesce(1).write.parquet(os.path.join(d, "customer.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def neg_duck(neg_sf_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{neg_sf_dir}/{t}.parquet/*.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["f03_pandas_udf_grouped_agg", "f10_cogroup_in_pandas", "e06_stream_stateful",
+     "e10_batch_twin"],
+)
+def test_signed_cents_parity(name, spark, neg_sf_dir, neg_duck):
+    rq = _REG[name]
+    df = rq.fn(spark, neg_sf_dir)
+    res = compare(name, df, neg_duck, rq.oracle)
+    assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"

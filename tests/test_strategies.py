@@ -1,14 +1,33 @@
 """Cross-strategy equivalence: operators that pick a physical strategy
 at runtime must produce identical results from every strategy."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_lake_staging_engine_spark.operators.llmops import (
+    _BITMAP_MAX_VOCAB,
+    _bitmap_vocab_n,
+    _doc_bitmaps,
     _g02_bitmask,
     _g02_token_join,
+    _jaccard_pairs,
     _tokens,
+    _verify_pairs_bitmap,
+    _verify_pairs_token_join,
 )
 from data_lake_staging_engine_spark.sources import load
+
+
+def _open_vocab_docs(spark):
+    """Synthetic corpus with > _BITMAP_MAX_VOCAB distinct tokens and one
+    planted near-duplicate pair (doc 0 vs doc 9999: 39 of 40 tokens
+    shared => jaccard 39/41 ~ 0.9512)."""
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(25 * i, 25 * i + 40)))
+        for i in range(60)
+    ]
+    rows.append((9999, " ".join(["zzz"] + [f"t{j}" for j in range(1, 40)])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
 
 
 def test_g02_bitmask_equals_token_join(spark, sf_dir):
@@ -39,3 +58,52 @@ def test_g02_multiword_bitmap_equals_token_join(spark, sf_dir):
     fast = {tuple(r) for r in _g02_bitmask(shingles, vocab_n, 0.8).collect()}
     slow = {tuple(r) for r in _g02_token_join(shingles, 0.8).collect()}
     assert fast == slow
+
+def test_open_vocab_probe_refuses_bitmap(spark):
+    """An open vocabulary (> _BITMAP_MAX_VOCAB) must be rejected by the
+    strategy probe, and _doc_bitmaps must refuse to plan it (a bitmap
+    plan there would need thousands of columns)."""
+    toks = _tokens(_open_vocab_docs(spark))
+    assert toks.select("tok").distinct().count() > _BITMAP_MAX_VOCAB
+    assert _bitmap_vocab_n(toks) is None
+    with pytest.raises(ValueError, match="bitmap strategy requires"):
+        _doc_bitmaps(toks, _BITMAP_MAX_VOCAB + 1)
+
+
+def test_open_vocab_jaccard_token_join_end_to_end(spark):
+    """_jaccard_pairs on an open vocabulary takes the token-join path
+    and still finds exactly the planted near-dup pair."""
+    toks = _tokens(_open_vocab_docs(spark))
+    got = {(r.d1, r.d2, r.jaccard) for r in _jaccard_pairs(toks, 0.8).collect()}
+    assert got == {(0, 9999, round(39 / 41, 6))}
+
+
+def test_g02b_verify_paths_agree(spark, sf_dir):
+    """The two candidate-verify strategies (bitmap popcount vs
+    candidate-bounded token join) are the same operator: identical
+    verified pairs + jaccard on identical candidate sets."""
+    toks = _tokens(load(spark, sf_dir, "documents"))
+    vocab_n = _bitmap_vocab_n(toks)
+    assert vocab_n is not None  # fixture corpus is a small universe
+    ids = toks.select("doc_id").distinct().limit(40)
+    a = ids.select(F.col("doc_id").alias("d1"))
+    b = ids.select(F.col("doc_id").alias("d2"))
+    cands = a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
+    fast = {tuple(r) for r in _verify_pairs_bitmap(cands, toks, vocab_n, 0.8).collect()}
+    slow = {tuple(r) for r in _verify_pairs_token_join(cands, toks, 0.8).collect()}
+    assert fast == slow
+
+
+def test_open_vocab_verify_token_join(spark):
+    """g02b's open-vocabulary fallback: candidate-bounded token-join
+    verify produces the exact jaccard for planted candidates without
+    building any vocabulary-wide structure."""
+    toks = _tokens(_open_vocab_docs(spark))
+    cands = toks.sparkSession.createDataFrame(
+        [(0, 9999), (0, 1)], "d1 long, d2 long"
+    )
+    got = {
+        (r.d1, r.d2, r.jaccard)
+        for r in _verify_pairs_token_join(cands, toks, 0.8).collect()
+    }
+    assert got == {(0, 9999, round(39 / 41, 6))}
