@@ -60,24 +60,84 @@ class SessionCatalogSync(CatalogSync):
 
 
 class GlueBoto3CatalogSync(CatalogSync):
-    """UNTESTED SHIM — direct Glue API sync for non-Hive deployments.
+    """Direct Glue Data Catalog sync for non-Hive deployments (the
+    public ``boto3`` Glue API: ``create_table`` / ``update_table`` with
+    a TableInput document).
 
-    Requires boto3 + AWS credentials, neither available here; raises
-    with a clear message instead of pretending."""
+    The Glue client is INJECTABLE: production passes nothing and gets
+    ``boto3.client('glue')``; tests pass a fake that records the API
+    calls — so the whole adapter contract (Spark-schema -> Glue column
+    mapping, partition-key split, parquet serde descriptor, idempotent
+    create-or-update) is exercised offline (tests/test_glue_contract
+    .py); only the wire client itself needs AWS. Against a real
+    account this is the standard external-table registration shape."""
 
-    def __init__(self, database: str, s3_location_root: str):
+    _PARQUET_INPUT = "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat"
+    _PARQUET_OUTPUT = "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat"
+    _PARQUET_SERDE = "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+
+    def __init__(self, database: str, s3_location_root: str, client=None):
         self.database = database
-        self.s3_location_root = s3_location_root
+        self.s3_location_root = s3_location_root.rstrip("/")
+        self._client = client
+
+    def _glue(self):
+        if self._client is None:  # pragma: no cover - needs AWS
+            try:
+                import boto3
+            except ImportError as e:
+                raise NotImplementedError(
+                    "GlueBoto3CatalogSync requires boto3/AWS access (offline "
+                    "env); use SessionCatalogSync, or Hive+Glue catalog wiring"
+                ) from e
+            self._client = boto3.client("glue")
+        return self._client
+
+    def table_input(self, df: DataFrame, table: str, partition_cols=None) -> dict:
+        """Build the Glue TableInput for a staged DataFrame. Spark's
+        ``DataType.simpleString()`` already emits Hive/Glue-compatible
+        type names (bigint, double, array<double>, struct<...>), so the
+        schema maps 1:1; partition columns move from Columns to
+        PartitionKeys exactly as Hive-layout parquet requires."""
+        pcols = list(partition_cols or [])
+        fields = {f.name: f for f in df.schema.fields}
+        missing = [c for c in pcols if c not in fields]
+        if missing:
+            raise ValueError(f"partition columns not in schema: {missing}")
+        data_cols = [
+            {"Name": f.name, "Type": f.dataType.simpleString()}
+            for f in df.schema.fields
+            if f.name not in pcols
+        ]
+        part_keys = [
+            {"Name": c, "Type": fields[c].dataType.simpleString()} for c in pcols
+        ]
+        return {
+            "Name": table,
+            "TableType": "EXTERNAL_TABLE",
+            "Parameters": {"classification": "parquet"},
+            "PartitionKeys": part_keys,
+            "StorageDescriptor": {
+                "Columns": data_cols,
+                "Location": f"{self.s3_location_root}/{table}",
+                "InputFormat": self._PARQUET_INPUT,
+                "OutputFormat": self._PARQUET_OUTPUT,
+                "SerdeInfo": {"SerializationLibrary": self._PARQUET_SERDE},
+            },
+        }
 
     def sync_table(self, df, table, partition_cols=None):
+        """Idempotent create-or-update (the same semantics as
+        SessionCatalogSync's drop-and-recreate, expressed the Glue way:
+        update when the table exists, create when it doesn't)."""
+        glue = self._glue()
+        ti = self.table_input(df, table, partition_cols)
         try:
-            import boto3  # noqa: F401
-        except ImportError as e:  # pragma: no cover - offline environment
-            raise NotImplementedError(
-                "GlueBoto3CatalogSync requires boto3/AWS access (offline env); "
-                "use SessionCatalogSync, or Hive+Glue catalog wiring"
-            ) from e
-        raise NotImplementedError("Glue sync shim: wire glue.create_table here")
+            glue.get_table(DatabaseName=self.database, Name=table)
+        except glue.exceptions.EntityNotFoundException:
+            glue.create_table(DatabaseName=self.database, TableInput=ti)
+            return
+        glue.update_table(DatabaseName=self.database, TableInput=ti)
 
     def read_table(self, spark, table):
         return spark.table(f"{self.database}.{table}")
