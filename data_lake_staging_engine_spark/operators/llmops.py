@@ -33,11 +33,16 @@ from data_lake_staging_engine_spark.registry import query
 from data_lake_staging_engine_spark.sources import load
 
 
+def _tokens_raw(df: DataFrame) -> DataFrame:
+    """(doc_id, tok) token stream WITH duplicates — whitespace split.
+    The cheap pre-distinct lineage: strategy probes sketch this (HLL is
+    multiplicity-blind), so probing never pays the distinct shuffle."""
+    return df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+
+
 def _tokens(df: DataFrame) -> DataFrame:
     """(doc_id, tok) distinct token sets — whitespace tokenization."""
-    return df.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).distinct()
+    return _tokens_raw(df).distinct()
 
 
 # --------------------------------------------------------------------------
@@ -97,7 +102,7 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     double divide, so results are bit-identical to the DuckDB oracle;
     see the strategy docstrings below for the scale analysis."""
     d = load(spark, sf_dir, "documents")
-    return _jaccard_pairs(_tokens(d), threshold=0.8)
+    return _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
 
 
 # Universe-size cutoff for the bitmap strategy: above this, bitmaps get
@@ -106,20 +111,37 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITMAP_MAX_VOCAB = 1024
 
 
-def _bitmap_vocab_n(toks: DataFrame) -> int | None:
+# token rows fed to the strategy-probe sketch: enough to expose an open
+# vocabulary, cheap enough that the probe never scans the full corpus
+_PROBE_SAMPLE_ROWS = 200_000
+
+
+def _bitmap_vocab_n(toks: DataFrame, probe: DataFrame | None = None) -> int | None:
     """Exact vocabulary size IF the universe is provably small enough
     for the bitmap strategy, else None (take the token-join path).
 
-    Two-stage probe: an ``approx_count_distinct`` sketch first — a
-    single pass that merges fixed-size HLL sketches, never shuffling the
-    token universe (the exact ``distinct().count()`` this replaces costs
-    a full distinct aggregation over every token at 100 TB, more than
-    the plan it selects). Only when the sketch answers "small" (with
-    margin for its ~5% rsd) do we run the exact count, which is then
-    bounded cheap by construction; the exact count re-checks the
-    threshold so a sketch underestimate can never send an oversized
-    vocabulary down the bitmap path."""
-    approx_n = int(toks.agg(F.approx_count_distinct("tok").alias("n")).first()[0])
+    Two-stage probe, neither stage a full-corpus shuffle (the exact
+    global ``distinct().count()`` probe this replaces costs more at
+    100 TB than the plan it selects — ADVICE r01):
+
+    1. ``approx_count_distinct`` HLL sketch over a LIMIT-bounded slice
+       of the token stream. A sample's vocabulary is a SUBSET of the
+       full one, so "sample already exceeds the cutoff" soundly proves
+       "open vocabulary" without touching the rest of the corpus —
+       the common 100 TB case costs one partial scan of ~200k rows.
+       ``probe`` lets callers pass the cheapest covering lineage (the
+       pre-distinct token stream; HLL is multiplicity-blind).
+    2. Only when the sample answers "small" (margin for ~5% rsd) does
+       the exact count run, and it re-checks the threshold — so a
+       sample that missed rare tokens can cost one mispredicted count
+       job but can never send an oversized vocabulary down the bitmap
+       path (bitmap sizing always uses the exact number)."""
+    probe_src = (probe if probe is not None else toks).select("tok").limit(
+        _PROBE_SAMPLE_ROWS
+    )
+    approx_n = int(
+        probe_src.agg(F.approx_count_distinct("tok").alias("n")).first()[0]
+    )
     if approx_n > _BITMAP_MAX_VOCAB * 1.15:
         return None
     vocab_n = toks.select("tok").distinct().count()
@@ -128,12 +150,14 @@ def _bitmap_vocab_n(toks: DataFrame) -> int | None:
     return vocab_n
 
 
-def _jaccard_pairs(toks: DataFrame, threshold: float) -> DataFrame:
+def _jaccard_pairs(
+    toks: DataFrame, threshold: float, probe: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard>=t pairs with a runtime strategy pick (sketch probe
     + at most one small exact count): small universes go through the
     multi-word-bitmap path, open universes through the prefix-filtered
     token join."""
-    vocab_n = _bitmap_vocab_n(toks)
+    vocab_n = _bitmap_vocab_n(toks, probe=probe)
     if vocab_n is not None:
         return _g02_bitmask(toks, vocab_n, threshold)
     return _g02_token_join(toks, threshold)
@@ -396,7 +420,7 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 68s -> ~4s at sf0.1), open vocabularies take the
     # candidate-bounded token join (a bitmap plan there would need
     # ceil(vocab/64) columns — thousands — and die at plan time)
-    vocab_n = _bitmap_vocab_n(toks)
+    vocab_n = _bitmap_vocab_n(toks, probe=_tokens_raw(d))
     if vocab_n is not None:
         return _verify_pairs_bitmap(candidates, toks, vocab_n, 0.8)
     return _verify_pairs_token_join(candidates, toks, 0.8)
@@ -490,12 +514,12 @@ def g02d_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions = F.when(
         F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
     ).otherwise(F.array().cast("array<int>"))
-    shingles = (
-        d.select("doc_id", "text", F.explode(positions).alias("i"))
-        .select("doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok"))
-        .distinct()
+    shingles_raw = d.select(
+        "doc_id", F.explode(positions).alias("i"), "text"
+    ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok"))
+    return _jaccard_pairs(
+        shingles_raw.distinct(), threshold=0.8, probe=shingles_raw
     )
-    return _jaccard_pairs(shingles, threshold=0.8)
 
 
 # --------------------------------------------------------------------------
@@ -1174,7 +1198,7 @@ def g12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to their source labels; source pair is canonicalized
     least/greatest so the report is orientation-free."""
     d = load(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs(_tokens(d), threshold=0.8)
+    pairs = _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
     src = d.select("doc_id", "source")
     s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
     s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
@@ -1620,7 +1644,7 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     a superset then intersecting equals intersecting both filtered
     sets)."""
     d = load(spark, sf_dir, "documents")
-    text_pairs = _jaccard_pairs(_tokens(d), threshold=0.8)
+    text_pairs = _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
