@@ -378,8 +378,16 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures) are handled by AQE skew split.
     """
     d = load(spark, sf_dir, "documents")
-    toks = _tokens(d)
-    n_hashes, bands = 16, 4
+    return _minhash_lsh_neardup(_tokens(d), probe=_tokens_raw(d))
+
+
+def _minhash_lsh_candidates(
+    toks: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """MinHash banding candidate generation over any (doc_id, tok) set
+    stream: k seeded xxhash64 minhashes, hashed per band; docs sharing
+    any band signature become a candidate (d1 < d2) pair via an
+    equi-join on (band, sig). Shuffle volume O(docs * bands)."""
     rows_per_band = n_hashes // bands
     # minhash_i(doc) = min over tokens of xxhash64(tok, seed=i)
     minhashes = toks.groupBy("doc_id").agg(
@@ -403,7 +411,7 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in band_rows[1:]:
         sigs = sigs.unionByName(extra)
     a, b_ = sigs.alias("a"), sigs.alias("b")
-    candidates = (
+    return (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -413,17 +421,40 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
     )
-    # verify candidates with exact jaccard — same strategy switch as
-    # _jaccard_pairs: small universes take packed-bitmap popcount (one
-    # codegen expression per candidate pair; with a dense fixture corpus
-    # the candidate set is large and the token-join verify dominated,
-    # measured 68s -> ~4s at sf0.1), open vocabularies take the
-    # candidate-bounded token join (a bitmap plan there would need
-    # ceil(vocab/64) columns — thousands — and die at plan time)
-    vocab_n = _bitmap_vocab_n(toks, probe=_tokens_raw(d))
+
+
+def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> DataFrame:
+    """Banding candidates + exact-Jaccard verify with the same strategy
+    switch as _jaccard_pairs: small universes take packed-bitmap
+    popcount (one codegen expression per candidate pair; with a dense
+    fixture corpus the candidate set is large and the token-join verify
+    dominated, measured 68s -> ~4s at sf0.1), open vocabularies take
+    the candidate-bounded token join (a bitmap plan there would need
+    ceil(vocab/64) columns — thousands — and die at plan time)."""
+    candidates = _minhash_lsh_candidates(toks)
+    vocab_n = _bitmap_vocab_n(toks, probe=probe)
     if vocab_n is not None:
         return _verify_pairs_bitmap(candidates, toks, vocab_n, 0.8)
     return _verify_pairs_token_join(candidates, toks, 0.8)
+
+
+@query("g02e_dedup_lsh_shingle", oracle=None)  # approximate — rows-only tier
+def g02e_dedup_lsh_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH over character 3-gram shingles — the scale path for
+    g02d's exact shingle Jaccard, exactly as its docstring promises:
+    identical banding machinery to g02b with the tokenizer swapped for
+    the shingler. Robust to word-boundary edits AND never quadratic:
+    candidates come only from band-signature collisions, then the same
+    strategy-switched exact verify. Approximate recall => rows-only;
+    g02d is the exact twin carrying the hash burden."""
+    d = load(spark, sf_dir, "documents")
+    positions = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles_raw = d.select(
+        "doc_id", F.explode(positions).alias("i"), "text"
+    ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok"))
+    return _minhash_lsh_neardup(shingles_raw.distinct(), probe=shingles_raw)
 
 
 @query("g02c_dedup_simhash", oracle=None)  # approximate — rows-only tier
@@ -1699,4 +1730,160 @@ def g22_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(split.alias("split"), "lang")
         .groupBy("split", "lang")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "g23_text_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+         counts AS (SELECT doc_id, tok, COUNT(*) AS c
+                    FROM toks GROUP BY doc_id, tok)
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(1.0 - COUNT(*) * 1.0 / SUM(c), 4) AS dup_token_ratio,
+           ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_token_frac,
+           CASE WHEN 1.0 - COUNT(*) * 1.0 / SUM(c) <= 0.6
+                 AND MAX(c) * 1.0 / SUM(c) <= 0.2
+                THEN 1 ELSE 0 END AS repetition_pass
+    FROM counts
+    GROUP BY doc_id
+    """,
+)
+def g23_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText rule
+    family): per document, the duplicate-token ratio (1 - distinct/total)
+    and the top-token fraction, plus the pass/fail flag a filtering
+    stage would gate on. Highly repetitive documents (boilerplate,
+    keyword stuffing, degenerate generations) score high on both.
+
+    Scale: one shuffle on (doc_id, tok) for the counts, then a doc_id
+    aggregation whose input is already co-partitioned by the first —
+    integer algebra throughout, one rounded divide per ratio at the
+    end."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_tokens = F.sum("c")
+    n_distinct = F.count(F.lit(1))
+    top = F.max("c")
+    dup_ratio = F.lit(1.0) - n_distinct * F.lit(1.0) / n_tokens
+    top_frac = top * F.lit(1.0) / n_tokens
+    return counts.groupBy("doc_id").agg(
+        as_long(n_tokens).alias("n_tokens"),
+        duck_round(dup_ratio, 4).alias("dup_token_ratio"),
+        duck_round(top_frac, 4).alias("top_token_frac"),
+        F.when((dup_ratio <= 0.6) & (top_frac <= 0.2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("repetition_pass"),
+    )
+
+
+# PII patterns kept POSIX-simple so the Java and RE2 dialects agree.
+# The email/phone patterns are the standard scrub set; the fixture
+# corpus is synthetic (no real PII), so a marker-entity pattern stands
+# in as the configured custom rule to exercise the path non-trivially
+# (same approach as g08c's marker-vocabulary language ID).
+_PII_PATTERNS = (
+    "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+",  # email
+    "[+]?[0-9][0-9() -]{6,}[0-9]",               # phone-like digit run
+    "spark",                                     # stand-in entity rule
+)
+
+
+@query(
+    "g24_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[0]}')) AS BIGINT)
+             + CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[1]}')) AS BIGINT)
+             + CAST(len(regexp_extract_all(text, '{_PII_PATTERNS[2]}')) AS BIGINT)
+             AS n_redactions,
+           CAST(length(
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_PII_PATTERNS[0]}', '[PII]', 'g'),
+                   '{_PII_PATTERNS[1]}', '[PII]', 'g'),
+                   '{_PII_PATTERNS[2]}', '[PII]', 'g')) AS BIGINT)
+             AS scrubbed_len
+    FROM documents
+    """,
+)
+def g24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing stage: cascade of redaction regexes (email, phone,
+    configured entity rules) with a per-document redaction count — the
+    compliance pass a corpus takes before training. Pure projection
+    (one codegen span, no shuffle at any scale); patterns are applied
+    in a fixed order so redactions compose deterministically."""
+    d = load(spark, sf_dir, "documents")
+    scrubbed = F.col("text")
+    n_red = F.lit(0).cast("long")
+    for pat in _PII_PATTERNS:
+        n_red = n_red + F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+        scrubbed = F.regexp_replace(scrubbed, pat, "[PII]")
+    return d.select(
+        "doc_id",
+        as_long(n_red).alias("n_redactions"),
+        as_long(F.length(scrubbed)).alias("scrubbed_len"),
+    )
+
+
+_PACK_CAPACITY = 256
+
+
+@query(
+    "g25_sequence_pack",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                 AS start_off
+        FROM sized
+    )
+    SELECT lang,
+           CAST(start_off // {_PACK_CAPACITY} AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM placed
+    GROUP BY lang, seq_id
+    """,
+)
+def g25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch construction: documents are
+    concatenated per language in deterministic doc_id order and chopped
+    into fixed-capacity token sequences (capacity 256 = _PACK_CAPACITY);
+    each doc is assigned to the sequence its starting offset falls in —
+    the concat-and-chunk packing GPT-style pretraining uses. Output is
+    the per-sequence manifest (doc count, token sum).
+
+    Scale: one window shuffle on the stream key (lang) computes the
+    running offset, then a tiny (lang, seq_id) rollup; at 100 TB the
+    stream key would be (shard, lang) so no single partition holds a
+    language's whole corpus."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    placed = sized.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return placed.groupBy(
+        "lang",
+        (F.col("start_off") / _PACK_CAPACITY).cast("long").alias("seq_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
     )

@@ -129,3 +129,18 @@ def test_quantize_reads_only_needed_columns(spark, sf_dir):
     plan = _plan("g18_embed_quantize", spark, sf_dir)
     cols = read_columns(plan, "embeddings")
     assert "label" not in cols, cols
+
+
+def test_pii_scrub_single_codegen_projection(spark, sf_dir):
+    """g24 is a pure regex-cascade projection: no exchange anywhere,
+    one whole-stage-codegen span over the scan."""
+    plan = _plan("g24_pii_scrub", spark, sf_dir)
+    assert "Exchange" not in plan
+    assert len(codegen_ids(plan)) == 1, plan
+
+
+def test_repetition_partial_aggregation(spark, sf_dir):
+    """g23's token counts combine map-side before the (doc_id, tok)
+    shuffle — the partial-agg posture that survives 100x scale."""
+    plan = _plan("g23_text_repetition", spark, sf_dir)
+    assert partial_aggregation(plan)

@@ -107,3 +107,21 @@ def test_open_vocab_verify_token_join(spark):
         for r in _verify_pairs_token_join(cands, toks, 0.8).collect()
     }
     assert got == {(0, 9999, round(39 / 41, 6))}
+
+
+def test_lsh_outputs_subset_of_exact(spark, sf_dir):
+    """MinHash-LSH near-dup (g02b token, g02e shingle) verifies
+    candidates with EXACT Jaccard, so precision is 1 by construction:
+    every emitted pair must appear in the exact twin's output with the
+    identical jaccard value (recall may be < 1 — banding misses)."""
+    from data_lake_staging_engine_spark.registry import registry
+
+    reg = registry()
+    for approx_name, exact_name in (
+        ("g02b_dedup_lsh", "g02_dedup_near"),
+        ("g02e_dedup_lsh_shingle", "g02d_dedup_ngram"),
+    ):
+        approx = {tuple(r) for r in reg[approx_name].fn(spark, sf_dir).collect()}
+        exact = {tuple(r) for r in reg[exact_name].fn(spark, sf_dir).collect()}
+        assert len(approx) > 0
+        assert approx <= exact, f"{approx_name} emitted non-exact pairs"
