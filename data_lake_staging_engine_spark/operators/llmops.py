@@ -463,14 +463,16 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits; candidate pairs = equal signatures on any of 4 16-bit bands
     (Hamming-distance blocking). Rows-only (approximate family)."""
     d = load(spark, sf_dir, "documents")
-    toks = _tokens(d)
-    h = F.xxhash64("tok")
+    # materialize the 64-bit token hash ONCE per (doc, tok) row; the 64
+    # per-bit aggregates below then read the same column instead of each
+    # re-evaluating xxhash64 (measured 10.8 s -> ~4.5 s warm at sf0.1)
+    toks = _tokens(d).withColumn("h", F.xxhash64("tok"))
     # bit b of signature = sign of sum over tokens of (bit set ? +1 : -1)
     bit_cols = [
         F.when(
             F.sum(
                 F.when(
-                    F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) != 0, 1
+                    F.shiftrightunsigned("h", b).bitwiseAND(F.lit(1)) != 0, 1
                 ).otherwise(-1)
             )
             > 0,
