@@ -125,3 +125,20 @@ def test_lsh_outputs_subset_of_exact(spark, sf_dir):
         exact = {tuple(r) for r in reg[exact_name].fn(spark, sf_dir).collect()}
         assert len(approx) > 0
         assert approx <= exact, f"{approx_name} emitted non-exact pairs"
+
+
+def test_strategy_switch_plan_shapes(spark, sf_dir):
+    """Plan-level pin of the vocabulary switch: the small-universe path
+    compiles to bitmap popcount (bit_count) expressions; the open-
+    vocabulary path must compile to a token join with NO bitmap
+    machinery anywhere in the plan (an open-vocab bitmap plan would
+    need ceil(vocab/64) columns and die at real scale)."""
+    from data_lake_staging_engine_spark.plans.inspect import physical_plan
+
+    small = _tokens(load(spark, sf_dir, "documents"))
+    small_plan = physical_plan(_jaccard_pairs(small, 0.8))
+    assert "bit_count" in small_plan
+
+    open_toks = _tokens(_open_vocab_docs(spark))
+    open_plan = physical_plan(_jaccard_pairs(open_toks, 0.8))
+    assert "bit_count" not in open_plan
