@@ -389,10 +389,15 @@ def _minhash_lsh_candidates(
     any band signature become a candidate (d1 < d2) pair via an
     equi-join on (band, sig). Shuffle volume O(docs * bands)."""
     rows_per_band = n_hashes // bands
-    # minhash_i(doc) = min over tokens of xxhash64(tok, seed=i)
-    minhashes = toks.groupBy("doc_id").agg(
+    # minhash_i(doc) = min over tokens of hash_i(tok). Hash the (cheap
+    # to re-read, expensive to hash) string ONCE per row, then derive
+    # the k seeded variants by hashing the 64-bit value with the seed —
+    # k long-hashes cost far less than k string-hashes and are equally
+    # uniform (xxhash64 avalanches)
+    hashed = toks.withColumn("h0", F.xxhash64("tok"))
+    minhashes = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("tok"), F.lit(i))).alias(f"h{i}")
+            F.min(F.xxhash64(F.col("h0"), F.lit(i))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
