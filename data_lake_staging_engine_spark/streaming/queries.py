@@ -268,11 +268,13 @@ def e07_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     than the batch's entry watermark. Which rows count as late depends
     on nondeterministic file->batch assignment => rows-only tier."""
     import json
-
-    landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    import os
+    import shutil
     import tempfile
 
-    acc_path = tempfile.mktemp(prefix="dlse_late_")
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    fd, acc_path = tempfile.mkstemp(prefix="dlse_late_")
+    os.close(fd)
     counts = {"late": 0, "total": 0}
 
     def account(batch_df: DataFrame, batch_id: int) -> None:
@@ -284,15 +286,20 @@ def e07_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(landing)
     flagged = s.withWatermark("ts", "1 hour")
     checkpoint = tempfile.mkdtemp(prefix="dlse_ckpt_e07_")
-    q = (
-        flagged.writeStream.foreachBatch(account)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    with open(acc_path) as f:
-        batches = [json.loads(line) for line in f]
+    try:
+        q = (
+            flagged.writeStream.foreachBatch(account)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        with open(acc_path) as f:
+            batches = [json.loads(line) for line in f]
+    finally:
+        os.unlink(acc_path)
+        shutil.rmtree(checkpoint, ignore_errors=True)
+        spark.streams.resetTerminated()
     return spark.createDataFrame(
         [(len(batches), int(counts["total"]))], "n_batches bigint, n_rows bigint"
     )

@@ -142,3 +142,28 @@ def test_strategy_switch_plan_shapes(spark, sf_dir):
     open_toks = _tokens(_open_vocab_docs(spark))
     open_plan = physical_plan(_jaccard_pairs(open_toks, 0.8))
     assert "bit_count" not in open_plan
+
+
+def test_sequence_pack_conserves_tokens(spark, sf_dir):
+    """g25 invariants: packing is a partition of the corpus — per-lang
+    token totals are conserved exactly, every doc lands in exactly one
+    sequence, and seq_ids stay within ceil(lang_total/capacity)."""
+    from data_lake_staging_engine_spark.registry import registry
+
+    out = registry()["g25_sequence_pack"].fn(spark, sf_dir).collect()
+    d = load(spark, sf_dir, "documents")
+    truth = {
+        (r.lang): (r.n_docs, r.total)
+        for r in d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("long")).alias("total"),
+        )
+        .collect()
+    }
+    by_lang = {}
+    for r in out:
+        docs, toks = by_lang.get(r.lang, (0, 0))
+        by_lang[r.lang] = (docs + r.n_docs, toks + r.total_tokens)
+        assert 0 <= r.seq_id <= truth[r.lang][1] // 256
+    assert by_lang == truth
