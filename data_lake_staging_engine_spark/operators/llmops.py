@@ -1894,3 +1894,98 @@ def g25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@query(
+    "g26_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    tp AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+           FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+    pairs AS (SELECT d1, d2
+              FROM tp JOIN sizes s1 ON d1 = s1.doc_id
+                      JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE shared * 1.0 / (s1.n + s2.n - shared) >= 0.8),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+              UNION ALL SELECT d2, d1 FROM pairs),
+    reach AS (SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id,
+           LEAST(a, MIN(b)) AS cluster_id,
+           CASE WHEN LEAST(a, MIN(b)) = a THEN 1 ELSE 0 END AS is_representative
+    FROM reach
+    GROUP BY a
+    """,
+)
+def g26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components of
+    the Jaccard>=0.8 pair graph via iterative min-label propagation,
+    cluster id = smallest doc_id in the component, representative =
+    the member equal to its cluster id — the final step of a dedup
+    pipeline (pairs alone don't tell you which docs to drop; components
+    do: keep the representative, drop the rest).
+
+    Label propagation converges to the exact component minimum, so the
+    result is engine-independent and hash-verified against a recursive-
+    CTE transitive closure in DuckDB. Each iteration is one shuffle
+    (edges joined to current labels + min-aggregate); the label table
+    is ``localCheckpoint``-ed eagerly every round so the logical plan
+    stays FLAT — without lineage truncation each iteration re-analyzes
+    the whole history and wall time explodes (measured 1.6 s -> 24 s by
+    iteration 5; flat: ~1.5 s every round). On a multi-node cluster use
+    reliable ``checkpoint`` instead, and pointer-doubling (label-of-
+    label joins) cuts rounds to O(log diameter) for chain-heavy graphs.
+    The per-iteration convergence probe is a single count on the
+    changed-label set."""
+    d = load(spark, sf_dir, "documents")
+    pairs = _jaccard_pairs(_tokens(d), 0.8, probe=_tokens_raw(d)).select("d1", "d2")
+    edges = pairs.unionByName(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).persist()
+    try:
+        edges.count()  # materialize once; every iteration re-reads it
+        labels = (
+            edges.select(F.col("d1").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        while True:
+            neigh = (
+                edges.join(labels, edges["d2"] == labels["node"])
+                .groupBy("d1")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neigh, labels["node"] == neigh["d1"], "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.when(F.col("node") == F.col("label"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_representative"),
+        )
+    finally:
+        edges.unpersist()
