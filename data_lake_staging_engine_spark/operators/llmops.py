@@ -1944,6 +1944,24 @@ def g26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed-label set."""
     d = load(spark, sf_dir, "documents")
     pairs = _jaccard_pairs(_tokens(d), 0.8, probe=_tokens_raw(d)).select("d1", "d2")
+    labels = _min_label_components(pairs)
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        F.when(F.col("node") == F.col("label"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_representative"),
+    )
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """(node, label) connected components of an undirected pair graph
+    via min-label propagation; label = component minimum (exact,
+    deterministic). Iterations are single shuffles over the edge list;
+    the label table is localCheckpoint-ed eagerly per round to keep the
+    logical plan flat (see g26's docstring for measurements), and the
+    convergence probe is one count on the changed-label set."""
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).persist()
@@ -1979,13 +1997,6 @@ def g26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            F.when(F.col("node") == F.col("label"), 1)
-            .otherwise(0)
-            .cast("int")
-            .alias("is_representative"),
-        )
+        return labels
     finally:
         edges.unpersist()

@@ -167,3 +167,48 @@ def test_sequence_pack_conserves_tokens(spark, sf_dir):
         by_lang[r.lang] = (docs + r.n_docs, toks + r.total_tokens)
         assert 0 <= r.seq_id <= truth[r.lang][1] // 256
     assert by_lang == truth
+
+
+def test_min_label_components_matches_union_find(spark):
+    """Distributed min-label propagation == classic union-find on
+    adversarial graph shapes (long chains maximize iteration count,
+    cliques maximize edge fan-in, plus isolated pairs)."""
+    import random
+
+    from data_lake_staging_engine_spark.operators.llmops import (
+        _min_label_components,
+    )
+
+    rng = random.Random(42)
+    edges = []
+    # long chain 0-1-2-...-19 (diameter 19)
+    edges += [(i, i + 1) for i in range(19)]
+    # clique on 30..39
+    edges += [(a, b) for a in range(30, 40) for b in range(a + 1, 40)]
+    # random sprinkle over 50..99
+    edges += [
+        tuple(sorted(rng.sample(range(50, 100), 2))) for _ in range(40)
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edges], "d1 long, d2 long"
+    )
+    got = {r.node: r.label for r in _min_label_components(pairs).collect()}
+    assert got == expected
