@@ -1,0 +1,98 @@
+"""Which queries already have first-party driver CORRECTNESS evidence.
+
+The driver's per-round sweep writes at most 50 rows to
+``CORRECTNESS_r{N}.json`` and iterates ``__spark_entry__.queries()`` in
+insertion order.  Rounds 1 and 2 both burned all 50 slots on the same
+alphabetical prefix (a01..b34, all green twice), leaving the c/d/e/f/g
+families with local-parity evidence only (tests/test_oracle_parity.py).
+
+``registry()`` therefore orders queries so never-driver-verified entries
+come FIRST, prioritizing hash-tier (oracled) queries in the c-g families
+— these are the ones the VERDICT flagged as the biggest evidence gap.
+After each round, fold that round's green names into
+``DRIVER_VERIFIED`` so the next round's 50-slot window advances to the
+still-unverified remainder instead of re-proving the same prefix.
+
+DRIVER_VERIFIED = union of green rows in CORRECTNESS_r01.json and
+CORRECTNESS_r02.json (identical 50-name sets, re-checked 2026-08-13).
+"""
+
+from __future__ import annotations
+
+DRIVER_VERIFIED: frozenset[str] = frozenset(
+    {
+        "a01_scan_parquet",
+        "a02_scan_csv",
+        "a03_scan_json",
+        "a04_normalize_columns",
+        "a05_apply_schema_cast",
+        "a06_partition_derive",
+        "a07_dedup_keep_latest",
+        "a08_quality_nullcounts",
+        "a09_sink_parquet_partitioned",
+        "a10_compaction",
+        "a11_catalog_sync",
+        "a12_incremental_ingest",
+        "a13_stream_ingest_foreachbatch",
+        "a14_bad_records",
+        "a15_bucketed_join",
+        "a16_partition_pruned_scan",
+        "a17_dynamic_partition_overwrite",
+        "a18_python_datasource",
+        "a19_stream_upsert",
+        "a20_observed_metrics",
+        "a21_schema_evolution",
+        "a22_versioned_snapshot",
+        "b01_project_arith",
+        "b02_filter_pred",
+        "b03_distinct",
+        "b10_join_inner",
+        "b11_join_left",
+        "b12_join_right_full",
+        "b13_join_semi",
+        "b14_join_anti",
+        "b15_join_broadcast",
+        "b16_join_theta",
+        "b17_join_range_interval",
+        "b18_join_asof",
+        "b19_join_cross",
+        "b20_agg_groupby",
+        "b21_agg_having",
+        "b22_agg_countdistinct",
+        "b23_agg_approx_cd",
+        "b24_agg_rollup",
+        "b25_agg_cube",
+        "b26_agg_grouping_sets",
+        "b27_agg_stats",
+        "b28_agg_percentile",
+        "b29_agg_collect_sorted",
+        "b30_agg_minmax_by",
+        "b31_agg_salted_skew",
+        "b32_pivot",
+        "b33_unpivot",
+        "b34_sample_systematic",
+    }
+)
+
+# Families the round-2 VERDICT singled out ("Done = CORRECTNESS_r03.json
+# contains green rows for >=48 queries from {c,d,e,f,g}").
+_PRIORITY_FAMILIES = ("c", "d", "e", "f", "g")
+
+
+def sweep_rank(name: str, has_oracle: bool) -> tuple[int, str]:
+    """Sort key putting the most evidence-starved queries first.
+
+    0: never driver-verified, priority family, hash tier (oracled)
+    1: never driver-verified, priority family, rows-only tier
+    2: never driver-verified, other family (b35+), hash tier
+    3: never driver-verified, other family, rows-only tier
+    4: already driver-verified (a01..b34)
+    Alphabetical within each band keeps the order deterministic.
+    """
+    if name in DRIVER_VERIFIED:
+        band = 4
+    elif name[0] in _PRIORITY_FAMILIES:
+        band = 0 if has_oracle else 1
+    else:
+        band = 2 if has_oracle else 3
+    return (band, name)

@@ -59,8 +59,23 @@ def _load_all_modules() -> None:
 
 
 def registry() -> dict[str, RegisteredQuery]:
+    """All registered queries, ordered for the driver's capped sweep.
+
+    The driver iterates ``__spark_entry__.queries()`` in insertion order
+    and records at most 50 CORRECTNESS rows per round, so ordering IS
+    evidence policy: never-driver-verified queries come first (hash-tier
+    before rows-only, c-g families before b35+), already-verified ones
+    last.  See driver_evidence.py for the recorded-green set and rationale.
+    """
+    from data_lake_staging_engine_spark.driver_evidence import sweep_rank
+
     _load_all_modules()
-    return dict(sorted(_REGISTRY.items()))
+    return dict(
+        sorted(
+            _REGISTRY.items(),
+            key=lambda kv: sweep_rank(kv[0], kv[1].oracle is not None),
+        )
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
