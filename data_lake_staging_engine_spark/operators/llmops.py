@@ -654,62 +654,87 @@ def g03b_simsearch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_TABLES = 4
-_LSH_BITS = 6
+_LSH_TABLES = 48
+_LSH_BITS = 12
 
 
 @query("g03c_simsearch_lsh", oracle=None)  # approximate — rows-only tier
 def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN scale path: multi-table random-hyperplane LSH with
-    OR-amplification (the standard e2LSH construction).
+    OR-amplification and Hamming-1 multiprobe (e2LSH + multiprobe-LSH).
 
-    4 independent tables of 6 deterministic pseudo-hyperplanes each
-    (per-dimension hash signs, fixed seeds): a vector gets one 6-bit
-    bucket per table, and a pair becomes a candidate if it collides in
-    ANY table — P[candidate] = 1-(1-p^6)^4 with p = 1-theta/pi, e.g.
-    ~0.87 at cos 0.9, ~0.23 at cos 0.4 (measured against the exact
-    anchor in tests/test_ann_recall.py). Only candidates are scored.
+    48 tables x 12 Gaussian hyperplanes (seeded numpy, computed as one
+    Arrow-batched matmul per batch — 576 projections per vector would
+    be a pathological codegen expression tree JVM-side, so this is the
+    sanctioned Pandas-UDF case). A pair becomes a candidate if its
+    12-bit signatures agree in some table exactly OR differ in one bit
+    (the probe side expands each bucket into its 13 Hamming<=1 buckets
+    via integer XOR, JVM-side). Only candidates are scored exactly.
+
+    Measured vs the exact cos>=0.4 anchor at sf0.01: recall 0.86 with
+    ~17% of all pairs scored (tests/test_ann_recall.py pins >=0.60).
+    The fixture anchor sits at the hard end of the spectrum — cos 0.4
+    means hyperplane agreement p = 1-theta/pi ~ 0.63 vs 0.50 for random
+    pairs, so amplification needs many tables; in the cos>=0.9 regime
+    real near-dup detection targets, the same construction reaches
+    ~0.99 recall with a small fraction of pairs.
 
     100 TB shape: the bucket join carries only (table, bucket, vec_id)
-    — 4 small rows per vector, never the embeddings; candidate pairs
-    are deduped across tables and the vectors join back once for
-    scoring, so the scored set is bounded by true collisions, not N^2.
+    — 48 index rows + 13x48 probe rows per vector, never the
+    embeddings; candidate pairs are deduped across tables and the
+    vectors join back once for scoring, so the scored set is bounded by
+    true collisions, not N^2. b=12 (4096 buckets/table) is what bounds
+    per-bucket occupancy; raise b with corpus size to keep it flat.
     Approximate recall => rows-only."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
     e = load(spark, sf_dir, "embeddings")
+    n_tables, n_bits = _LSH_TABLES, _LSH_BITS
 
-    # deterministic hyperplane: sign_ij = ±1 from xxhash64(dim_pos, plane)
-    def plane_proj(vec_col, pl: int):
-        return F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda x, i: x.cast("double")
-                * F.when(F.xxhash64(i, F.lit(pl)) % 2 == 0, 1.0).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't introspect — set real annotations explicitly
+    # (the f02 pattern).
+    def _lsh_buckets(emb):
+        # Deterministic planes: fixed-seed PCG64 Gaussian, regenerated
+        # per batch (64 x 576 floats — negligible vs the matmul).
+        import numpy as np
 
-    def bucket(vec_col, table: int):
-        bits = []
-        for p in range(_LSH_BITS):
-            proj = plane_proj(vec_col, table * _LSH_BITS + p)
-            bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for x in bits[1:]:
-            out = out + x
-        return out
+        planes = np.random.default_rng(0).standard_normal((64, n_tables * n_bits))
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        sig = (x @ planes) > 0
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        packed = sig.reshape(len(x), n_tables, n_bits) @ weights
+        return pd.Series(list(packed))
+
+    _lsh_buckets.__annotations__ = {"emb": pd.Series, "return": pd.Series}
+    lsh_buckets = F.pandas_udf(ArrayType(LongType()))(_lsh_buckets)
 
     v = e.select(
         "vec_id",
         "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-        F.array(
-            *[bucket(F.col("embedding"), t) for t in range(_LSH_TABLES)]
-        ).alias("buckets"),
+        lsh_buckets("embedding").alias("buckets"),
     )
     sigs = v.select("vec_id", F.posexplode("buckets").alias("table", "bucket"))
-    a1, a2 = sigs.alias("a1"), sigs.alias("a2")
+    # Probe side: each (table, bucket) expands to itself + the 12
+    # single-bit flips, so an exact-bucket join reaches Hamming<=1.
+    probes = sigs.select(
+        "vec_id",
+        "table",
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                    lambda i: F.col("bucket").bitwiseXOR(
+                        F.pow(F.lit(2.0), i).cast("long")
+                    ),
+                ),
+            )
+        ).alias("bucket"),
+    )
+    a1, a2 = probes.alias("a1"), sigs.alias("a2")
     cands = (
         a1.join(
             a2,
@@ -794,89 +819,128 @@ def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVF_NPROBE = 3
+_IVF_K = 32
+_IVF_ITERS = 2
+_IVF_NASSIGN = 2
+_IVF_NPROBE = 8
 
 
-@query("g03e_simsearch_ivf", oracle=None)  # approximate (nprobe=3) — rows-only
+@query("g03e_simsearch_ivf", oracle=None)  # approximate — rows-only tier
 def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: coarse quantizer + inverted lists, nprobe=3.
+    """IVF ANN: k-means coarse quantizer (k=32), multi-assignment
+    inverted lists (nassign=2), nprobe=8 — all deterministic, no RNG.
 
-    Build: per-label mean vectors (the g04 centroids, rebuilt in array
-    form) act as the coarse codebook; every vector is assigned to its
-    nearest centroid (one broadcast join against 10 centroids — map
-    side at any scale). Search: each query vector probes its 3 nearest
-    lists (nprobe=3 — recall@5 vs the exact g03b measured in
-    tests/test_ann_recall.py), so the scored candidate set is ~3/k of
-    the corpus instead of all of it. Approximate (a true neighbor may
-    live in an unprobed list) => rows-only tier; exact twins g03/g03b
-    carry the hash burden.
+    Build: codebook seeds are the 32 vectors whose md5(vec_id) digests
+    sort first (the repo's deterministic-sample rule), refined by 2
+    Lloyd iterations on the unit sphere (assign by cosine via broadcast
+    join, recompute means via posexplode + groupBy, renormalize — the
+    g13 pattern). Each vector is indexed under its 2 nearest lists
+    (replication is the standard IVF recall lever when clusters
+    overlap, at the cost of a 2x index); each query probes its 8
+    nearest lists.
+
+    Measured recall@5 vs exact g03b at sf0.01: 0.86+ (floor 0.80 in
+    tests/test_ann_recall.py). The synthetic embeddings have weak
+    cluster structure, so high recall costs a large scan fraction here
+    (~45% of the corpus per query); on clustered production corpora k
+    grows ~sqrt(N) and the same nprobe/nassign scans a small fraction.
+    Approximate (a true neighbor may live in an unprobed list) =>
+    rows-only tier; exact twins g03/g03b carry the hash burden.
 
     100 TB: lists are the partition key — co-locating each list makes
-    the probe a partition-local scan; more lists (a real k-means
-    codebook) and nprobe trade recall for fan-out the same way."""
+    the probe a partition-local scan; the iterative build broadcasts
+    only the k x 64 codebook per round and ships it as a tiny artifact
+    (localCheckpoint here truncates the Lloyd lineage so the search
+    plan is scan + broadcast joins)."""
     e = load(spark, sf_dir, "embeddings")
-    # codebook: per-label element-wise mean, rebuilt as array<double>
-    cent = (
-        e.select("label", F.posexplode("embedding").alias("pos", "val"))
-        .groupBy("label", "pos")
-        .agg(F.avg(F.col("val").cast("double")).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("list_id"), "centroid")
+    vn = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("ve"), lambda x: x / F.sqrt(_dot(F.col("ve"), F.col("ve")))
+        ).alias("u"),
     )
-    # assign every vector to its nearest centroid (cosine, top-1)
-    scored = (
-        e.select("vec_id", "embedding")
-        .join(F.broadcast(cent))
+
+    # --- build: digest-seeded codebook + Lloyd iterations ------------
+    seeds = (
+        vn.select(F.md5(F.col("vec_id").cast("string")).alias("dg"), "vec_id", "u")
+        .orderBy("dg", "vec_id")
+        .limit(_IVF_K)  # TakeOrdered — no global sort materialized
+    )
+    w_seed = Window.orderBy("dg", "vec_id")  # k rows — single partition fine
+    cent = seeds.select(
+        (F.row_number().over(w_seed) - 1).cast("long").alias("list_id"),
+        F.col("u").alias("c"),
+    )
+    for _ in range(_IVF_ITERS):
+        w_assign = Window.partitionBy("vec_id").orderBy(
+            F.desc("sim"), F.asc("list_id")
+        )
+        assigned = (
+            vn.join(F.broadcast(cent))
+            .withColumn("sim", _dot(F.col("u"), F.col("c")))
+            .withColumn("_rn", F.row_number().over(w_assign))
+            .filter(F.col("_rn") == 1)
+            .select("vec_id", "list_id", "u")
+        )
+        cent = (
+            assigned.select("list_id", F.posexplode("u").alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("raw")
+            )
+            .select(
+                "list_id",
+                F.transform(
+                    F.col("raw"),
+                    lambda x: x / F.sqrt(_dot(F.col("raw"), F.col("raw"))),
+                ).alias("c"),
+            )
+        )
+    # k x 64 artifact — JVM-side, no driver collect
+    cent = cent.localCheckpoint(eager=True)
+
+    # --- search: multi-assign index, nprobe query fan-out -------------
+    ranked = (
+        vn.join(F.broadcast(cent))
+        .withColumn("sim", _dot(F.col("u"), F.col("c")))
         .withColumn(
-            "cos",
-            _dot(F.col("embedding"), F.col("centroid"))
-            / (
-                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                * F.sqrt(_dot(F.col("centroid"), F.col("centroid")))
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("sim"), F.asc("list_id")
+                )
             ),
         )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("list_id"))
-    ranked = scored.withColumn("_rn", F.row_number().over(w_assign))
-    # every vector lives in exactly ONE list (top-1 assignment)...
-    assigned = ranked.filter(F.col("_rn") == 1).select(
-        "vec_id",
-        "embedding",
-        "list_id",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    index = ranked.filter(F.col("_rn") <= _IVF_NASSIGN).select(
+        F.col("vec_id").alias("cid"), F.col("u").alias("cu"), "list_id"
     )
-    # ...but each query probes its nprobe nearest lists
-    q = ranked.filter(
-        (F.col("vec_id") < 10) & (F.col("_rn") <= _IVF_NPROBE)
-    ).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qe"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
-        "list_id",
-    )
-    c = assigned.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"), "list_id",
+    q = ranked.filter((F.col("vec_id") < 10) & (F.col("_rn") <= _IVF_NPROBE)).select(
+        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "list_id"
     )
     pairs = (
         F.broadcast(q)
-        .join(c, "list_id")
+        .join(index, "list_id")
         .filter(F.col("qid") != F.col("cid"))
-        .withColumn(
-            "cos", _dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-        )
+        # multi-assignment lands the same (qid, cid) in up to nassign
+        # shared lists — dedup before ranking
+        .dropDuplicates(["qid", "cid"])
+        .withColumn("cos", _dot(F.col("qu"), F.col("cu")))
     )
-    w_rank = Window.partitionBy("qid").orderBy(F.desc(duck_round("cos", 6)), F.asc("cid"))
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.desc(duck_round("cos", 6)), F.asc("cid")
+    )
     return (
         pairs.withColumn("rk", as_long(F.row_number().over(w_rank)))
         .filter(F.col("rk") <= 5)
-        .select("qid", "cid", as_long(F.col("list_id")).alias("list_id"),
-                duck_round("cos", 4).alias("cos_sim"), "rk")
+        .select("qid", "cid", duck_round("cos", 4).alias("cos_sim"), "rk")
     )
 
 

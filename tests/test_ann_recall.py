@@ -1,22 +1,26 @@
-"""ANN quality measurement (VERDICT r01 next-round #4): the approximate
-similarity paths (g03c multi-table hyperplane LSH, g03e IVF nprobe=3)
-must carry DOCUMENTED recall against the exact anchors — g03d-style
-exact cosine pairs and g03b exact top-5.
+"""ANN quality measurement (VERDICT r01 #4, raised to production grade
+per VERDICT r02 #3): the approximate similarity paths (g03c multi-table
+hyperplane LSH with multiprobe, g03e IVF with a k-means codebook and
+multi-assignment) must carry DOCUMENTED recall against the exact
+anchors — g03d-style exact cosine pairs and g03b exact top-5.
 
-Everything here is deterministic (seeded hash hyperplanes, no RNG), so
-the measured recalls are exact constants at this fixture SF; the floors
-sit just below the measured values to catch regressions:
+Everything here is deterministic (fixed-seed Gaussian hyperplanes,
+digest-seeded Lloyd iterations — no per-run RNG), so the measured
+recalls are exact constants at this fixture SF; the floors sit below
+the measured values to catch regressions:
 
-- g03c vs exact pairs cos>=0.4: measured 0.2712 at sf0.01. Theory for
-  4 tables x 6 planes: P[collide] = 1-(1-p^6)^4, p = 1-theta/pi, which
-  is ~0.23 at cos exactly 0.4 (the fixture anchor pairs sit just above
-  the threshold — there is no true near-dup cluster in the synthetic
-  embeddings) and ~0.87 at cos 0.9, the regime real near-dup detection
-  targets.
-- g03e recall@5 vs exact g03b top-5: measured 0.50 mean at sf0.01 with
-  nprobe=3 over the 10 label-derived lists (labels are only weakly
-  geometric in the fixture, so this is the honest ceiling's
-  neighborhood; a real k-means codebook raises it).
+- g03c vs exact pairs cos>=0.4: measured 0.8644 at sf0.01 (48 tables x
+  12 bits, Hamming-1 multiprobe; ~17% of all pairs become candidates).
+  The cos 0.4 anchor is the hard regime — hyperplane agreement
+  p = 1-theta/pi is only ~0.63 vs 0.50 for random pairs; at the
+  cos>=0.9 regime real near-dup targets, the same construction is
+  ~0.99 recall on a small candidate fraction. Floor 0.60 per the r02
+  verdict's "production grade" bar.
+- g03e recall@5 vs exact g03b top-5: measured 0.86 at sf0.01 (k=32
+  digest-init k-means, 2 Lloyd iterations, nassign=2, nprobe=8).
+  Floor 0.80 per the r02 verdict. The synthetic embeddings have weak
+  cluster structure, so this costs a ~45% scan fraction here; see the
+  g03e docstring for the production-scale posture.
 """
 
 from pyspark.sql import functions as F
@@ -55,7 +59,7 @@ def test_lsh_recall_vs_exact_anchor(spark, sf_dir):
     lsh = _REG["g03c_simsearch_lsh"].fn(spark, sf_dir)
     got = {(min(r.qid, r.cid), max(r.qid, r.cid)) for r in lsh.collect()}
     recall = len(got & exact) / len(exact)
-    assert recall >= 0.20, f"g03c recall vs cos>=0.4 anchor fell to {recall:.4f}"
+    assert recall >= 0.60, f"g03c recall vs cos>=0.4 anchor fell to {recall:.4f}"
 
 
 def test_ivf_recall_at_5_vs_exact_knn(spark, sf_dir):
@@ -70,4 +74,4 @@ def test_ivf_recall_at_5_vs_exact_knn(spark, sf_dir):
         len(ivf_top.get(q, set()) & s) / len(s) for q, s in exact_top.items()
     ]
     mean_recall = sum(recalls) / len(recalls)
-    assert mean_recall >= 0.40, f"g03e recall@5 fell to {mean_recall:.4f}"
+    assert mean_recall >= 0.80, f"g03e recall@5 fell to {mean_recall:.4f}"
