@@ -1996,16 +1996,17 @@ def g26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Label propagation converges to the exact component minimum, so the
     result is engine-independent and hash-verified against a recursive-
-    CTE transitive closure in DuckDB. Each iteration is one shuffle
-    (edges joined to current labels + min-aggregate); the label table
-    is ``localCheckpoint``-ed eagerly every round so the logical plan
+    CTE transitive closure in DuckDB. Each round is a propagate shuffle
+    (edges joined to current labels + min-aggregate) PLUS a pointer-
+    doubling label-of-label self-join, giving O(log diameter) rounds on
+    chain-heavy graphs (_min_label_components_rounds; pinned on a
+    256-chain in tests/test_strategies.py). The label table is
+    ``localCheckpoint``-ed eagerly every round so the logical plan
     stays FLAT — without lineage truncation each iteration re-analyzes
     the whole history and wall time explodes (measured 1.6 s -> 24 s by
     iteration 5; flat: ~1.5 s every round). On a multi-node cluster use
-    reliable ``checkpoint`` instead, and pointer-doubling (label-of-
-    label joins) cuts rounds to O(log diameter) for chain-heavy graphs.
-    The per-iteration convergence probe is a single count on the
-    changed-label set."""
+    reliable ``checkpoint`` instead. The per-round convergence probe is
+    a single count on the changed-label set."""
     d = load(spark, sf_dir, "documents")
     pairs = _jaccard_pairs(_tokens(d), 0.8, probe=_tokens_raw(d)).select("d1", "d2")
     labels = _min_label_components(pairs)
@@ -2019,13 +2020,37 @@ def g26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _min_label_components(pairs: DataFrame) -> DataFrame:
-    """(node, label) connected components of an undirected pair graph
-    via min-label propagation; label = component minimum (exact,
-    deterministic). Iterations are single shuffles over the edge list;
-    the label table is localCheckpoint-ed eagerly per round to keep the
-    logical plan flat (see g26's docstring for measurements), and the
-    convergence probe is one count on the changed-label set."""
+def _min_label_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """(node, label) connected components of an undirected pair graph;
+    label = component minimum (exact, deterministic)."""
+    labels, _ = _min_label_components_rounds(pairs, max_rounds)
+    return labels
+
+
+def _min_label_components_rounds(
+    pairs: DataFrame, max_rounds: int = 64
+) -> tuple[DataFrame, int]:
+    """Min-label connected components with pointer doubling; returns
+    (labels, rounds-to-converge).
+
+    Each round does BOTH halves of the classic O(log diameter)
+    construction (VERDICT r02 #4; the Rastogi et al. hash-to-min
+    recipe):
+
+    1. propagate — every node takes the min of its own and its
+       neighbors' labels (one shuffle over the edge list);
+    2. shortcut (pointer doubling) — labels are node ids, so a
+       label-of-label self-join replaces each node's label with its
+       label's label: the distance a label has travelled roughly
+       doubles every round instead of growing by one hop.
+
+    A path graph of n nodes therefore converges in ~log2(n) rounds
+    (pinned by tests/test_strategies.py on a 256-chain) instead of n.
+    The label table is localCheckpoint-ed eagerly per round to keep
+    the logical plan flat (see g26's docstring for measurements); the
+    convergence probe is one count on the changed-label set.
+    ``max_rounds`` is a hard backstop — 64 > log2 of any feasible node
+    count, so hitting it means a logic regression, not a big graph."""
     edges = pairs.unionByName(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).persist()
@@ -2036,18 +2061,33 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        while True:
+        for rounds in range(1, max_rounds + 1):
             neigh = (
                 edges.join(labels, edges["d2"] == labels["node"])
                 .groupBy("d1")
                 .agg(F.min("label").alias("nlabel"))
             )
+            prop = labels.join(neigh, labels["node"] == neigh["d1"], "left").select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            # pointer doubling: label <- min(label, label(label)); label
+            # values are node ids, so this is a self-join on label=node
             new_labels = (
-                labels.join(neigh, labels["node"] == neigh["d1"], "left")
+                prop.alias("x")
+                .join(
+                    prop.select(
+                        F.col("node").alias("lnode"), F.col("label").alias("llabel")
+                    ),
+                    F.col("x.label") == F.col("lnode"),
+                    "left",
+                )
                 .select(
                     "node",
                     F.least(
-                        F.col("label"), F.coalesce("nlabel", F.col("label"))
+                        F.col("x.label"), F.coalesce("llabel", F.col("x.label"))
                     ).alias("label"),
                 )
                 .localCheckpoint(eager=True)
@@ -2060,7 +2100,10 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             )
             labels = new_labels
             if changed == 0:
-                break
-        return labels
+                return labels, rounds
+        raise RuntimeError(
+            f"min-label components did not converge in {max_rounds} rounds "
+            "(pointer doubling should need ~log2(diameter))"
+        )
     finally:
         edges.unpersist()
