@@ -72,6 +72,16 @@ def _canon_value(v):
     return (type(v).__name__, str(v))
 
 
+def _contains_nan(canon) -> bool:
+    """True if a canonicalized cell/row contains the NaN tag anywhere
+    (nested lists/maps included)."""
+    if canon == ("float", "nan"):
+        return True
+    if isinstance(canon, tuple):
+        return any(_contains_nan(x) for x in canon)
+    return False
+
+
 @dataclass
 class ParityResult:
     name: str
@@ -80,44 +90,48 @@ class ParityResult:
     spark_rows: int = -1
     oracle_rows: int = -1
     mismatches: list = field(default_factory=list)
+    spark_has_nan: bool = False
 
 
 def compare(name, spark_df, con, oracle_sql) -> ParityResult:
-    sdf = spark_df.toPandas()
-    odf = con.execute(oracle_sql).fetchdf()
-    s_cols = sorted(sdf.columns)
-    o_cols = sorted(odf.columns)
+    """Strict driver-replica comparison.
+
+    Rows are fetched natively (Spark ``collect``, DuckDB ``fetchall``),
+    NOT via pandas: float64 pandas frames represent SQL NULL as NaN, so
+    a toPandas-based compare silently conflates the two (VERDICT r02
+    "What's wrong" #3). Native rows keep None and float('nan')
+    distinct, and ``_canon_value`` tags them distinctly — a query that
+    emits NaN where the oracle emits NULL now FAILS here, matching what
+    an un-truncated driver hash sweep would do. ``spark_has_nan``
+    additionally reports whether the Spark side emitted any NaN at all
+    (H-tier queries must not — tests/test_oracle_parity.py asserts)."""
+    s_schema = list(spark_df.columns)
+    s_data = spark_df.collect()
+    cur = con.execute(oracle_sql)
+    o_schema = [d[0] for d in cur.description]
+    o_data = cur.fetchall()
+    s_cols = sorted(s_schema)
+    o_cols = sorted(o_schema)
     if s_cols != o_cols:
         return ParityResult(
             name, False, f"column mismatch: spark={s_cols} oracle={o_cols}"
         )
-    sr, orr = len(sdf), len(odf)
+    sr, orr = len(s_data), len(o_data)
     if sr != orr:
         return ParityResult(
             name, False, f"row count: spark={sr} oracle={orr}", sr, orr
         )
-    import numpy as np
-    import pandas as pd
+    s_idx = [s_schema.index(c) for c in s_cols]
+    o_idx = [o_schema.index(c) for c in o_cols]
 
-    def norm_cell(x):
-        if x is None or x is pd.NaT:
-            return None
-        if isinstance(x, np.generic):
-            x = x.item()
-        if isinstance(x, float) and math.isnan(x):
-            return None  # NaN/NULL conflated identically on both sides
-        if isinstance(x, np.ndarray):
-            x = x.tolist()
-        return x
+    def rows(data, idx):
+        return sorted(
+            (tuple(_canon_value(r[i]) for i in idx) for r in data), key=repr
+        )
 
-    def rows(df):
-        out = []
-        for tup in df[s_cols].itertuples(index=False, name=None):
-            out.append(tuple(_canon_value(norm_cell(x)) for x in tup))
-        return sorted(out, key=repr)
-
-    s_rows = rows(sdf)
-    o_rows = rows(odf)
+    s_rows = rows(s_data, s_idx)
+    o_rows = rows(o_data, o_idx)
+    has_nan = any(_contains_nan(r) for r in s_rows)
     if s_rows != o_rows:
         diffs = [
             (a, b) for a, b in zip(s_rows, o_rows) if a != b
@@ -129,5 +143,6 @@ def compare(name, spark_df, con, oracle_sql) -> ParityResult:
             sr,
             orr,
             diffs,
+            has_nan,
         )
-    return ParityResult(name, True, "", sr, orr)
+    return ParityResult(name, True, "", sr, orr, spark_has_nan=has_nan)

@@ -17,6 +17,10 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     df = rq.fn(spark, sf_dir)
     res = compare(name, df, duck, rq.oracle)
     assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"
+    # H-tier queries must never emit NaN: pandas-era tooling conflates
+    # NaN with NULL, so a NaN that happens to line up with an oracle
+    # NULL is a latent hash mismatch (VERDICT r02 "What's wrong" #3).
+    assert not res.spark_has_nan, f"{name}: H-tier query emitted NaN"
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY_NAMES)

@@ -144,3 +144,30 @@ def test_repetition_partial_aggregation(spark, sf_dir):
     shuffle — the partial-agg posture that survives 100x scale."""
     plan = _plan("g23_text_repetition", spark, sf_dir)
     assert partial_aggregation(plan)
+
+
+def test_no_driver_collect_in_operator_bodies():
+    """VERDICT r02 #6: no .collect() in operator hot paths. Allowed
+    sites are the streaming memory-sink runner (verification pattern,
+    documented) and a12's median scalar setup in staging.py; every
+    other operator module must be collect-free — g13 now materializes
+    via eager localCheckpoint instead of collect+createDataFrame."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "data_lake_staging_engine_spark"
+    budget = {"operators/staging.py": 1}  # a12 scalar split point
+    for rel in [
+        "operators/llmops.py",
+        "operators/relational.py",
+        "operators/windows.py",
+        "operators/udfs.py",
+        "operators/staging.py",
+        "functions/scalar_packs.py",
+    ]:
+        tree = ast.parse((pkg / rel).read_text())
+        n_collects = sum(
+            isinstance(node, ast.Attribute) and node.attr == "collect"
+            for node in ast.walk(tree)
+        )
+        assert n_collects <= budget.get(rel, 0), f"{rel}: {n_collects} .collect calls"
