@@ -111,9 +111,36 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITMAP_MAX_VOCAB = 1024
 
 
-# token rows fed to the strategy-probe sketch: enough to expose an open
-# vocabulary, cheap enough that the probe never scans the full corpus
-_PROBE_SAMPLE_ROWS = 200_000
+# token rows fed to the strategy-probe sketch PER PARTITION: enough to
+# expose an open vocabulary, cheap enough that the probe never scans a
+# full partition (a plain global LIMIT drains only the first
+# partition(s), so clustered/sorted input under-represents vocabulary
+# diversity and mispredicts "small" — ADVICE r02)
+_PROBE_ROWS_PER_PARTITION = 8_192
+
+
+def _probe_head_per_partition(df: DataFrame) -> DataFrame:
+    """First ~_PROBE_ROWS_PER_PARTITION rows of EVERY partition.
+
+    Cross-partition representative where a global LIMIT is not (LIMIT
+    typically satisfies itself from partition 0, so data clustered by
+    the probed column defeats the sketch), while keeping the 100 TB
+    cost bound a LIMIT has: the generator stops pulling Arrow batches
+    once the cap is reached, so each task reads a bounded prefix of its
+    partition rather than the whole thing."""
+    cap = _PROBE_ROWS_PER_PARTITION
+    schema = df.schema
+
+    def head_batches(batches):
+        n = 0
+        for b in batches:
+            if n >= cap:
+                break
+            take = b.head(cap - n)
+            n += len(take)
+            yield take
+
+    return df.mapInPandas(head_batches, schema)
 
 
 def _bitmap_vocab_n(toks: DataFrame, probe: DataFrame | None = None) -> int | None:
@@ -124,20 +151,22 @@ def _bitmap_vocab_n(toks: DataFrame, probe: DataFrame | None = None) -> int | No
     global ``distinct().count()`` probe this replaces costs more at
     100 TB than the plan it selects — ADVICE r01):
 
-    1. ``approx_count_distinct`` HLL sketch over a LIMIT-bounded slice
-       of the token stream. A sample's vocabulary is a SUBSET of the
-       full one, so "sample already exceeds the cutoff" soundly proves
-       "open vocabulary" without touching the rest of the corpus —
-       the common 100 TB case costs one partial scan of ~200k rows.
-       ``probe`` lets callers pass the cheapest covering lineage (the
-       pre-distinct token stream; HLL is multiplicity-blind).
+    1. ``approx_count_distinct`` HLL sketch over a per-partition-head
+       sample of the token stream (bounded rows from EVERY partition,
+       not a global LIMIT that drains only partition 0). A sample's
+       vocabulary is a SUBSET of the full one, so "sample already
+       exceeds the cutoff" soundly proves "open vocabulary" without
+       touching the rest of the corpus — the common 100 TB case costs
+       one bounded prefix read per partition. ``probe`` lets callers
+       pass the cheapest covering lineage (the pre-distinct token
+       stream; HLL is multiplicity-blind).
     2. Only when the sample answers "small" (margin for ~5% rsd) does
        the exact count run, and it re-checks the threshold — so a
        sample that missed rare tokens can cost one mispredicted count
        job but can never send an oversized vocabulary down the bitmap
        path (bitmap sizing always uses the exact number)."""
-    probe_src = (probe if probe is not None else toks).select("tok").limit(
-        _PROBE_SAMPLE_ROWS
+    probe_src = _probe_head_per_partition(
+        (probe if probe is not None else toks).select("tok")
     )
     approx_n = int(
         probe_src.agg(F.approx_count_distinct("tok").alias("n")).first()[0]
@@ -794,8 +823,9 @@ def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g03e (IVF), whose recall against this anchor is measured in
     tests/test_ann_recall.py. The digest-bounded anchor keeps the
     scored-pair count at ~10% of N^2 while remaining deterministic and
-    hash-verified cross-engine; norms stay a map-side projection and
-    the pair stage a broadcast nested-loop on the vec_id inequality."""
+    hash-verified cross-engine — but the broadcast side still grows
+    O(N), so this operator is bounded only at anchor/fixture scale and
+    must never be the production dedup path."""
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
@@ -805,8 +835,10 @@ def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_anchor = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < "1a"
     a, b = v.filter(in_anchor).alias("a"), v.alias("b")
     cos = F.col("dot") / (F.col("a.norm") * F.col("b.norm"))
-    # broadcast the small anchor side; the full table is the streamed
-    # side, so at scale this is a map-only scan like g03's query scoring
+    # Broadcast the anchor side. NOTE: the anchor is ~10% of ALL
+    # vectors — an O(N) broadcast scoring O(N^2/10) pairs — so this is
+    # only valid at anchor/fixture scale, where it exists to measure
+    # recall; the unbounded-scale paths are g03c/g03e (ADVICE r02).
     return (
         b.join(F.broadcast(a), F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("dot", _dot(F.col("a.embedding"), F.col("b.embedding")))
@@ -1890,7 +1922,15 @@ def g24_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     configured entity rules) with a per-document redaction count — the
     compliance pass a corpus takes before training. Pure projection
     (one codegen span, no shuffle at any scale); patterns are applied
-    in a fixed order so redactions compose deterministically."""
+    in a fixed order so redactions compose deterministically.
+
+    ``n_redactions`` is the PER-PATTERN RAW MATCH COUNT against the
+    ORIGINAL text, summed across patterns — not the number of
+    replacements actually performed: replacements cascade, so a span
+    consumed by an earlier pattern (a digit run inside an email, say)
+    still counts for the later pattern. The oracle counts the same way,
+    so parity holds; treat the metric as "pattern hit volume", not
+    "spans redacted" (ADVICE r02)."""
     d = load(spark, sf_dir, "documents")
     scrubbed = F.col("text")
     n_red = F.lit(0).cast("long")

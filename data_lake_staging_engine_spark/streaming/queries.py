@@ -293,7 +293,13 @@ def e07_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        finished = q.awaitTermination(180)
+        if not finished:
+            # Timed out with the query still active: stop it before the
+            # finally block deletes its checkpoint out from under it and
+            # reads a partially written accounting file (ADVICE r02).
+            q.stop()
+            raise RuntimeError("e07: stream did not drain within 180s")
         with open(acc_path) as f:
             batches = [json.loads(line) for line in f]
     finally:

@@ -85,7 +85,12 @@ def test_g02b_verify_paths_agree(spark, sf_dir):
     toks = _tokens(load(spark, sf_dir, "documents"))
     vocab_n = _bitmap_vocab_n(toks)
     assert vocab_n is not None  # fixture corpus is a small universe
-    ids = toks.select("doc_id").distinct().limit(40)
+    # Materialize the candidate ids ONCE: a lazy distinct().limit(40)
+    # is nondeterministic and would re-execute per collect below,
+    # letting the two verifies run over different candidate sets
+    # (ADVICE r02 latent flake).
+    id_rows = toks.select("doc_id").distinct().limit(40).collect()
+    ids = spark.createDataFrame(id_rows, "doc_id long")
     a = ids.select(F.col("doc_id").alias("d1"))
     b = ids.select(F.col("doc_id").alias("d2"))
     cands = a.crossJoin(b).filter(F.col("d1") < F.col("d2"))
