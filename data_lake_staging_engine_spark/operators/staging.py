@@ -28,9 +28,13 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ByteType,
+    DataType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
+    ShortType,
     StringType,
     StructField,
     StructType,
@@ -697,3 +701,121 @@ def a22_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     publish(e, 2)
     assert read_version().count() == e.count()  # latest == v2
     return read_version(1).select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# a23: non-additive schema evolution — explicit type-widening read.
+#
+# Parquet mergeSchema handles the ADDITIVE case only (a21); batches whose
+# shared columns changed PHYSICAL TYPE (int32 -> int64, float -> double —
+# what upstream feeds do when ids outgrow int or metrics gain precision)
+# make mergeSchema throw. The staging answer is an explicit, auditable
+# widening policy applied on read: never rewrite history, never guess.
+
+# Lossless widening lattice. Integrals widen among themselves; float
+# widens to double; an integral meets a floating type at double ONLY if
+# the integral is <= 32 bits (int32 -> double is exact; long -> double
+# silently loses precision past 2^53, so it is REFUSED — callers must
+# stage an explicit transform if they want that).
+_INT_RANK = {ByteType(): 1, ShortType(): 2, IntegerType(): 3, LongType(): 4}
+_FLOAT_RANK = {FloatType(): 1, DoubleType(): 2}
+
+
+def widen_type(a: DataType, b: DataType) -> DataType:
+    """Least lossless common type of two batch field types, or raise."""
+    if a == b:
+        return a
+    if a in _INT_RANK and b in _INT_RANK:
+        return a if _INT_RANK[a] >= _INT_RANK[b] else b
+    if a in _FLOAT_RANK and b in _FLOAT_RANK:
+        return a if _FLOAT_RANK[a] >= _FLOAT_RANK[b] else b
+    int_rank = _INT_RANK.get(a) or _INT_RANK.get(b)
+    float_rank = _FLOAT_RANK.get(a) or _FLOAT_RANK.get(b)
+    if int_rank and float_rank and int_rank <= _INT_RANK[IntegerType()]:
+        return DoubleType()
+    raise TypeError(
+        f"incompatible schema evolution: no lossless widening from "
+        f"{a.simpleString()} to {b.simpleString()}"
+    )
+
+
+def widen_schemas(schemas: list[StructType]) -> StructType:
+    """Field-by-name union of batch schemas under ``widen_type``.
+
+    Field order is first-seen across batches; a field absent from some
+    batches stays nullable (the additive case folds in for free)."""
+    out: dict[str, DataType] = {}
+    for schema in schemas:
+        for f in schema.fields:
+            out[f.name] = (
+                widen_type(out[f.name], f.dataType) if f.name in out else f.dataType
+            )
+    return StructType([StructField(n, t, True) for n, t in out.items()])
+
+
+def read_widened(spark: SparkSession, batch_dirs: list[str]) -> DataFrame:
+    """Read heterogeneous-schema parquet batches as ONE widened table.
+
+    Each batch is scanned with its own footer schema, cast column-wise
+    to the widened target (missing columns become typed NULLs), and the
+    casts union by name. Scale posture: schema inference touches only
+    footers; the casts are per-batch narrow projections fused into each
+    scan (no shuffle, no common-ancestor rewrite), so at 100 TB this
+    costs exactly one pass like any plain read."""
+    parts = [spark.read.parquet(d) for d in batch_dirs]
+    target = widen_schemas([p.schema for p in parts])
+    casted = [
+        p.select(
+            *[
+                (
+                    F.col(f.name) if f.name in p.columns else F.lit(None)
+                ).cast(f.dataType).alias(f.name)
+                for f in target.fields
+            ]
+        )
+        for p in parts
+    ]
+    out = casted[0]
+    for c in casted[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query(
+    "a23_schema_widening",
+    oracle="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 2 = 0
+                THEN CAST(CAST(value AS REAL) AS DOUBLE)
+                ELSE value END AS value,
+           CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+    FROM events
+    """,
+)
+def a23_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-additive schema evolution: an old batch staged with narrow
+    types (user_id int32, value float32, no event_type column) and a new
+    batch with the widened feed (int64/double + the added column) read
+    back as one table via the explicit widening policy — old ids/values
+    upcast losslessly, old rows surface NULL for the added column. The
+    float->double upcast is bit-exact in both engines (IEEE round-trip),
+    so this stays hash tier."""
+    staged = _tmpdir("staged23")
+    old_dir, new_dir = os.path.join(staged, "b0"), os.path.join(staged, "b1")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    (
+        e.filter(F.col("event_id") % 2 == 0)
+        .select(
+            "event_id",
+            F.col("user_id").cast("int").alias("user_id"),
+            F.col("value").cast("float").alias("value"),
+        )
+        .write.parquet(old_dir)
+    )
+    e.filter(F.col("event_id") % 2 == 1).write.parquet(new_dir)
+    back = read_widened(spark, [old_dir, new_dir])
+    assert [f.dataType for f in back.schema.fields if f.name in ("user_id", "value")] \
+        == [LongType(), DoubleType()]
+    return back.select("event_id", "user_id", "value", "event_type")
