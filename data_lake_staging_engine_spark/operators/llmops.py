@@ -40,9 +40,45 @@ def _tokens_raw(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
 
 
+def _shingles_raw(df: DataFrame) -> DataFrame:
+    """(doc_id, tok) character 3-gram stream WITH duplicates — the
+    cheap pre-distinct lineage for strategy probes (mirror of
+    ``_tokens_raw`` for the shingler)."""
+    positions = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.select("doc_id", F.explode(positions).alias("i"), "text").select(
+        "doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok")
+    )
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """(doc_id, tok) distinct per-doc character 3-gram sets.
+
+    Like ``_tokens``, dedup is per-doc inside the row (transform +
+    array_distinct, then explode) — zero exchange, versus the global
+    ``.distinct()`` shuffle of the full exploded shingle stream (~250
+    rows per doc) it replaces."""
+    positions = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.array_distinct(
+        F.transform(positions, lambda i: F.col("text").substr(i, F.lit(3)))
+    )
+    return df.select("doc_id", F.explode(grams).alias("tok"))
+
+
 def _tokens(df: DataFrame) -> DataFrame:
-    """(doc_id, tok) distinct token sets — whitespace tokenization."""
-    return _tokens_raw(df).distinct()
+    """(doc_id, tok) distinct token sets — whitespace tokenization.
+
+    Dedup happens PER DOC inside the row (``array_distinct`` before the
+    explode), not as a global ``.distinct()`` over the exploded stream:
+    identical (doc_id, tok) set, but a narrow map instead of a
+    full-stream shuffle — the difference between O(corpus) exchange and
+    zero exchange at 100 TB."""
+    return df.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -111,72 +147,76 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BITMAP_MAX_VOCAB = 1024
 
 
-# token rows fed to the strategy-probe sketch PER PARTITION: enough to
-# expose an open vocabulary, cheap enough that the probe never scans a
-# full partition (a plain global LIMIT drains only the first
-# partition(s), so clustered/sorted input under-represents vocabulary
-# diversity and mispredicts "small" — ADVICE r02)
-_PROBE_ROWS_PER_PARTITION = 8_192
+# fraction of documents fed to the strategy-probe sketch: keep docs
+# whose doc_id digest starts below this hex char (1/16). Digest
+# sampling is representative REGARDLESS of physical layout — a plain
+# global LIMIT drains only the first partition(s), so clustered/sorted
+# input under-represents vocabulary diversity (ADVICE r02)
+_PROBE_DOC_FRACTION_HEX = "1"
 
 
-def _probe_head_per_partition(df: DataFrame) -> DataFrame:
-    """First ~_PROBE_ROWS_PER_PARTITION rows of EVERY partition.
+def _probe_doc_sample(probe_src: DataFrame) -> DataFrame:
+    """Deterministic ~1/16 Bernoulli sample of the token stream by
+    doc_id digest (the b34/g19 systematic-sample rule).
 
-    Cross-partition representative where a global LIMIT is not (LIMIT
-    typically satisfies itself from partition 0, so data clustered by
-    the probed column defeats the sketch), while keeping the 100 TB
-    cost bound a LIMIT has: the generator stops pulling Arrow batches
-    once the cap is reached, so each task reads a bounded prefix of its
-    partition rather than the whole thing."""
-    cap = _PROBE_ROWS_PER_PARTITION
-    schema = df.schema
-
-    def head_batches(batches):
-        n = 0
-        for b in batches:
-            if n >= cap:
-                break
-            take = b.head(cap - n)
-            n += len(take)
-            yield take
-
-    return df.mapInPandas(head_batches, schema)
+    Layout-independent where a LIMIT is not, and pure JVM codegen. The
+    doc_id-only predicate pushes below the tokenizing explode, so the
+    probe's CPU is ~6% of the tokenize cost; IO is one column-pruned
+    pass — dwarfed by the strategy the probe selects, which scans the
+    same stream at least once more."""
+    return probe_src.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        < _PROBE_DOC_FRACTION_HEX
+    ).select("tok")
 
 
-def _bitmap_vocab_n(toks: DataFrame, probe: DataFrame | None = None) -> int | None:
-    """Exact vocabulary size IF the universe is provably small enough
-    for the bitmap strategy, else None (take the token-join path).
+def _bitmap_vocab(
+    toks: DataFrame, probe: DataFrame | None = None
+) -> tuple[DataFrame, int] | None:
+    """(materialized distinct-token DataFrame, exact size) IF the
+    universe is provably small enough for the bitmap strategy, else
+    None (take the token-join path).
 
     Two-stage probe, neither stage a full-corpus shuffle (the exact
     global ``distinct().count()`` probe this replaces costs more at
     100 TB than the plan it selects — ADVICE r01):
 
-    1. ``approx_count_distinct`` HLL sketch over a per-partition-head
-       sample of the token stream (bounded rows from EVERY partition,
+    1. ``approx_count_distinct`` HLL sketch over a digest-sampled ~1/16
+       of documents (representative regardless of partition layout —
        not a global LIMIT that drains only partition 0). A sample's
        vocabulary is a SUBSET of the full one, so "sample already
-       exceeds the cutoff" soundly proves "open vocabulary" without
-       touching the rest of the corpus — the common 100 TB case costs
-       one bounded prefix read per partition. ``probe`` lets callers
-       pass the cheapest covering lineage (the pre-distinct token
-       stream; HLL is multiplicity-blind).
+       exceeds the cutoff" soundly proves "open vocabulary" — and HLL
+       is multiplicity-blind, so doc-level sampling is sound. ``probe``
+       lets callers pass the cheapest covering lineage (the
+       pre-distinct token stream).
     2. Only when the sample answers "small" (margin for ~5% rsd) does
-       the exact count run, and it re-checks the threshold — so a
-       sample that missed rare tokens can cost one mispredicted count
-       job but can never send an oversized vocabulary down the bitmap
-       path (bitmap sizing always uses the exact number)."""
-    probe_src = _probe_head_per_partition(
-        (probe if probe is not None else toks).select("tok")
-    )
+       the exact distinct run — LIMIT-capped at cutoff+1 rows and
+       eagerly localCheckpointed, so a misprediction can never
+       materialize an unbounded set, and the checked vocabulary is
+       REUSED by the bitmap build (the full-stream distinct runs once,
+       not once to count and once to assign token ids)."""
+    probe_src = _probe_doc_sample(probe if probe is not None else toks)
     approx_n = int(
         probe_src.agg(F.approx_count_distinct("tok").alias("n")).first()[0]
     )
     if approx_n > _BITMAP_MAX_VOCAB * 1.15:
         return None
-    vocab_n = toks.select("tok").distinct().count()
+    vocab = (
+        toks.select("tok")
+        .distinct()
+        .limit(_BITMAP_MAX_VOCAB + 1)
+        .localCheckpoint(eager=True)
+    )
+    vocab_n = vocab.count()
     if vocab_n > _BITMAP_MAX_VOCAB:
         return None
-    return vocab_n
+    return vocab, vocab_n
+
+
+def _bitmap_vocab_n(toks: DataFrame, probe: DataFrame | None = None) -> int | None:
+    """Size-only view of ``_bitmap_vocab`` (tests / size-only callers)."""
+    hit = _bitmap_vocab(toks, probe=probe)
+    return None if hit is None else hit[1]
 
 
 def _jaccard_pairs(
@@ -186,27 +226,34 @@ def _jaccard_pairs(
     + at most one small exact count): small universes go through the
     multi-word-bitmap path, open universes through the prefix-filtered
     token join."""
-    vocab_n = _bitmap_vocab_n(toks, probe=probe)
-    if vocab_n is not None:
-        return _g02_bitmask(toks, vocab_n, threshold)
+    hit = _bitmap_vocab(toks, probe=probe)
+    if hit is not None:
+        vocab, vocab_n = hit
+        return _g02_bitmask(toks, vocab_n, threshold, vocab=vocab)
     return _g02_token_join(toks, threshold)
 
 
-def _doc_bitmaps(toks: DataFrame, vocab_n: int) -> tuple[DataFrame, list[str]]:
+def _doc_bitmaps(
+    toks: DataFrame, vocab_n: int, vocab: DataFrame | None = None
+) -> tuple[DataFrame, list[str]]:
     """(doc_id, w0..wk) bitmap columns — each doc's token set packed
     into ceil(vocab/64) longs via a broadcast token-id join + bit_or.
 
-    Callers must pre-check the vocabulary via ``_bitmap_vocab_n``: the
-    guard below makes the single-partition ``row_number`` token-id
-    assignment provably bounded (<= _BITMAP_MAX_VOCAB rows through one
-    task) and caps the plan at ceil(1024/64) = 16 bitmap columns."""
+    Callers must pre-check the vocabulary via ``_bitmap_vocab`` (and
+    should pass its materialized frame through ``vocab`` so the
+    full-stream distinct is not recomputed here): the guard below makes
+    the single-partition ``row_number`` token-id assignment provably
+    bounded (<= _BITMAP_MAX_VOCAB rows through one task) and caps the
+    plan at ceil(1024/64) = 16 bitmap columns."""
     if vocab_n > _BITMAP_MAX_VOCAB:
         raise ValueError(
             f"bitmap strategy requires vocab <= {_BITMAP_MAX_VOCAB}, got {vocab_n}; "
-            "route through _bitmap_vocab_n / the token-join path"
+            "route through _bitmap_vocab / the token-join path"
         )
     n_words = (vocab_n + 63) // 64
-    vocab = toks.select("tok").distinct().withColumn(
+    if vocab is None:
+        vocab = toks.select("tok").distinct()
+    vocab = vocab.withColumn(
         "tok_id", F.row_number().over(Window.orderBy("tok")) - F.lit(1)
     )
     word_aggs = [
@@ -222,7 +269,12 @@ def _doc_bitmaps(toks: DataFrame, vocab_n: int) -> tuple[DataFrame, list[str]]:
     return masks, [f"w{w}" for w in range(n_words)]
 
 
-def _g02_bitmask(toks: DataFrame, vocab_n: int, threshold: float) -> DataFrame:
+def _g02_bitmask(
+    toks: DataFrame,
+    vocab_n: int,
+    threshold: float,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
     """Small-universe bitmap strategy, generalized to multi-word masks.
 
     Each doc's token set becomes ceil(vocab/64) long columns
@@ -235,7 +287,7 @@ def _g02_bitmask(toks: DataFrame, vocab_n: int, threshold: float) -> DataFrame:
     pairs are then expanded back to doc pairs by two joins. The 3-gram
     shingle corpus (vocab ~400 => 7 words) went 362s -> ~4s at sf0.1
     with identical output."""
-    masks, wcols = _doc_bitmaps(toks, vocab_n)
+    masks, wcols = _doc_bitmaps(toks, vocab_n, vocab=vocab)
     dm = masks.select(*wcols).distinct()
     m1, m2 = dm.alias("m1"), dm.alias("m2")
     shared = sum(
@@ -358,13 +410,17 @@ def _verify_pairs_token_join(
 
 
 def _verify_pairs_bitmap(
-    cands: DataFrame, toks: DataFrame, vocab_n: int, threshold: float
+    cands: DataFrame,
+    toks: DataFrame,
+    vocab_n: int,
+    threshold: float,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verify of candidate (d1, d2) pairs via packed
     bitmaps: one popcount expression per candidate pair (pure codegen)
     instead of re-joining token lists. Small-universe only — callers
-    must have validated ``vocab_n`` via ``_bitmap_vocab_n``."""
-    masks, wcols = _doc_bitmaps(toks, vocab_n)
+    must have validated ``vocab_n`` via ``_bitmap_vocab``."""
+    masks, wcols = _doc_bitmaps(toks, vocab_n, vocab=vocab)
     m1 = masks.select(
         F.col("doc_id").alias("d1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
     )
@@ -466,9 +522,10 @@ def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> Dat
     the candidate-bounded token join (a bitmap plan there would need
     ceil(vocab/64) columns — thousands — and die at plan time)."""
     candidates = _minhash_lsh_candidates(toks)
-    vocab_n = _bitmap_vocab_n(toks, probe=probe)
-    if vocab_n is not None:
-        return _verify_pairs_bitmap(candidates, toks, vocab_n, 0.8)
+    hit = _bitmap_vocab(toks, probe=probe)
+    if hit is not None:
+        vocab, vocab_n = hit
+        return _verify_pairs_bitmap(candidates, toks, vocab_n, 0.8, vocab=vocab)
     return _verify_pairs_token_join(candidates, toks, 0.8)
 
 
@@ -482,13 +539,7 @@ def g02e_dedup_lsh_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy-switched exact verify. Approximate recall => rows-only;
     g02d is the exact twin carrying the hash burden."""
     d = load(spark, sf_dir, "documents")
-    positions = F.when(
-        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    shingles_raw = d.select(
-        "doc_id", F.explode(positions).alias("i"), "text"
-    ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok"))
-    return _minhash_lsh_neardup(shingles_raw.distinct(), probe=shingles_raw)
+    return _minhash_lsh_neardup(_shingles(d), probe=_shingles_raw(d))
 
 
 @query("g02c_dedup_simhash", oracle=None)  # approximate — rows-only tier
@@ -578,14 +629,8 @@ def g02d_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path is MinHash over shingles — identical banding machinery
     to g02b with ``_tokens`` swapped for this shingler."""
     d = load(spark, sf_dir, "documents")
-    positions = F.when(
-        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    shingles_raw = d.select(
-        "doc_id", F.explode(positions).alias("i"), "text"
-    ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok"))
     return _jaccard_pairs(
-        shingles_raw.distinct(), threshold=0.8, probe=shingles_raw
+        _shingles(d), threshold=0.8, probe=_shingles_raw(d)
     )
 
 
