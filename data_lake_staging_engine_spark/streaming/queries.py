@@ -22,12 +22,24 @@ from pyspark.sql import functions as F
 
 from data_lake_staging_engine_spark.functions.determinism import as_long, duck_round
 from data_lake_staging_engine_spark.registry import query
-from data_lake_staging_engine_spark.streaming.runner import landing_copy, run_to_memory
+from data_lake_staging_engine_spark.streaming.runner import (
+    landing_copy,
+    run_to_memory,
+    scaled_state_partitions,
+)
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, n_files: int = 1, copies: int = 1):
     landing, schema = landing_copy(spark, sf_dir, "events", n_files, copies)
     return spark.readStream.schema(schema).parquet(landing)
+
+
+def _state_parts(spark: SparkSession, sf_dir: str, n_files: int = 1, copies: int = 1):
+    """Input-sized state partition count for the events landing copy
+    (see ``scaled_state_partitions``); the landing cache makes the
+    extra lookup free."""
+    landing, _schema = landing_copy(spark, sf_dir, "events", n_files, copies)
+    return scaled_state_partitions(spark, landing)
 
 
 _DEC_SUM_ORACLE = "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)"
@@ -63,6 +75,7 @@ def e01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
         "complete",
+        state_partitions=_state_parts(spark, sf_dir),
     )
     return out
 
@@ -98,6 +111,7 @@ def e02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value"),
         spark,
         "complete",
+        state_partitions=_state_parts(spark, sf_dir),
     )
 
 
@@ -143,6 +157,7 @@ def e03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
         "complete",
+        state_partitions=_state_parts(spark, sf_dir),
     )
 
 
@@ -175,6 +190,7 @@ def e04_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value"),
         spark,
         "complete",
+        state_partitions=_state_parts(spark, sf_dir),
     )
 
 
@@ -191,7 +207,12 @@ def e05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = s.select("event_id", "user_id", "event_type", "value").dropDuplicates(
         ["event_id"]
     )
-    return run_to_memory(dedup, spark, "append")
+    return run_to_memory(
+        dedup,
+        spark,
+        "append",
+        state_partitions=_state_parts(spark, sf_dir, n_files=2, copies=2),
+    )
 
 
 @query(
@@ -258,7 +279,9 @@ def e06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return run_to_memory(stateful, spark, "update")
+    return run_to_memory(
+        stateful, spark, "update", state_partitions=_state_parts(spark, sf_dir)
+    )
 
 
 @query("e07_stream_late_data", oracle=None)  # batch-boundary dependent — rows-only
@@ -360,7 +383,9 @@ def e08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 10 MINUTES")),
         "inner",
     ).select("signup_id", "user_id", "follow_id", "follow_type")
-    return run_to_memory(joined, spark, "append")
+    return run_to_memory(
+        joined, spark, "append", state_partitions=_state_parts(spark, sf_dir)
+    )
 
 
 @query(
@@ -392,7 +417,9 @@ def e09_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
-    return run_to_memory(agg, spark, "complete")
+    return run_to_memory(
+        agg, spark, "complete", state_partitions=_state_parts(spark, sf_dir)
+    )
 
 
 def _tws_supported() -> bool:
@@ -470,7 +497,9 @@ def _e10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="Update",
             timeMode="None",
         )
-        return run_to_memory(out, spark, "update")
+        return run_to_memory(
+            out, spark, "update", state_partitions=_state_parts(spark, sf_dir)
+        )
     finally:
         if prev is None:
             spark.conf.unset(provider_key)
@@ -559,4 +588,5 @@ def e11_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.select(F.col("window.start").alias("ws"), "event_type", "n", "sum_value"),
         spark,
         "complete",
+        state_partitions=_state_parts(spark, sf_dir, n_files=2, copies=2),
     )

@@ -55,8 +55,33 @@ def landing_copy(
     return landing, df.schema
 
 
+def scaled_state_partitions(spark: SparkSession, landing: str) -> int:
+    """State-partition count sized to the landing data, not the session.
+
+    Stateful operators pay a per-partition per-micro-batch fixed cost
+    (state-store open/commit/snapshot) that dwarfs row work on small
+    inputs: e08 at sf0.1 measured 3.6 s with 8 state partitions vs
+    13.2 s with 64 — same answer, 4x the overhead. The scale rule is
+    ~one state partition per 32 MB of input, floored at 8 for
+    parallelism and capped at the session's shuffle partitions (a real
+    cluster sets that to thousands, so 100 TB inputs still fan out
+    fully). State partitioning is fixed by the checkpoint at first
+    start, so contract queries (fresh checkpoint per call) can pick it
+    per input."""
+    total = 0
+    for root, _dirs, files in os.walk(landing):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    session_cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(min(8, session_cap), min(session_cap, total // (32 << 20) + 1))
+
+
 def run_to_memory(
-    writer_builder, spark: SparkSession, output_mode: str, timeout_s: int = 180
+    writer_builder,
+    spark: SparkSession,
+    output_mode: str,
+    timeout_s: int = 180,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Start ``writer_builder`` (a function stream_df -> DataStreamWriter
     precursor, i.e. the transformed streaming DataFrame), drain it with
@@ -71,18 +96,28 @@ def run_to_memory(
     4s fresh but 30.7s after 130 prior queries before this cleanup)."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     checkpoint = _tmpdir("ckpt")
-    q = (
-        writer_builder.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:  # pragma: no cover - safety net
-        q.stop()
-        raise TimeoutError("streaming query did not drain under AvailableNow")
+    saved_shuffle = None
+    if state_partitions is not None:
+        # The streaming query reads shuffle partitions at (micro-batch)
+        # planning time; restore the session value only after the drain.
+        saved_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            writer_builder.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:  # pragma: no cover - safety net
+            q.stop()
+            raise TimeoutError("streaming query did not drain under AvailableNow")
+    finally:
+        if saved_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
     sink = spark.table(name)
     rows = sink.collect()
     schema = sink.schema
