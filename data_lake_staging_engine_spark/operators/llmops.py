@@ -2204,3 +2204,62 @@ def _min_label_components_rounds(
         )
     finally:
         edges.unpersist()
+
+
+# --------------------------------------------------------------------------
+# Corpus mixing
+# --------------------------------------------------------------------------
+
+# Per-source sampling rates for the mixture policy, expressed as md5
+# digest-prefix cutoffs (4 hex chars => rate = cutoff/65536). Mimics a
+# training-data mixture spec: upsampled high-quality sources keep
+# everything, bulk web keeps a fraction. String-compare on the digest
+# prefix is deterministic, engine-portable, and layout-independent.
+_MIXTURE_CUTOFFS = [
+    ("src0", "ffff"),   # keep ~100%
+    ("src1", "ffff"),
+    ("src2", "c000"),   # ~75%
+    ("src3", "c000"),
+    ("src4", "8000"),   # ~50%
+    ("src5", "8000"),
+    ("src6", "8000"),
+    ("src7", "4000"),   # ~25%
+    ("src8", "4000"),
+    ("src9", "4000"),
+]  # sources not listed are dropped (rate 0)
+
+
+@query(
+    "g27_corpus_mixture",
+    oracle="""
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    JOIN (VALUES ('src0','ffff'),('src1','ffff'),('src2','c000'),
+                 ('src3','c000'),('src4','8000'),('src5','8000'),
+                 ('src6','8000'),('src7','4000'),('src8','4000'),
+                 ('src9','4000')) w(source, cutoff)
+      ON d.source = w.source
+    WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < w.cutoff
+    """,
+)
+def g27_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data mixture sampling: each source is down-sampled to
+    its configured rate (the per-source weighting step of corpus
+    assembly — upsample curated sources, thin bulk web, drop the rest).
+
+    Sampling is by doc_id digest prefix against a per-source cutoff
+    (the b34/g19 systematic-sample rule), so the mixture is
+    deterministic, reproducible across runs/engines, and independent of
+    physical layout. Plan: broadcast the 10-row policy dim onto the
+    document scan — a narrow map with one codegen filter, no shuffle at
+    any scale; an unlisted source never leaves the scan (inner join
+    prunes it)."""
+    d = load(spark, sf_dir, "documents")
+    policy = F.broadcast(
+        spark.createDataFrame(_MIXTURE_CUTOFFS, "source string, cutoff string")
+    )
+    return (
+        d.join(policy, "source")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.col("cutoff"))
+        .select("doc_id", "source", "n_chars")
+    )

@@ -819,3 +819,25 @@ def a23_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert [f.dataType for f in back.schema.fields if f.name in ("user_id", "value")] \
         == [LongType(), DoubleType()]
     return back.select("event_id", "user_id", "value", "event_type")
+
+
+@query(
+    "a24_sink_orc",
+    oracle="SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders",
+)
+def a24_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/scan round-trip — the second columnar format a staging
+    layer meets (some downstream warehouses are ORC-native). Write the
+    projected table as ORC, read it back: proves the format adapter
+    preserves types/values exactly like the parquet path (a01). Narrow
+    projection on both sides; the ORC reader keeps predicate pushdown
+    and column pruning just like parquet, so the staging posture is
+    format-independent."""
+    out = _tmpdir("orc")
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite")
+        .orc(out)
+    )
+    return spark.read.orc(out)
