@@ -69,7 +69,13 @@ def main() -> None:
 
     materialize(reg["b20_agg_groupby"].fn(spark, sf_dir))
     landing_copy(spark, sf_dir, "events")
-    reg["e01_stream_tumbling"].fn(spark, "/root/testdata/sf0.001").count()
+    # Derive the streaming-warm-up smoke dir from sf_dir's root rather
+    # than hardcoding /root/testdata (ADVICE r03): any layout that
+    # carries the bench SF carries its siblings, and if the smoke SF is
+    # absent we just skip the streaming warm-up.
+    smoke_dir = os.path.join(os.path.dirname(os.path.abspath(sf_dir)), "sf0.001")
+    if os.path.isdir(smoke_dir):
+        reg["e01_stream_tumbling"].fn(spark, smoke_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -13,8 +13,13 @@ After each round, fold that round's green names into
 ``DRIVER_VERIFIED`` so the next round's 50-slot window advances to the
 still-unverified remainder instead of re-proving the same prefix.
 
-DRIVER_VERIFIED = union of green rows in CORRECTNESS_r01.json and
-CORRECTNESS_r02.json (identical 50-name sets, re-checked 2026-08-13).
+DRIVER_VERIFIED = union of green rows in CORRECTNESS_r01.json,
+CORRECTNESS_r02.json (identical 50-name sets) and CORRECTNESS_r03.json
+(49 green c01..g08c rows; the rotation worked — zero overlap with the
+r01/r02 window). d10_fn_decimal_interval is deliberately NOT folded in:
+its r03 row hash-failed (DecimalType canonicalization, fixed round 4 by
+casting to DOUBLE at the emit boundary) so it must re-enter the round-4
+window for a green retry. Re-checked against the JSON 2026-08-13.
 """
 
 from __future__ import annotations
@@ -71,6 +76,56 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
         "b32_pivot",
         "b33_unpivot",
         "b34_sample_systematic",
+        # --- CORRECTNESS_r03.json greens (49; d10 excluded — hash-fail) ---
+        "c01_win_ranking",
+        "c02_win_lag_lead",
+        "c03_win_running_sum",
+        "c04_win_moving_rows",
+        "c05_win_range_interval",
+        "c06_win_first_last",
+        "c07_gapfill",
+        "c08_win_forward_fill",
+        "d01_fn_string",
+        "d02_fn_date",
+        "d03_fn_math",
+        "d04_fn_cond",
+        "d05_fn_array",
+        "d06_fn_explode",
+        "d07_fn_json",
+        "d08_fn_struct",
+        "d09_fn_variant",
+        "e01_stream_tumbling",
+        "e02_stream_sliding",
+        "e03_stream_session",
+        "e04_stream_watermark",
+        "e05_stream_dedup",
+        "e06_stream_stateful",
+        "e08_stream_stream_join",
+        "e09_stream_static_join",
+        "e10_batch_twin",
+        "e11_stream_dedup_then_window",
+        "f01_udf_python",
+        "f02_pandas_udf_scalar",
+        "f03_pandas_udf_grouped_agg",
+        "f04_apply_in_pandas",
+        "f05_map_in_pandas",
+        "f06_udtf",
+        "f07_arrow_udf",
+        "f10_cogroup_in_pandas",
+        "g01_dedup_exact",
+        "g02_dedup_near",
+        "g02d_dedup_ngram",
+        "g03_simsearch_topk",
+        "g03b_simsearch_knn",
+        "g03d_embed_neardup",
+        "g04_centroids",
+        "g05_text_tokenize",
+        "g05b_token_bpe",
+        "g06_text_wordcount",
+        "g07_text_tfidf",
+        "g08_text_stats",
+        "g08b_text_quality",
+        "g08c_text_langid",
     }
 )
 

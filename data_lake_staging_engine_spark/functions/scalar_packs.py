@@ -273,9 +273,9 @@ def d09_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d10_fn_decimal_interval",
     oracle="""
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
-             AS price_x2,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+                AS DOUBLE) AS price_x2,
            CAST(CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS TIMESTAMP)
              AS due_date,
            CAST(date_diff('day', CAST(o_orderdate AS DATE),
@@ -288,19 +288,23 @@ def d10_fn_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DecimalType + interval arithmetic pack: exact decimal cast and
     multiplication (scale-preserving — the money-math escape hatch of
     SURVEY §5.4 item 1) and calendar interval addition with a
-    date-diff round trip. Decimal values hash exactly cross-engine by
-    construction — no rounding needed anywhere in this query. The due
-    date is emitted as a midnight TIMESTAMP: raw DATE columns
-    canonicalize differently across the harness's pandas paths
-    (DuckDB fetchdf => datetime64, Spark toPandas => date objects), a
-    new §5.4-style pitfall found by this query."""
+    date-diff round trip. The decimal ARITHMETIC stays exact
+    (DECIMAL(18,2) internally — the money-math escape hatch of SURVEY
+    §5.4 item 1) but the emitted columns are cast to DOUBLE: DecimalType
+    output columns never hash-match across the harness's pandas paths
+    (DuckDB fetchdf renders DECIMAL as float64 while Spark toPandas
+    keeps decimal.Decimal objects — SURVEY §5.4 item 11, the r03 driver
+    hash-fail on this query). Same class of pitfall as DATE: the due
+    date is emitted as a midnight TIMESTAMP because raw DATE columns
+    canonicalize differently too (DuckDB fetchdf => datetime64, Spark
+    toPandas => date objects)."""
     o = load(spark, sf_dir, "orders")
     price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     due = F.date_add(F.col("o_orderdate").cast("date"), 90)
     return o.select(
         "o_orderkey",
-        price_dec.alias("price_dec"),
-        (price_dec * 2).cast("decimal(18,2)").alias("price_x2"),
+        price_dec.cast("double").alias("price_dec"),
+        (price_dec * 2).cast("decimal(18,2)").cast("double").alias("price_x2"),
         due.cast("timestamp").alias("due_date"),
         F.datediff(due, F.col("o_orderdate").cast("date")).cast("long").alias(
             "delta_days"

@@ -93,7 +93,16 @@ def run_to_memory(
     many streaming queries (the driver's 133-query correctness sweep,
     bench) would otherwise accumulate memory-sink rows + state-store
     references per query and degrade over the sweep (measured: e06 ran
-    4s fresh but 30.7s after 130 prior queries before this cleanup)."""
+    4s fresh but 30.7s after 130 prior queries before this cleanup).
+
+    Concurrency contract (ADVICE r03): when ``state_partitions`` is set,
+    the session-global ``spark.sql.shuffle.partitions`` is temporarily
+    overridden for the drain and restored after.  Callers are assumed
+    single-threaded per SparkSession — the driver sweep, pytest, and
+    bench all are.  A host embedding this runner in a multi-threaded
+    session must serialize calls or hand each drain its own
+    ``SparkSession.newSession()`` so a concurrently-planned query can't
+    observe the temporary value."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
     checkpoint = _tmpdir("ckpt")
     saved_shuffle = None

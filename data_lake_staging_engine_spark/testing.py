@@ -9,6 +9,7 @@ queries' own rounding), because the driver hashes values.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 from dataclasses import dataclass, field
 
@@ -62,14 +63,46 @@ def _canon_value(v):
         return ("list", tuple(_canon_value(x) for x in v))
     if isinstance(v, dict):
         return ("map", tuple(sorted((k, _canon_value(x)) for k, x in v.items())))
-    try:
-        import decimal
-
-        if isinstance(v, decimal.Decimal):
-            return ("float", repr(float(v)))
-    except Exception:
-        pass
+    if isinstance(v, _decimal.Decimal):
+        # Tagged DISTINCTLY from float on purpose: the driver's pandas
+        # paths canonicalize DECIMAL differently per engine (DuckDB
+        # fetchdf -> float64, Spark toPandas -> decimal.Decimal), so a
+        # query emitting Decimal on one side and float on the other is a
+        # guaranteed driver hash-fail.  Folding Decimal into float here
+        # masked exactly that for d10 in round 3 (VERDICT r03 item 3) —
+        # now it fails the local replica too.
+        return ("decimal", str(v))
     return (type(v).__name__, str(v))
+
+
+def hash_unsafe_columns(df) -> list[str]:
+    """Columns whose type (nested included) can't hash-match cross-engine.
+
+    Two Spark output types are known to canonicalize differently across
+    the driver's pandas paths and therefore must never appear in a
+    hash-tier query's emitted schema (SURVEY §5.4 items 9 and 11):
+
+    - ``DateType``: DuckDB ``fetchdf`` -> datetime64, Spark ``toPandas``
+      -> ``datetime.date`` objects.  Emit a midnight TIMESTAMP instead.
+    - ``DecimalType``: DuckDB ``fetchdf`` -> float64, Spark ``toPandas``
+      -> ``decimal.Decimal`` objects (the r03 d10 driver hash-fail).
+      Keep decimal arithmetic internal; cast to DOUBLE at the emit
+      boundary.
+    """
+    from pyspark.sql import types as T
+
+    def unsafe(dt) -> bool:
+        if isinstance(dt, (T.DateType, T.DecimalType)):
+            return True
+        if isinstance(dt, T.ArrayType):
+            return unsafe(dt.elementType)
+        if isinstance(dt, T.MapType):
+            return unsafe(dt.keyType) or unsafe(dt.valueType)
+        if isinstance(dt, T.StructType):
+            return any(unsafe(f.dataType) for f in dt.fields)
+        return False
+
+    return [f.name for f in df.schema.fields if unsafe(f.dataType)]
 
 
 def _contains_nan(canon) -> bool:

@@ -4,7 +4,7 @@ an oracle must match DuckDB exactly at sf=0.01 (SURVEY.md §5.3 #1)."""
 import pytest
 
 from data_lake_staging_engine_spark.registry import registry
-from data_lake_staging_engine_spark.testing import compare
+from data_lake_staging_engine_spark.testing import compare, hash_unsafe_columns
 
 _REG = registry()
 _ORACLE_NAMES = [n for n, rq in _REG.items() if rq.oracle is not None]
@@ -15,6 +15,12 @@ _ROWS_ONLY_NAMES = [n for n, rq in _REG.items() if rq.oracle is None]
 def test_oracle_parity(name, spark, duck, sf_dir):
     rq = _REG[name]
     df = rq.fn(spark, sf_dir)
+    # DecimalType/DateType outputs canonicalize differently across the
+    # driver's pandas paths — guaranteed hash-fail even when values are
+    # equal (SURVEY §5.4 items 9/11; the r03 d10 failure).  Schema-level
+    # gate so the class is caught before any value comparison.
+    unsafe = hash_unsafe_columns(df)
+    assert not unsafe, f"{name}: hash-unsafe output columns {unsafe}"
     res = compare(name, df, duck, rq.oracle)
     assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"
     # H-tier queries must never emit NaN: pandas-era tooling conflates
