@@ -785,6 +785,10 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per batch (64 x 576 floats — negligible vs the matmul).
         import numpy as np
 
+        if len(emb) == 0:
+            # np.stack raises on an empty batch; Arrow can hand one to a
+            # UDF when a partition's last batch is exhausted (ADVICE r03).
+            return pd.Series([], dtype=object)
         planes = np.random.default_rng(0).standard_normal((64, n_tables * n_bits))
         x = np.stack(emb.to_numpy()).astype(np.float64)
         sig = (x @ planes) > 0

@@ -762,6 +762,8 @@ def read_widened(spark: SparkSession, batch_dirs: list[str]) -> DataFrame:
     footers; the casts are per-batch narrow projections fused into each
     scan (no shuffle, no common-ancestor rewrite), so at 100 TB this
     costs exactly one pass like any plain read."""
+    if not batch_dirs:
+        raise ValueError("read_widened requires at least one batch dir")
     parts = [spark.read.parquet(d) for d in batch_dirs]
     target = widen_schemas([p.schema for p in parts])
     casted = [
@@ -805,11 +807,22 @@ def a23_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "event_type"
     )
+    # The narrow write runs with ANSI off, where an int cast silently
+    # wraps past int32 — guard in-pass (distributed, same scan) so a
+    # fixture whose user_id domain grows fails loudly instead of
+    # diverging from the oracle (ADVICE r03).
+    uid_int32 = F.when(
+        F.assert_true(
+            F.col("user_id") < (1 << 31),
+            "a23: user_id exceeds int32; narrow staging write would wrap",
+        ).isNull(),
+        F.col("user_id"),
+    ).cast("int")
     (
         e.filter(F.col("event_id") % 2 == 0)
         .select(
             "event_id",
-            F.col("user_id").cast("int").alias("user_id"),
+            uid_int32.alias("user_id"),
             F.col("value").cast("float").alias("value"),
         )
         .write.parquet(old_dir)

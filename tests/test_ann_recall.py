@@ -14,11 +14,14 @@ the measured values to catch regressions:
   The cos 0.4 anchor is the hard regime — hyperplane agreement
   p = 1-theta/pi is only ~0.63 vs 0.50 for random pairs; at the
   cos>=0.9 regime real near-dup targets, the same construction is
-  ~0.99 recall on a small candidate fraction. Floor 0.60 per the r02
-  verdict's "production grade" bar.
+  ~0.99 recall on a small candidate fraction. Floor 0.80 (raised from
+  the r02-era 0.60 per VERDICT r03 #8: measured minus margin, so a
+  parameter regression fails loudly instead of riding a slack floor).
 - g03e recall@5 vs exact g03b top-5: measured 0.86 at sf0.01 (k=32
   digest-init k-means, 2 Lloyd iterations, nassign=2, nprobe=8).
-  Floor 0.80 per the r02 verdict. The synthetic embeddings have weak
+  Floor 0.80 (measured minus margin — the recalls are deterministic
+  constants here, so 0.06 of slack covers only genuine parameter or
+  fixture drift). The synthetic embeddings have weak
   cluster structure, so this costs a ~45% scan fraction here; see the
   g03e docstring for the production-scale posture.
 """
@@ -59,7 +62,7 @@ def test_lsh_recall_vs_exact_anchor(spark, sf_dir):
     lsh = _REG["g03c_simsearch_lsh"].fn(spark, sf_dir)
     got = {(min(r.qid, r.cid), max(r.qid, r.cid)) for r in lsh.collect()}
     recall = len(got & exact) / len(exact)
-    assert recall >= 0.60, f"g03c recall vs cos>=0.4 anchor fell to {recall:.4f}"
+    assert recall >= 0.80, f"g03c recall vs cos>=0.4 anchor fell to {recall:.4f}"
 
 
 def test_ivf_recall_at_5_vs_exact_knn(spark, sf_dir):
