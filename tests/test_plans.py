@@ -153,6 +153,61 @@ def test_repetition_partial_aggregation(spark, sf_dir):
     assert partial_aggregation(plan)
 
 
+def test_salted_join_composite_key_no_single_reducer(spark, sf_dir):
+    """VERDICT r03 #4, b35: the whole point of salting is that the join
+    key becomes (event_type, salt) so no reducer receives a dominant
+    key's entire volume. Pin (a) the physical join keys really are the
+    2-column composite (a regression to a plain event_type key would
+    silently re-concentrate the skew) and (b) no SinglePartition
+    exchange anywhere — the single-reducer shape salting exists to
+    prevent."""
+    plan = _plan("b35_join_salted_skew", spark, sf_dir)
+    assert "SinglePartition" not in plan, plan
+    import re
+
+    keys = re.findall(r"Left keys \[(\d+)\]: \[([^\]]*)\]", plan)
+    assert keys, plan
+    n, cols = keys[0]
+    assert n == "2" and "event_type" in cols and "salt" in cols, keys
+
+
+def test_cte_chain_shuffle_budget_and_group_limit(spark, sf_dir):
+    """VERDICT r03 #4, b38: the chained-CTE analytic must cost exactly
+    TWO key shuffles — the spend aggregation and the per-region window
+    — with every dim join broadcast, and the rk=1 filter must be pushed
+    into WindowGroupLimit (per-partition top-1 retained, not a full
+    rank materialization). At 100 TB the group-limit is the difference
+    between shuffling one row per (region, partition) and shuffling
+    every customer's spend into the window sort."""
+    plan = _plan("b38_sql_cte_chain", spark, sf_dir)
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    kinds = join_kinds(plan)
+    assert kinds and all(k == "BroadcastHashJoin" for k in kinds), kinds
+
+
+def test_unigram_logprob_two_shuffles_partial_agg(spark, sf_dir):
+    """VERDICT r03 #4, g20: unigram scoring is two keyed aggregations
+    (tok frequencies, per-doc sum) = two hash shuffles, both with
+    map-side combine; the toks|><|freq join must stay an equi-join
+    (AQE picks the build side at runtime for the open vocabulary)."""
+    plan = _plan("g20_unigram_logprob", spark, sf_dir)
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert partial_aggregation(plan), plan
+    assert "CartesianProduct" not in join_kinds(plan)
+
+
+def test_sequence_pack_single_shuffle(spark, sf_dir):
+    """VERDICT r03 #4, g25: packing is ONE shuffle total — the window's
+    hashpartitioning(lang); the (lang, seq_id) rollup reuses that
+    partitioning (hash on lang subsumes clustering on (lang, seq_id)),
+    so Catalyst must not insert a second exchange."""
+    plan = _plan("g25_sequence_pack", spark, sf_dir)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "lang" in plan.split("hashpartitioning(")[1].split(")")[0], plan
+    assert "Window" in plan
+
+
 def test_no_driver_collect_in_operator_bodies():
     """VERDICT r02 #6: no .collect() in operator hot paths. Allowed
     sites are the streaming memory-sink runner (verification pattern,
