@@ -310,3 +310,37 @@ def d10_fn_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "delta_days"
         ),
     )
+
+
+@query(
+    "d11_fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           CAST(user_id & 255 AS BIGINT) AS masked,
+           CAST(user_id | 1024 AS BIGINT) AS set_bit,
+           CAST(xor(user_id, event_id) AS BIGINT) AS xored,
+           CAST(user_id << 3 AS BIGINT) AS shifted,
+           CAST(bit_count(CAST(user_id AS BIGINT)) AS BIGINT) AS popcnt,
+           CAST(~user_id AS BIGINT) AS flipped
+    FROM events
+    """,
+)
+def d11_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function pack: AND/OR/XOR masks, shift, population count,
+    complement — the primitives the engine's own SimHash/bitmap dedup
+    strategies (g02c, _g02_bitmask) are built from, exposed as a scalar
+    surface. All JVM codegen; every output cast to BIGINT because the
+    two engines' bitwise return widths differ (DuckDB bit_count =>
+    TINYINT, operators follow the narrower operand; Spark stays at the
+    column's LongType)."""
+    e = load(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    return e.select(
+        "event_id",
+        uid.bitwiseAND(F.lit(255)).cast("long").alias("masked"),
+        uid.bitwiseOR(F.lit(1024)).cast("long").alias("set_bit"),
+        uid.bitwiseXOR(F.col("event_id")).cast("long").alias("xored"),
+        F.shiftleft(uid, 3).cast("long").alias("shifted"),
+        F.bit_count(uid).cast("long").alias("popcnt"),
+        F.bitwise_not(uid).cast("long").alias("flipped"),
+    )

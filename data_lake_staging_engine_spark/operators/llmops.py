@@ -2272,3 +2272,88 @@ def g27_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.col("cutoff"))
         .select("doc_id", "source", "n_chars")
     )
+
+
+@query("g28_semantic_dedup", oracle=None)  # bucketed-approximate — rows-only tier
+def g28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup END TO END at the scale shape: IVF-bucketed
+    candidate generation -> in-bucket exact cosine edges (>= 0.4, the
+    corpus's g03d near-dup threshold) -> connected components ->
+    keep-min representative per cluster. This composes the engine's two
+    scale primitives — g03e's coarse quantizer (digest-seeded k=16
+    codebook, nassign=2 multi-assignment so boundary-straddling pairs
+    share a bucket) and g26's pointer-doubling min-label components —
+    into the operator a training pipeline actually runs: "drop
+    embedding-level duplicates, keep one representative per semantic
+    cluster".
+
+    Approximate by construction (a cross-bucket pair under nassign=2
+    can be missed) => rows-only tier; the exact twin g03d + g26 carry
+    the hash burden for the same algebra. Local test pins that every
+    exact g03d pair co-assigned here lands in one cluster and that
+    survivors = cluster minima.
+
+    100 TB: candidate pairs are generated per bucket (list_id is the
+    shuffle key), so cost is sum over buckets of |bucket|^2 instead of
+    N^2 — with k ~ sqrt(N) lists this is the standard IVF dedup
+    posture; components run on the edge set only (pairs, not corpus),
+    and the codebook is a broadcast k x 64 artifact."""
+    e = load(spark, sf_dir, "embeddings")
+    vn = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    ).select(
+        "vec_id",
+        F.transform(
+            F.col("ve"), lambda x: x / F.sqrt(_dot(F.col("ve"), F.col("ve")))
+        ).alias("u"),
+    )
+    k = 16
+    seeds = (
+        vn.select(F.md5(F.col("vec_id").cast("string")).alias("dg"), "vec_id", "u")
+        .orderBy("dg", "vec_id")
+        .limit(k)
+    )
+    w_seed = Window.orderBy("dg", "vec_id")  # k rows — single partition fine
+    cent = seeds.select(
+        (F.row_number().over(w_seed) - 1).cast("long").alias("list_id"),
+        F.col("u").alias("c"),
+    ).localCheckpoint(eager=True)
+
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    assigned = (
+        vn.join(F.broadcast(cent))
+        .withColumn("sim", _dot(F.col("u"), F.col("c")))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") <= 2)  # nassign=2: boundary pairs share a bucket
+        .select("list_id", "vec_id", "u")
+    )
+    a = assigned.select(
+        "list_id", F.col("vec_id").alias("d1"), F.col("u").alias("u1")
+    )
+    b = assigned.select(
+        "list_id", F.col("vec_id").alias("d2"), F.col("u").alias("u2")
+    )
+    edges = (
+        a.join(b, "list_id")
+        .filter(F.col("d1") < F.col("d2"))
+        .dropDuplicates(["d1", "d2"])  # multi-assignment re-lands pairs
+        .withColumn("cos", _dot(F.col("u1"), F.col("u2")))
+        .filter(F.col("cos") >= 0.4)
+        .select("d1", "d2")
+    )
+    labels = _min_label_components(edges)
+    # Singletons (no near-dup edge) are their own representatives.
+    singles = vn.join(
+        labels.select(F.col("node").alias("vec_id")), "vec_id", "left_anti"
+    ).select(F.col("vec_id").alias("node"), F.col("vec_id").alias("label"))
+    return (
+        labels.unionByName(singles)
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("cluster_id"),
+            F.when(F.col("node") == F.col("label"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )

@@ -1052,3 +1052,63 @@ def b38_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE nation_top.rk = 1
         """
     )
+
+
+@query(
+    "b42_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def b42_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 4 / modern-SQL surface): the parser derives
+    the grouping keys from the non-aggregate select items, so the plan
+    is IDENTICAL to an explicit b20-style groupBy — same partial
+    (map-side) aggregation, same single key shuffle. The decimal cast
+    keeps the parallel quantity sum order-independent (determinism
+    helpers rationale); scale posture is b20's."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "b56_join_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_price
+    FROM customer c,
+    LATERAL (SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    MAX(o.o_totalprice) AS max_price
+             FROM orders o WHERE o.o_custkey = c.c_custkey) t
+    """,
+)
+def b56_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 3.2+ lateral join surface):
+    a per-customer aggregate over orders expressed as a correlated
+    derived table. The ungrouped aggregate subquery yields exactly one
+    row per outer row (NULL max / zero count for order-less customers),
+    so the lateral is an implicit LEFT-ish semantics both engines share.
+    Catalyst decorrelates this into a plain aggregate-then-outer-join —
+    one shuffle on o_custkey then a key join, NOT a per-row subquery
+    execution — so the 100 TB plan is the same as writing the
+    groupBy+join by hand; lateral is sugar the optimizer removes."""
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_price
+        FROM customer c,
+        LATERAL (SELECT COUNT(*) AS n_orders, MAX(o.o_totalprice) AS max_price
+                 FROM orders o WHERE o.o_custkey = c.c_custkey) t
+        """
+    )

@@ -864,3 +864,82 @@ def a24_sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orc(out)
     )
     return spark.read.orc(out)
+
+
+@query(
+    "a25_scan_xml",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def a25_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest round-trip via Spark 4's NATIVE xml data source
+    (spark-xml was folded into core in 4.0 — no external jar): fixture
+    -> row-tagged XML landing copy -> schema-pinned read (same
+    inferred-then-pinned model as a02/a03). 100 TB posture: XML is not
+    byte-splittable on the rowTag, so read parallelism = landing-file
+    count — exactly the many-small-objects shape the event-driven
+    upstream produces; a10-style compaction then re-lands the payload
+    columnar, so XML only ever exists at the ingest edge."""
+    out = _tmpdir("xml")
+    (
+        load(spark, sf_dir, "nation")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "nations")
+        .option("rowTag", "nation")
+        .save(out)
+    )
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@query(
+    "a26_scan_binaryfile",
+    oracle="""
+    SELECT r_name || '.bin' AS file_name,
+           CAST(strlen(r_name) AS BIGINT) AS length,
+           md5(r_name) AS content_md5
+    FROM region
+    """,
+)
+def a26_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary ingest via the built-in ``binaryFile`` source —
+    the entry point of the multimodal path (g09/f08 consume the same
+    (path, length, content) shape): land raw objects, read them whole,
+    emit identity + integrity metadata (basename, byte length, content
+    md5) without decoding. The fixture blobs are written driver-side
+    from the 5-row region DIMENSION (bounded by dim cardinality, never
+    fact scale — at 100 TB the blobs already exist in object storage
+    and this loop disappears; the operator itself is a map-only scan).
+    binaryFile streams each object as one row, so partitioning follows
+    the file listing: one task per object up to maxPartitionBytes
+    packing, which is the right unit for whole-file codecs."""
+    out = _tmpdir("bin")
+    names = [
+        r.r_name
+        for r in load(spark, sf_dir, "region").select("r_name").collect()
+    ]
+    for name in names:  # 5-row dimension fixture write, not the operator
+        with open(os.path.join(out, f"{name}.bin"), "wb") as fh:
+            fh.write(name.encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length"),
+            F.md5("content").alias("content_md5"),
+        )
+    )

@@ -233,3 +233,31 @@ def test_no_driver_collect_in_operator_bodies():
             for node in ast.walk(tree)
         )
         assert n_collects <= budget.get(rel, 0), f"{rel}: {n_collects} .collect calls"
+
+
+def test_lateral_join_decorrelates_to_hash_joins(spark, sf_dir):
+    """b56: the LATERAL correlated aggregate must be decorrelated by
+    Catalyst into aggregate-then-join — per-outer-row subquery execution
+    would be a nested loop (plan shows CartesianProduct /
+    BroadcastNestedLoopJoin) and cannot survive 100 TB. All joins must
+    be hash-based on the correlation key."""
+    plan = _plan("b56_join_lateral", spark, sf_dir)
+    kinds = join_kinds(plan)
+    assert kinds, plan
+    assert all(
+        k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for k in kinds
+    ), kinds
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_group_by_all_same_plan_as_explicit(spark, sf_dir):
+    """b42: GROUP BY ALL is parser sugar — the physical plan must be
+    the b20 shape: partial (map-side) aggregation and exactly one key
+    shuffle, with pruned columns reaching the scan."""
+    plan = _plan("b42_group_by_all", spark, sf_dir)
+    assert partial_aggregation(plan), plan
+    assert plan.count("hashpartitioning(") == 1, plan
+    cols = read_columns(plan, "lineitem")
+    assert cols <= {"l_returnflag", "l_linestatus", "l_quantity"}, cols
