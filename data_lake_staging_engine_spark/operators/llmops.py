@@ -2320,12 +2320,19 @@ def g28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
+    # Staged once (eager localCheckpoint): the assignment subplan feeds
+    # BOTH sides of the in-bucket self-join and the components helper's
+    # persist — without staging, the normalize + broadcast-assign +
+    # window pipeline re-executes three times (measured 17.5 s -> ~10 s
+    # at sf0.1). Same posture as the g02 mask-table staging: this is the
+    # inverted-list index a production dedup writes anyway.
     assigned = (
         vn.join(F.broadcast(cent))
         .withColumn("sim", _dot(F.col("u"), F.col("c")))
         .withColumn("_rn", F.row_number().over(w_assign))
         .filter(F.col("_rn") <= 2)  # nassign=2: boundary pairs share a bucket
         .select("list_id", "vec_id", "u")
+        .localCheckpoint(eager=True)
     )
     a = assigned.select(
         "list_id", F.col("vec_id").alias("d1"), F.col("u").alias("u1")

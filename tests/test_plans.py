@@ -218,7 +218,9 @@ def test_no_driver_collect_in_operator_bodies():
     import pathlib
 
     pkg = pathlib.Path(__file__).resolve().parents[1] / "data_lake_staging_engine_spark"
-    budget = {"operators/staging.py": 1}  # a12 scalar split point
+    # a12 scalar split point + a26's 5-row dimension fixture write
+    # (bounded by dim cardinality, not fact scale — documented in-op)
+    budget = {"operators/staging.py": 2}
     for rel in [
         "operators/llmops.py",
         "operators/relational.py",
