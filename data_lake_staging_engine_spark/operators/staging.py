@@ -943,3 +943,32 @@ def a26_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+@query(
+    "a27_scan_text",
+    oracle="SELECT doc_id, text FROM documents",
+)
+def a27_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text ingest (``spark.read.text``) — completing the
+    built-in source matrix (parquet/csv/json/orc/xml/binaryFile/text):
+    fixture -> one tab-delimited line per document -> read back as raw
+    lines -> split on the FIRST tab (split limit 2, so payload tabs
+    would stay in the text column; the fixture corpus is verified
+    tab/newline-free). The line reader is the cheapest possible scan —
+    newline-splittable, so read parallelism is byte-range based like
+    CSV, and the parse is one codegen split per line. 100 TB posture:
+    this is the WET-/log-file entry point; parse-and-reland columnar
+    (a09) immediately after, exactly like the CSV path."""
+    out = _tmpdir("text")
+    (
+        load(spark, sf_dir, "documents")
+        .select(F.concat_ws("\t", F.col("doc_id"), F.col("text")))
+        .write.mode("overwrite")
+        .text(out)
+    )
+    parts = F.split(F.col("value"), "\t", 2)
+    return spark.read.text(out).select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        parts.getItem(1).alias("text"),
+    )
