@@ -263,3 +263,13 @@ def test_group_by_all_same_plan_as_explicit(spark, sf_dir):
     assert plan.count("hashpartitioning(") == 1, plan
     cols = read_columns(plan, "lineitem")
     assert cols <= {"l_returnflag", "l_linestatus", "l_quantity"}, cols
+
+
+def test_bitwise_pack_single_codegen_projection(spark, sf_dir):
+    """d11 is pure bit arithmetic: no exchange, one whole-stage-codegen
+    span, and only the two consumed columns reach the scan."""
+    plan = _plan("d11_fn_bitwise", spark, sf_dir)
+    assert "Exchange" not in plan
+    assert len(codegen_ids(plan)) == 1, plan
+    cols = read_columns(plan, "events")
+    assert cols <= {"event_id", "user_id"}, cols

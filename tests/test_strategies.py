@@ -238,3 +238,33 @@ def test_min_label_pointer_doubling_round_count(spark):
     assert rounds <= int(math.log2(n)) + 2, rounds
     got = {r.node: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
+
+
+def test_a27_text_roundtrip_preserves_payload_tabs(spark):
+    """a27's parse splits on the FIRST tab only (split limit 2), so a
+    payload containing tabs survives the text round-trip — the property
+    the docstring claims. Exercised directly (the fixture corpus is
+    tab-free, so parity alone can't prove it)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="dlse_texttab_")
+    src = spark.createDataFrame(
+        [(1, "plain text"), (2, "tab\tinside\tpayload"), (3, "")],
+        "doc_id long, text string",
+    )
+    src.select(F.concat_ws("\t", "doc_id", "text")).write.mode(
+        "overwrite"
+    ).text(out)
+    parts = F.split(F.col("value"), "\t", 2)
+    back = {
+        r.doc_id: r.text
+        for r in spark.read.text(out)
+        .select(
+            parts.getItem(0).cast("long").alias("doc_id"),
+            parts.getItem(1).alias("text"),
+        )
+        .collect()
+    }
+    assert back == {1: "plain text", 2: "tab\tinside\tpayload", 3: ""}
