@@ -18,8 +18,13 @@ CORRECTNESS_r02.json (identical 50-name sets) and CORRECTNESS_r03.json
 (49 green c01..g08c rows; the rotation worked — zero overlap with the
 r01/r02 window). d10_fn_decimal_interval is deliberately NOT folded in:
 its r03 row hash-failed (DecimalType canonicalization, fixed round 4 by
-casting to DOUBLE at the emit boundary) so it must re-enter the round-4
-window for a green retry. Re-checked against the JSON 2026-08-13.
+casting to DOUBLE at the emit boundary) so it must re-enter the next
+driver window for a green retry. Round 4 ended without a driver
+correctness run, so the window carries over; round 5 added seven new
+queries (a25 a26 a27 b42 b56 d11 g28), making the 50 never-verified
+entries EXACTLY fill the next 50-row window. After the next
+CORRECTNESS lands, fold its greens in here and update
+tests/test_registry_order.py. Re-checked against the JSON 2026-08-13.
 """
 
 from __future__ import annotations

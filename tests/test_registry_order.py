@@ -2,11 +2,12 @@
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
 ``queries()`` in insertion order.  After folding the r01/r02/r03 greens
-into ``DRIVER_VERIFIED`` (99 names), only 43 queries lack first-party
-driver evidence — the d10 hash-fail retry plus the never-swept tail.
-These tests pin that ALL of them land inside the round-4 window, ordered
-hash-tier before rows-only, with the already-verified names demoted to
-the tail.
+into ``DRIVER_VERIFIED`` (99 names), 50 queries lack first-party driver
+evidence — the d10 hash-fail retry, the never-swept tail (round 4 ended
+without a driver correctness run), and the seven round-5 additions.
+These tests pin that ALL of them land inside the next 50-row window,
+ordered hash-tier before rows-only, with the already-verified names
+demoted to the tail.
 """
 
 from data_lake_staging_engine_spark.driver_evidence import DRIVER_VERIFIED
