@@ -39,15 +39,29 @@ def get_spark(
     app_name: str = "data-lake-staging-engine-spark",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
+    max_partition_bytes: str | None = None,
 ) -> SparkSession:
-    """Build (or reuse) the engine's SparkSession."""
+    """Build (or reuse) the engine's SparkSession.
+
+    ``max_partition_bytes`` sizes file-scan splits. The fixtures are
+    single parquet files per table (a 30 MB lineitem at sf0.1 = ONE
+    input split at the 128 MB default, so a scan-bound query runs on 1
+    of 32 cores); 8 MB splits parallelize the local fixtures 2-3x
+    (measured: b10 0.67->0.36 s, d05 0.78->0.26 s). This is the same
+    lever DEPLOYMENT.md sizes at 128-256 MB for a real lake — the rule
+    is splits ~= file-size/parallelism, not a fixed constant; override
+    with SPARK_GRAFT_MAX_PARTITION_BYTES."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    max_partition_bytes = max_partition_bytes or os.environ.get(
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cores}]")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", max_partition_bytes)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -69,6 +83,12 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # Runtime-settable: size scan splits for the single-file-per-
+        # table fixtures (see get_spark docstring; cluster rule differs)
+        (
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
+        ),
     ):
         try:
             spark.conf.set(key, val)
