@@ -45,6 +45,13 @@ def main() -> None:
     smoke_dir = os.path.join(os.path.dirname(os.path.abspath(sf_dir)), "sf0.001")
     if os.path.isdir(smoke_dir):
         reg["e01_stream_tumbling"].fn(spark, smoke_dir).count()
+        # The sweep order runs the never-driver-verified LSH/dedup
+        # family FIRST (evidence policy), so without this the wide
+        # bitmap/minhash codegen compile lands in the first timed
+        # entries (measured +50-150% on g02b/c/d/e cold). Warm it at
+        # the smoke SF — same plan shapes, trivial data.
+        reg["g02d_dedup_ngram"].fn(spark, smoke_dir).count()
+        reg["g02b_dedup_lsh"].fn(spark, smoke_dir).count()
 
     timings: dict[str, float] = {}
     failures: list[str] = []
