@@ -138,6 +138,20 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(
 # contains green rows for >=48 queries from {c,d,e,f,g}").
 _PRIORITY_FAMILIES = ("c", "d", "e", "f", "g")
 
+# Queries registered AFTER the next 50-row window was already exactly
+# full (the 50 older never-verified entries above must keep their
+# slots).  These sweep after the window but before the verified tail —
+# they carry local-parity evidence only until the window rotates onto
+# them in the following round, at which point this set empties into the
+# ordinary never-verified bands.
+DEFERRED: frozenset[str] = frozenset(
+    {
+        "a28_multi_format_union",
+        "d12_fn_trig",
+        "g29_quality_gate",
+    }
+)
+
 
 def sweep_rank(name: str, has_oracle: bool) -> tuple[int, str]:
     """Sort key putting the most evidence-starved queries first.
@@ -146,10 +160,13 @@ def sweep_rank(name: str, has_oracle: bool) -> tuple[int, str]:
     1: never driver-verified, priority family, rows-only tier
     2: never driver-verified, other family (b35+), hash tier
     3: never driver-verified, other family, rows-only tier
-    4: already driver-verified (a01..b34)
+    4: registered after the next window filled (DEFERRED — wait a round)
+    5: already driver-verified
     Alphabetical within each band keeps the order deterministic.
     """
     if name in DRIVER_VERIFIED:
+        band = 5
+    elif name in DEFERRED:
         band = 4
     elif name[0] in _PRIORITY_FAMILIES:
         band = 0 if has_oracle else 1

@@ -344,3 +344,43 @@ def d11_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(uid).cast("long").alias("popcnt"),
         F.bitwise_not(uid).cast("long").alias("flipped"),
     )
+
+
+@query(
+    "d12_fn_trig",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(sin(radians(CAST(o_orderkey % 360 AS DOUBLE))), 6) AS sin_v,
+           ROUND(cos(radians(CAST(o_orderkey % 360 AS DOUBLE))), 6) AS cos_v,
+           ROUND(atan2(CAST(o_orderkey % 7 AS DOUBLE), 3.0), 6) AS atan2_v,
+           ROUND(exp(CAST(o_orderkey % 5 AS DOUBLE)), 6) AS exp_v,
+           ROUND(degrees(1.0), 6) AS deg_v,
+           ROUND(radians(CAST(o_orderkey % 360 AS DOUBLE)), 6) AS rad_v
+    FROM orders
+    """,
+)
+def d12_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / transcendental pack: sin cos atan2 exp degrees
+    radians over exact integer-derived inputs (o_orderkey mod small
+    constants), every output rounded at 6 digits through duck_round —
+    the d03 precedent for libm-computed doubles (both engines evaluate
+    IEEE doubles from identical integer inputs; the round absorbs
+    last-ulp libm divergence). tan is deliberately omitted: near odd
+    multiples of pi/2 its magnitude explodes and a last-ulp input
+    difference crosses rounding boundaries — the §5.4 item 1 class."""
+    o = load(spark, sf_dir, "orders")
+    deg = (F.col("o_orderkey") % 360).cast("double")
+    rad = F.radians(deg)
+    return o.select(
+        "o_orderkey",
+        duck_round(F.sin(rad), 6).alias("sin_v"),
+        duck_round(F.cos(rad), 6).alias("cos_v"),
+        duck_round(
+            F.atan2((F.col("o_orderkey") % 7).cast("double"), F.lit(3.0)), 6
+        ).alias("atan2_v"),
+        duck_round(F.exp((F.col("o_orderkey") % 5).cast("double")), 6).alias(
+            "exp_v"
+        ),
+        duck_round(F.degrees(F.lit(1.0)), 6).alias("deg_v"),
+        duck_round(rad, 6).alias("rad_v"),
+    )

@@ -2364,3 +2364,70 @@ def g28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("is_kept"),
         )
     )
+
+
+@query(
+    "g29_quality_gate",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_toks,
+             len(list_distinct(toks)) AS n_uniq,
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')
+               AS sum_len,
+             len(list_filter(toks,
+                 t -> t IN ('the','a','of','and','to','in','is'))) AS n_stop
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           ROUND(1.0 - n_uniq * 1.0 / n_toks, 6) AS dup_ratio,
+           ROUND(sum_len * 1.0 / n_toks, 6) AS mean_tok_len,
+           ROUND(n_stop * 1.0 / n_toks, 6) AS stop_ratio,
+           CAST(CASE WHEN n_toks BETWEEN 5 AND 1000
+                      AND ROUND(1.0 - n_uniq * 1.0 / n_toks, 6) <= 0.5
+                      AND ROUND(n_stop * 1.0 / n_toks, 6) <= 0.5
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+    """,
+)
+def g29_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality GATE: the filter a training pipeline actually
+    applies, composing the engine's quality signals into one keep/drop
+    decision per document with its evidence — token count bounds
+    (Gopher-style length gate), duplicate-token ratio (g23's repetition
+    signal), stopword ratio (g08b's fluency proxy). All signals are
+    integer counts with ONE rounded divide each, and the gate compares
+    the ROUNDED values, so the decision is bit-identical cross-engine
+    (§5.4 item 1 discipline). Pure per-row array algebra — a single
+    map-only projection, no explode, no shuffle, no Python: at 100 TB
+    this runs at scan speed and the gate's selectivity feeds the a09
+    relanding of the kept set."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop = F.array([F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+    dup_ratio = duck_round(F.lit(1.0) - n_uniq * F.lit(1.0) / n, 6)
+    stop_ratio = duck_round(n_stop * F.lit(1.0) / n, 6)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_toks"),
+        dup_ratio.alias("dup_ratio"),
+        duck_round(sum_len * F.lit(1.0) / n, 6).alias("mean_tok_len"),
+        stop_ratio.alias("stop_ratio"),
+        F.when(
+            n.between(5, 1000) & (dup_ratio <= 0.5) & (stop_ratio <= 0.5),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("keep"),
+    )

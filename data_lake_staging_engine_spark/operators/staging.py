@@ -972,3 +972,44 @@ def a27_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(0).cast("long").alias("doc_id"),
         parts.getItem(1).alias("text"),
     )
+
+
+@query(
+    "a28_multi_format_union",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def a28_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-landing union: one logical table arriving as THREE
+    physical formats (CSV / JSON / Parquet batches, split by key mod 3),
+    each read with the pinned target schema and unioned by name — the
+    mixed-feed reality of a staging layer mid-migration, where upstream
+    producers switch formats at different times. Doubles survive both
+    text formats exactly (writers emit shortest-round-trip decimal
+    strings; readers parse back to the identical IEEE value). 100 TB:
+    each format's batch is its own scan with its own splitability
+    (parquet/CSV byte-ranged, JSON line-split); the union is plan-level
+    only — no shuffle, no repartition — so cost is the sum of the scans
+    and downstream ops see one DataFrame."""
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    o = load(spark, sf_dir, "orders").select(*cols)
+    base = _tmpdir("multifmt")
+    csv_dir, json_dir, pq_dir = (os.path.join(base, d) for d in ("c", "j", "p"))
+    key = F.col("o_orderkey") % 3
+    o.filter(key == 0).write.mode("overwrite").option("header", True).csv(csv_dir)
+    o.filter(key == 1).write.mode("overwrite").json(json_dir)
+    o.filter(key == 2).write.mode("overwrite").parquet(pq_dir)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_custkey", LongType()),
+            StructField("o_orderstatus", StringType()),
+            StructField("o_totalprice", DoubleType()),
+        ]
+    )
+    return (
+        spark.read.option("header", True).schema(schema).csv(csv_dir)
+        .unionByName(spark.read.schema(schema).json(json_dir))
+        .unionByName(spark.read.schema(schema).parquet(pq_dir))
+    )

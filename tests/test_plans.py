@@ -273,3 +273,12 @@ def test_bitwise_pack_single_codegen_projection(spark, sf_dir):
     assert len(codegen_ids(plan)) == 1, plan
     cols = read_columns(plan, "events")
     assert cols <= {"event_id", "user_id"}, cols
+
+
+def test_quality_gate_single_codegen_projection(spark, sf_dir):
+    """g29 is pure per-row array algebra: no exchange, no explode —
+    one whole-stage-codegen span at scan speed."""
+    plan = _plan("g29_quality_gate", spark, sf_dir)
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode — in-row aggregation only
+    assert len(codegen_ids(plan)) == 1, plan

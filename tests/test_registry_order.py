@@ -10,25 +10,31 @@ ordered hash-tier before rows-only, with the already-verified names
 demoted to the tail.
 """
 
-from data_lake_staging_engine_spark.driver_evidence import DRIVER_VERIFIED
+from data_lake_staging_engine_spark.driver_evidence import DEFERRED, DRIVER_VERIFIED
 from data_lake_staging_engine_spark.registry import registry
 
 
 def test_all_unverified_fit_in_window():
     reg = registry()
     names = list(reg)
-    unverified = [n for n in names if n not in DRIVER_VERIFIED]
-    # Every query without driver evidence must sit inside the 50-row cap
-    # so round 4 closes the evidence gap in one sweep.
-    assert 0 < len(unverified) <= 50
-    assert names[: len(unverified)] == unverified
+    window = [n for n in names if n not in DRIVER_VERIFIED and n not in DEFERRED]
+    # Every pre-deferral query without driver evidence must sit inside
+    # the 50-row cap so the next driver sweep closes the evidence gap.
+    assert 0 < len(window) <= 50
+    assert names[: len(window)] == window
     # d10's decimal->double fix re-enters the window for its green retry.
-    assert "d10_fn_decimal_interval" in unverified
+    assert "d10_fn_decimal_interval" in window
+    # Deferred (registered after the window filled) come directly after
+    # the window, before the verified tail.
+    assert names[len(window) : len(window) + len(DEFERRED)] == sorted(DEFERRED)
+    assert not (DEFERRED & DRIVER_VERIFIED)
 
 
 def test_unverified_hash_tier_before_rows_only_within_family_band():
     reg = registry()
-    names = [n for n in reg if n not in DRIVER_VERIFIED]
+    names = [
+        n for n in reg if n not in DRIVER_VERIFIED and n not in DEFERRED
+    ]
     cdefg = [n for n in names if n[0] in "cdefg"]
     other = [n for n in names if n[0] not in "cdefg"]
     # Priority families (c-g) sweep before the a/b stragglers.
