@@ -147,6 +147,7 @@ _PRIORITY_FAMILIES = ("c", "d", "e", "f", "g")
 DEFERRED: frozenset[str] = frozenset(
     {
         "a28_multi_format_union",
+        "c09_win_nth_trailing",
         "d12_fn_trig",
         "g29_quality_gate",
     }

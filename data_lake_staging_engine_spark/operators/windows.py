@@ -284,3 +284,49 @@ def c08_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour_sum",
         F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
     )
+
+
+@query(
+    "c09_win_nth_trailing",
+    oracle="""
+    SELECT user_id, event_id,
+           nth_value(event_type, 2) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 4) AS trailing3_avg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    """,
+)
+def c09_win_nth_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value + a trailing-EXCLUSIVE frame (3 PRECEDING..1
+    PRECEDING): the 'previous three, not me' window a feature pipeline
+    uses for leak-free trailing aggregates (current row excluded so the
+    feature never sees its own label row). Empty frame on each
+    partition's first row => NULL on both engines. nth_value gets the
+    explicit UNBOUNDED/UNBOUNDED frame (the §5.4 item 4 default-frame
+    trap also bites nth_value); the trailing average is the c04
+    decimal-sum/count construction, exact at any parallelism. One
+    shuffle on user_id serves both window specs."""
+    e = load(spark, sf_dir, "events")
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_trail = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, -1)
+    )
+    frame_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w_trail).cast(
+        "double"
+    )
+    frame_n = F.count(F.lit(1)).over(w_trail)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.nth_value("event_type", 2).over(w_full).alias("second_type"),
+        duck_round(frame_sum / frame_n, 4).alias("trailing3_avg"),
+    )
