@@ -147,7 +147,9 @@ _PRIORITY_FAMILIES = ("c", "d", "e", "f", "g")
 DEFERRED: frozenset[str] = frozenset(
     {
         "a28_multi_format_union",
+        "a29_scd2_dimension",
         "c09_win_nth_trailing",
+        "c10_win_sessionize",
         "d12_fn_trig",
         "g29_quality_gate",
     }

@@ -1013,3 +1013,59 @@ def a28_multi_format_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(spark.read.schema(schema).json(json_dir))
         .unionByName(spark.read.schema(schema).parquet(pq_dir))
     )
+
+
+@query(
+    "a29_scd2_dimension",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+      )
+      WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id,
+           event_type AS status,
+           ts AS effective_from,
+           lead(ts) OVER w AS effective_to,
+           CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def a29_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from a change feed: treat
+    each user's event stream as attribute changes, collapse consecutive
+    same-status rows (change detection via lag), then derive validity
+    intervals — effective_from = change ts, effective_to = next change
+    ts (exclusive; NULL + is_current=1 for the open row). This is the
+    versioned-dimension table a warehouse maintains next to the a07
+    keep-latest current view and the a19 streaming upsert. Both windows
+    share the (user_id) partitioning and (ts, event_id) ordering, so
+    the whole build is ONE shuffle + two in-partition passes at any
+    scale; the output is append-only re-derivable (growth-stable) from
+    the immutable staged feed."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w2)
+    return ch.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("effective_from"),
+        nxt.alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

@@ -330,3 +330,46 @@ def c09_win_nth_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_type", 2).over(w_full).alias("second_type"),
         duck_round(frame_sum / frame_n, 4).alias("trailing3_avg"),
     )
+
+
+@query(
+    "c10_win_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN (epoch_us(ts) // 1000000)
+                       - lag(epoch_us(ts) // 1000000) OVER w IS NULL
+                    OR (epoch_us(ts) // 1000000)
+                       - lag(epoch_us(ts) // 1000000) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM g
+    """,
+)
+def c10_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH sessionization (the e03 streaming session windows, as the
+    offline twin): a gap > 30 min since the previous event starts a new
+    session; session id = running count of session starts per user —
+    the lag-flag-cumsum idiom. All integer epoch-second arithmetic, so
+    the result is exact on both engines. One user_id shuffle serves
+    both window specs (lag and the running sum share partitioning and
+    ordering); at 100 TB this is a single exchange + two in-partition
+    passes, the cheapest sessionization there is."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "_sec", F.expr("unix_micros(ts) div 1000000")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("_sec") - F.lag("_sec").over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(w_run).cast("long").alias("session_seq"),
+    )
