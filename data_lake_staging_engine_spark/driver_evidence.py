@@ -152,6 +152,7 @@ DEFERRED: frozenset[str] = frozenset(
         "c10_win_sessionize",
         "d12_fn_trig",
         "g29_quality_gate",
+        "g30_dedup_incremental",
     }
 )
 

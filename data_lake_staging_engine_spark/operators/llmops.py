@@ -2431,3 +2431,106 @@ def g29_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+@query(
+    "g30_dedup_incremental",
+    oracle="""
+    WITH newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+    ex AS (
+      SELECT n.doc_id, MIN(c.doc_id) AS m
+      FROM newdocs n
+      JOIN (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0) c
+        ON md5(lower(trim(n.text))) = md5(lower(trim(c.text)))
+      GROUP BY 1
+    ),
+    toks AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+             FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+    pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS shared
+              FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    jp AS (
+      SELECT d1, d2 FROM pairs
+      JOIN sizes s1 ON d1 = s1.doc_id
+      JOIN sizes s2 ON d2 = s2.doc_id
+      WHERE shared * 1.0 / (s1.n + s2.n - shared) >= 0.8
+    ),
+    nearm AS (
+      SELECT nd, MIN(cd) AS m FROM (
+        SELECT d1 AS nd, d2 AS cd FROM jp WHERE d1 % 7 = 0 AND d2 % 7 <> 0
+        UNION ALL
+        SELECT d2 AS nd, d1 AS cd FROM jp WHERE d2 % 7 = 0 AND d1 % 7 <> 0
+      ) GROUP BY 1
+    )
+    SELECT n.doc_id,
+           CASE WHEN ex.m IS NOT NULL THEN 'exact'
+                WHEN nearm.m IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS verdict,
+           COALESCE(ex.m, nearm.m) AS match_id
+    FROM newdocs n
+    LEFT JOIN ex ON n.doc_id = ex.doc_id
+    LEFT JOIN nearm ON n.doc_id = nearm.nd
+    """,
+)
+def g30_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — a new batch (doc_id % 7 = 0, ~14%) checked
+    against the existing corpus, the shape a production ingest actually
+    runs (g01/g02 dedup whole corpora; real pipelines dedup the DELTA):
+    exact layer by normalized-text digest join (keep min corpus match),
+    near layer by exact token-Jaccard >= 0.8 restricted to new x corpus
+    pairs, verdict precedence exact > near > unique with the matched
+    corpus doc as evidence.
+
+    Reuses the strategy-switched `_jaccard_pairs` machinery and filters
+    its self-join pairs to the new x corpus bipartite subset — at test
+    scale that costs the same as g02 and stays bit-exact against the
+    oracle. 100 TB: the exact layer is a digest equi-join of the BATCH
+    (tiny) against the corpus digest index (a broadcast or bucketed
+    probe); the near layer banding (g02b) indexes only the corpus once
+    and probes each new batch's signatures against the band index —
+    cost scales with the batch, not the corpus. The bipartite filter
+    here is the correctness twin of that probe."""
+    d = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 7 == 0
+    newdocs = d.filter(is_new)
+    corpus = d.filter(~is_new)
+    digest = lambda c: F.md5(F.lower(F.trim(c)))  # noqa: E731
+    ex = (
+        newdocs.select("doc_id", digest(F.col("text")).alias("dg"))
+        .join(
+            corpus.select(
+                F.col("doc_id").alias("cid"), digest(F.col("text")).alias("dg")
+            ),
+            "dg",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cid").alias("exact_m"))
+    )
+    jp = _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d)).select(
+        "d1", "d2"
+    )
+    near = (
+        jp.filter((F.col("d1") % 7 == 0) & (F.col("d2") % 7 != 0))
+        .select(F.col("d1").alias("doc_id"), F.col("d2").alias("cd"))
+        .unionByName(
+            jp.filter((F.col("d2") % 7 == 0) & (F.col("d1") % 7 != 0)).select(
+                F.col("d2").alias("doc_id"), F.col("d1").alias("cd")
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cd").alias("near_m"))
+    )
+    return (
+        newdocs.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_m").isNotNull(), "exact")
+            .when(F.col("near_m").isNotNull(), "near")
+            .otherwise("unique")
+            .alias("verdict"),
+            F.coalesce("exact_m", "near_m").alias("match_id"),
+        )
+    )
