@@ -1,179 +1,131 @@
-"""Which queries already have first-party driver CORRECTNESS evidence.
+"""Which queries have first-party driver CORRECTNESS evidence, and when.
 
 The driver's per-round sweep writes at most 50 rows to
 ``CORRECTNESS_r{N}.json`` and iterates ``__spark_entry__.queries()`` in
-insertion order.  Rounds 1 and 2 both burned all 50 slots on the same
-alphabetical prefix (a01..b34, all green twice), leaving the c/d/e/f/g
-families with local-parity evidence only (tests/test_oracle_parity.py).
+insertion order — so registry ordering IS evidence policy.
 
-``registry()`` therefore orders queries so never-driver-verified entries
-come FIRST, prioritizing hash-tier (oracled) queries in the c-g families
-— these are the ones the VERDICT flagged as the biggest evidence gap.
-After each round, fold that round's green names into
-``DRIVER_VERIFIED`` so the next round's 50-slot window advances to the
-still-unverified remainder instead of re-proving the same prefix.
+History of the window rotation:
 
-DRIVER_VERIFIED = union of green rows in CORRECTNESS_r01.json,
-CORRECTNESS_r02.json (identical 50-name sets) and CORRECTNESS_r03.json
-(49 green c01..g08c rows; the rotation worked — zero overlap with the
-r01/r02 window). d10_fn_decimal_interval is deliberately NOT folded in:
-its r03 row hash-failed (DecimalType canonicalization, fixed round 4 by
-casting to DOUBLE at the emit boundary) so it must re-enter the next
-driver window for a green retry. Round 4 ended without a driver
-correctness run, so the window carries over; round 5 added seven new
-queries (a25 a26 a27 b42 b56 d11 g28), making the 50 never-verified
-entries EXACTLY fill the next 50-row window. After the next
-CORRECTNESS lands, fold its greens in here and update
-tests/test_registry_order.py. Re-checked against the JSON 2026-08-13.
+- r01/r02 both burned all 50 slots on the alphabetical prefix
+  (a01..b34; a14/b23 ran rows-only, the rest hash-green twice).
+- r03 swept 49 c..g queries green; d10_fn_decimal_interval hash-failed
+  (DecimalType canonicalization, fixed round 4 at the emit boundary).
+- r04 ended without a driver correctness run (no CORRECTNESS_r04).
+- r05 swept the remaining 50 never-verified entries — 40 hash-green,
+  10 R-tier rows-only ran, 0 failures; d10's retry is green.
+
+After r05, every query registered before the r05 window filled has
+driver evidence; seven queries registered late in round 5 (the
+"deferred band": a28 a29 c09 c10 d12 g29 g30) have never been inside a
+window.  Round 6 policy (VERDICT r05 items 1-2): the 7 never-verified
+entries head the window, and the ~43 spare slots go to the STALEST
+evidence — the r02-era prefix, last proven before the split-sizing and
+decimal-emit changes touched every plan.
+
+``LAST_VERIFIED`` maps each driver-evidenced query to the round of its
+most recent first-party row (hash-green, or rows-only-ran for R-tier).
+After each round, fold the new CORRECTNESS greens in here (bump the
+round number) and update tests/test_registry_order.py.
+Source of truth: CORRECTNESS_r0{1,2,3,5}.json, re-read 2026-08-13.
 """
 
 from __future__ import annotations
 
-DRIVER_VERIFIED: frozenset[str] = frozenset(
-    {
-        "a01_scan_parquet",
-        "a02_scan_csv",
-        "a03_scan_json",
-        "a04_normalize_columns",
-        "a05_apply_schema_cast",
-        "a06_partition_derive",
-        "a07_dedup_keep_latest",
-        "a08_quality_nullcounts",
-        "a09_sink_parquet_partitioned",
-        "a10_compaction",
-        "a11_catalog_sync",
-        "a12_incremental_ingest",
-        "a13_stream_ingest_foreachbatch",
-        "a14_bad_records",
-        "a15_bucketed_join",
-        "a16_partition_pruned_scan",
-        "a17_dynamic_partition_overwrite",
-        "a18_python_datasource",
-        "a19_stream_upsert",
-        "a20_observed_metrics",
-        "a21_schema_evolution",
-        "a22_versioned_snapshot",
-        "b01_project_arith",
-        "b02_filter_pred",
-        "b03_distinct",
-        "b10_join_inner",
-        "b11_join_left",
-        "b12_join_right_full",
-        "b13_join_semi",
-        "b14_join_anti",
-        "b15_join_broadcast",
-        "b16_join_theta",
-        "b17_join_range_interval",
-        "b18_join_asof",
-        "b19_join_cross",
-        "b20_agg_groupby",
-        "b21_agg_having",
-        "b22_agg_countdistinct",
-        "b23_agg_approx_cd",
-        "b24_agg_rollup",
-        "b25_agg_cube",
-        "b26_agg_grouping_sets",
-        "b27_agg_stats",
-        "b28_agg_percentile",
-        "b29_agg_collect_sorted",
-        "b30_agg_minmax_by",
-        "b31_agg_salted_skew",
-        "b32_pivot",
-        "b33_unpivot",
-        "b34_sample_systematic",
-        # --- CORRECTNESS_r03.json greens (49; d10 excluded — hash-fail) ---
-        "c01_win_ranking",
-        "c02_win_lag_lead",
-        "c03_win_running_sum",
-        "c04_win_moving_rows",
-        "c05_win_range_interval",
-        "c06_win_first_last",
-        "c07_gapfill",
-        "c08_win_forward_fill",
-        "d01_fn_string",
-        "d02_fn_date",
-        "d03_fn_math",
-        "d04_fn_cond",
-        "d05_fn_array",
-        "d06_fn_explode",
-        "d07_fn_json",
-        "d08_fn_struct",
-        "d09_fn_variant",
-        "e01_stream_tumbling",
-        "e02_stream_sliding",
-        "e03_stream_session",
-        "e04_stream_watermark",
-        "e05_stream_dedup",
-        "e06_stream_stateful",
-        "e08_stream_stream_join",
-        "e09_stream_static_join",
-        "e10_batch_twin",
-        "e11_stream_dedup_then_window",
-        "f01_udf_python",
-        "f02_pandas_udf_scalar",
-        "f03_pandas_udf_grouped_agg",
-        "f04_apply_in_pandas",
-        "f05_map_in_pandas",
-        "f06_udtf",
-        "f07_arrow_udf",
-        "f10_cogroup_in_pandas",
-        "g01_dedup_exact",
-        "g02_dedup_near",
-        "g02d_dedup_ngram",
-        "g03_simsearch_topk",
-        "g03b_simsearch_knn",
-        "g03d_embed_neardup",
-        "g04_centroids",
-        "g05_text_tokenize",
-        "g05b_token_bpe",
-        "g06_text_wordcount",
-        "g07_text_tfidf",
-        "g08_text_stats",
-        "g08b_text_quality",
-        "g08c_text_langid",
-    }
+# fmt: off
+_R02 = (
+    # r01/r02 windows (identical 50-name prefix, green both rounds;
+    # a14/b23 are R-tier rows-only by design)
+    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
+    "a04_normalize_columns", "a05_apply_schema_cast",
+    "a06_partition_derive", "a07_dedup_keep_latest",
+    "a08_quality_nullcounts", "a09_sink_parquet_partitioned",
+    "a10_compaction", "a11_catalog_sync", "a12_incremental_ingest",
+    "a13_stream_ingest_foreachbatch", "a14_bad_records",
+    "a15_bucketed_join", "a16_partition_pruned_scan",
+    "a17_dynamic_partition_overwrite", "a18_python_datasource",
+    "a19_stream_upsert", "a20_observed_metrics", "a21_schema_evolution",
+    "a22_versioned_snapshot", "b01_project_arith", "b02_filter_pred",
+    "b03_distinct", "b10_join_inner", "b11_join_left",
+    "b12_join_right_full", "b13_join_semi", "b14_join_anti",
+    "b15_join_broadcast", "b16_join_theta", "b17_join_range_interval",
+    "b18_join_asof", "b19_join_cross", "b20_agg_groupby",
+    "b21_agg_having", "b22_agg_countdistinct", "b23_agg_approx_cd",
+    "b24_agg_rollup", "b25_agg_cube", "b26_agg_grouping_sets",
+    "b27_agg_stats", "b28_agg_percentile", "b29_agg_collect_sorted",
+    "b30_agg_minmax_by", "b31_agg_salted_skew", "b32_pivot",
+    "b33_unpivot", "b34_sample_systematic",
 )
-
-# Families the round-2 VERDICT singled out ("Done = CORRECTNESS_r03.json
-# contains green rows for >=48 queries from {c,d,e,f,g}").
-_PRIORITY_FAMILIES = ("c", "d", "e", "f", "g")
-
-# Queries registered AFTER the next 50-row window was already exactly
-# full (the 50 older never-verified entries above must keep their
-# slots).  These sweep after the window but before the verified tail —
-# they carry local-parity evidence only until the window rotates onto
-# them in the following round, at which point this set empties into the
-# ordinary never-verified bands.
-DEFERRED: frozenset[str] = frozenset(
-    {
-        "a28_multi_format_union",
-        "a29_scd2_dimension",
-        "c09_win_nth_trailing",
-        "c10_win_sessionize",
-        "d12_fn_trig",
-        "g29_quality_gate",
-        "g30_dedup_incremental",
-    }
+_R03 = (
+    # CORRECTNESS_r03.json greens (49; d10 hash-failed there and is
+    # carried under its r05 green retry below)
+    "c01_win_ranking", "c02_win_lag_lead", "c03_win_running_sum",
+    "c04_win_moving_rows", "c05_win_range_interval",
+    "c06_win_first_last", "c07_gapfill", "c08_win_forward_fill",
+    "d01_fn_string", "d02_fn_date", "d03_fn_math", "d04_fn_cond",
+    "d05_fn_array", "d06_fn_explode", "d07_fn_json", "d08_fn_struct",
+    "d09_fn_variant", "e01_stream_tumbling", "e02_stream_sliding",
+    "e03_stream_session", "e04_stream_watermark", "e05_stream_dedup",
+    "e06_stream_stateful", "e08_stream_stream_join",
+    "e09_stream_static_join", "e10_batch_twin",
+    "e11_stream_dedup_then_window", "f01_udf_python",
+    "f02_pandas_udf_scalar", "f03_pandas_udf_grouped_agg",
+    "f04_apply_in_pandas", "f05_map_in_pandas", "f06_udtf",
+    "f07_arrow_udf", "f10_cogroup_in_pandas", "g01_dedup_exact",
+    "g02_dedup_near", "g02d_dedup_ngram", "g03_simsearch_topk",
+    "g03b_simsearch_knn", "g03d_embed_neardup", "g04_centroids",
+    "g05_text_tokenize", "g05b_token_bpe", "g06_text_wordcount",
+    "g07_text_tfidf", "g08_text_stats", "g08b_text_quality",
+    "g08c_text_langid",
 )
+_R05 = (
+    # CORRECTNESS_r05.json — 40 hash-green + 10 R-tier rows-only ran
+    "a23_schema_widening", "a24_sink_orc", "a25_scan_xml",
+    "a26_scan_binaryfile", "a27_scan_text", "b35_join_salted_skew",
+    "b36_histogram", "b37_null_ordering", "b38_sql_cte_chain",
+    "b40_sort_limit_topk", "b41_topk_per_group", "b42_group_by_all",
+    "b50_union_all", "b51_intersect", "b52_except",
+    "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
+    "b56_join_lateral", "d10_fn_decimal_interval", "d11_fn_bitwise",
+    "e07_stream_late_data", "f08_multimodal_decode",
+    "f09_multimodal_framesample", "g02b_dedup_lsh", "g02c_dedup_simhash",
+    "g02e_dedup_lsh_shingle", "g03c_simsearch_lsh", "g03e_simsearch_ivf",
+    "g08d_text_fingerprint", "g09_multimodal_record",
+    "g10_embed_join_docs", "g11_events_user_join", "g12_contamination",
+    "g13_kmeans_iterations", "g14_text_clean", "g15_vocab_prune",
+    "g16_event_funnel", "g17_text_bigrams", "g18_embed_quantize",
+    "g19_stratified_sample", "g20_unigram_logprob",
+    "g21_dedup_agreement", "g22_corpus_split", "g23_text_repetition",
+    "g24_pii_scrub", "g25_sequence_pack", "g26_dedup_clusters",
+    "g27_corpus_mixture", "g28_semantic_dedup",
+)
+# fmt: on
+
+LAST_VERIFIED: dict[str, int] = {
+    **{name: 2 for name in _R02},
+    **{name: 3 for name in _R03},
+    **{name: 5 for name in _R05},
+}
+
+# Convenience view: every query with any first-party driver evidence.
+DRIVER_VERIFIED: frozenset[str] = frozenset(LAST_VERIFIED)
 
 
-def sweep_rank(name: str, has_oracle: bool) -> tuple[int, str]:
+def sweep_rank(name: str, has_oracle: bool) -> tuple[int, int, str]:
     """Sort key putting the most evidence-starved queries first.
 
-    0: never driver-verified, priority family, hash tier (oracled)
-    1: never driver-verified, priority family, rows-only tier
-    2: never driver-verified, other family (b35+), hash tier
-    3: never driver-verified, other family, rows-only tier
-    4: registered after the next window filled (DEFERRED — wait a round)
-    5: already driver-verified
-    Alphabetical within each band keeps the order deterministic.
+    Band 0: never driver-verified (the late round-5 additions) —
+            alphabetical, hash tier and rows-only alike (all 7 current
+            members are hash tier).
+    Band 1: driver-verified — ordered by last-verified round ASCENDING
+            (stalest evidence first), then name.  The r02-era prefix
+            re-enters the window ahead of r03/r05 greens because every
+            plan has been touched by the split-sizing and decimal-emit
+            changes since it was last proven.
+    ``has_oracle`` kept in the signature for call-site stability; the
+    never-verified band no longer needs the tier split (r05 closed the
+    R-tier backlog).
     """
-    if name in DRIVER_VERIFIED:
-        band = 5
-    elif name in DEFERRED:
-        band = 4
-    elif name[0] in _PRIORITY_FAMILIES:
-        band = 0 if has_oracle else 1
-    else:
-        band = 2 if has_oracle else 3
-    return (band, name)
+    last = LAST_VERIFIED.get(name)
+    if last is None:
+        return (0, 0, name)
+    return (1, last, name)

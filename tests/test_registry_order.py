@@ -1,63 +1,67 @@
-"""Registry ordering = driver-evidence policy (VERDICT r02 item 1, r03 item 1).
+"""Registry ordering = driver-evidence policy (VERDICT r05 items 1-2).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r01/r02/r03 greens
-into ``DRIVER_VERIFIED`` (99 names), 50 queries lack first-party driver
-evidence — the d10 hash-fail retry, the never-swept tail (round 4 ended
-without a driver correctness run), and the seven round-5 additions.
-These tests pin that ALL of them land inside the next 50-row window,
-ordered hash-tier before rows-only, with the already-verified names
-demoted to the tail.
+``queries()`` in insertion order.  After folding the r05 greens into
+``LAST_VERIFIED`` (149 names), exactly 7 queries lack first-party
+driver evidence — the round-5 deferred band (a28 a29 c09 c10 d12 g29
+g30).  These tests pin the r06 window shape: the 7 never-verified
+entries first, then the STALEST verified evidence (the r02-era prefix,
+last proven before the split-sizing/decimal-emit changes) filling the
+remaining 43 slots, with fresher r03/r05 evidence behind it.
 """
 
-from data_lake_staging_engine_spark.driver_evidence import DEFERRED, DRIVER_VERIFIED
+from data_lake_staging_engine_spark.driver_evidence import (
+    DRIVER_VERIFIED,
+    LAST_VERIFIED,
+    sweep_rank,
+)
 from data_lake_staging_engine_spark.registry import registry
 
-
-def test_all_unverified_fit_in_window():
-    reg = registry()
-    names = list(reg)
-    window = [n for n in names if n not in DRIVER_VERIFIED and n not in DEFERRED]
-    # Every pre-deferral query without driver evidence must sit inside
-    # the 50-row cap so the next driver sweep closes the evidence gap.
-    assert 0 < len(window) <= 50
-    assert names[: len(window)] == window
-    # d10's decimal->double fix re-enters the window for its green retry.
-    assert "d10_fn_decimal_interval" in window
-    # Deferred (registered after the window filled) come directly after
-    # the window, before the verified tail.
-    assert names[len(window) : len(window) + len(DEFERRED)] == sorted(DEFERRED)
-    assert not (DEFERRED & DRIVER_VERIFIED)
+NEVER_VERIFIED = {
+    "a28_multi_format_union",
+    "a29_scd2_dimension",
+    "c09_win_nth_trailing",
+    "c10_win_sessionize",
+    "d12_fn_trig",
+    "g29_quality_gate",
+    "g30_dedup_incremental",
+}
 
 
-def test_unverified_hash_tier_before_rows_only_within_family_band():
-    reg = registry()
-    names = [
-        n for n in reg if n not in DRIVER_VERIFIED and n not in DEFERRED
-    ]
-    cdefg = [n for n in names if n[0] in "cdefg"]
-    other = [n for n in names if n[0] not in "cdefg"]
-    # Priority families (c-g) sweep before the a/b stragglers.
-    assert names == cdefg + other
+def test_never_verified_head_the_window():
+    names = list(registry())
+    assert names[: len(NEVER_VERIFIED)] == sorted(NEVER_VERIFIED)
+    assert not (NEVER_VERIFIED & DRIVER_VERIFIED)
 
-    def tiers(seq):
-        return [reg[n].oracle is not None for n in seq]
 
-    # Within each band: hash tier first, then rows-only.
-    for seq in (cdefg, other):
-        t = tiers(seq)
-        assert t == sorted(t, reverse=True)
+def test_window_fills_with_stalest_evidence():
+    names = list(registry())
+    window = names[:50]
+    # 7 never-verified + 43 stalest (r02-era) re-verifications.
+    stale = sorted(n for n, r in LAST_VERIFIED.items() if r == 2)
+    assert len(stale) == 50
+    assert window == sorted(NEVER_VERIFIED) + stale[:43]
+    # Everything past the window is fresher evidence than anything in
+    # the stale band (r02 <= r03 <= r05, monotone non-decreasing tail).
+    tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
+    assert tail_rounds == sorted(tail_rounds)
+
+
+def test_sweep_rank_orders_by_staleness():
+    assert sweep_rank("a28_multi_format_union", True)[0] == 0
+    r02 = sweep_rank("a01_scan_parquet", True)
+    r03 = sweep_rank("c01_win_ranking", True)
+    r05 = sweep_rank("b56_join_lateral", True)
+    assert r02 < r03 < r05
 
 
 def test_all_queries_still_registered():
     reg = registry()
-    # 142 registered in this env (e10_transform_with_state is env-gated
-    # off and replaced by its batch twin, which IS registered).
-    assert len(reg) >= 142
-    # Verified names are still present, just demoted to the tail.
+    assert len(reg) == len(LAST_VERIFIED) + len(NEVER_VERIFIED)
     assert DRIVER_VERIFIED <= set(reg)
-    tail = list(reg)[-len(DRIVER_VERIFIED) :]
-    assert set(tail) == set(DRIVER_VERIFIED)
+    # LAST_VERIFIED names all correspond to real registered queries —
+    # no typo can silently drop a query out of the rotation.
+    assert set(LAST_VERIFIED) <= set(reg)
 
 
 def test_order_deterministic():
