@@ -315,34 +315,41 @@ def d10_fn_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d11_fn_bitwise",
     oracle="""
-    SELECT event_id,
-           CAST(user_id & 255 AS BIGINT) AS masked,
-           CAST(user_id | 1024 AS BIGINT) AS set_bit,
-           CAST(xor(user_id, event_id) AS BIGINT) AS xored,
-           CAST(user_id << 3 AS BIGINT) AS shifted,
-           CAST(bit_count(CAST(user_id AS BIGINT)) AS BIGINT) AS popcnt,
-           CAST(~user_id AS BIGINT) AS flipped
-    FROM events
+    WITH e AS (
+      SELECT CAST(event_id AS BIGINT) AS eid, CAST(user_id AS BIGINT) AS uid
+      FROM events
+    )
+    SELECT eid AS event_id,
+           uid & 255 AS masked,
+           uid | 1024 AS set_bit,
+           xor(uid, eid) AS xored,
+           uid << 3 AS shifted,
+           CAST(bit_count(uid) AS BIGINT) AS popcnt,
+           ~uid AS flipped
+    FROM e
     """,
 )
 def d11_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bitwise function pack: AND/OR/XOR masks, shift, population count,
     complement — the primitives the engine's own SimHash/bitmap dedup
     strategies (g02c, _g02_bitmask) are built from, exposed as a scalar
-    surface. All JVM codegen; every output cast to BIGINT because the
-    two engines' bitwise return widths differ (DuckDB bit_count =>
-    TINYINT, operators follow the narrower operand; Spark stays at the
-    column's LongType)."""
+    surface. All JVM codegen. Operands are cast to BIGINT BEFORE the
+    ops on both engines (ADVICE r05): DuckDB's operator width follows
+    the narrower operand and raises on 32-bit shift overflow where
+    Spark wraps at the column type, so widening first makes parity
+    independent of the fixture value domain (bit_count's TINYINT
+    result is still widened after)."""
     e = load(spark, sf_dir, "events")
-    uid = F.col("user_id")
+    uid = F.col("user_id").cast("long")
+    eid = F.col("event_id").cast("long")
     return e.select(
-        "event_id",
-        uid.bitwiseAND(F.lit(255)).cast("long").alias("masked"),
-        uid.bitwiseOR(F.lit(1024)).cast("long").alias("set_bit"),
-        uid.bitwiseXOR(F.col("event_id")).cast("long").alias("xored"),
-        F.shiftleft(uid, 3).cast("long").alias("shifted"),
+        eid.alias("event_id"),
+        uid.bitwiseAND(F.lit(255)).alias("masked"),
+        uid.bitwiseOR(F.lit(1024)).alias("set_bit"),
+        uid.bitwiseXOR(eid).alias("xored"),
+        F.shiftleft(uid, 3).alias("shifted"),
         F.bit_count(uid).cast("long").alias("popcnt"),
-        F.bitwise_not(uid).cast("long").alias("flipped"),
+        F.bitwise_not(uid).alias("flipped"),
     )
 
 

@@ -357,12 +357,17 @@ def c10_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     offline twin): a gap > 30 min since the previous event starts a new
     session; session id = running count of session starts per user —
     the lag-flag-cumsum idiom. All integer epoch-second arithmetic, so
-    the result is exact on both engines. One user_id shuffle serves
-    both window specs (lag and the running sum share partitioning and
-    ordering); at 100 TB this is a single exchange + two in-partition
-    passes, the cheapest sessionization there is."""
+    the result is exact on both engines: the micros->seconds bucketing
+    is FLOOR division (m - pmod(m, 1e6)) div 1e6 — pure int64, matching
+    DuckDB's // for any timestamp domain including pre-1970, where
+    Spark's `div` alone would truncate toward zero (ADVICE r05). One
+    user_id shuffle serves both window specs (lag and the running sum
+    share partitioning and ordering); at 100 TB this is a single
+    exchange + two in-partition passes, the cheapest sessionization
+    there is."""
     e = load(spark, sf_dir, "events").withColumn(
-        "_sec", F.expr("unix_micros(ts) div 1000000")
+        "_sec",
+        F.expr("(unix_micros(ts) - pmod(unix_micros(ts), 1000000)) div 1000000"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("_sec") - F.lag("_sec").over(w)

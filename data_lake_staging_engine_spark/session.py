@@ -35,6 +35,20 @@ from pyspark.sql import SparkSession
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def fixture_split_bytes() -> str:
+    """Scan-split size for the LOCAL single-file-per-table fixtures.
+
+    A 30 MB lineitem at sf0.1 is ONE input split at Spark's 128 MB
+    default, so a scan-bound query runs on 1 of 32 cores; 8 MB splits
+    parallelize the fixtures 2-3x (measured: b10 0.67->0.36 s, d05
+    0.78->0.26 s). This is a test/bench entry-point setting ONLY — the
+    library default stays at Spark's 128m, which is also the 128-256 MB
+    rule DEPLOYMENT.md documents for a real lake (splits ~=
+    file-size/parallelism, not a fixed constant). Override with
+    SPARK_GRAFT_MAX_PARTITION_BYTES."""
+    return os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m")
+
+
 def get_spark(
     app_name: str = "data-lake-staging-engine-spark",
     cores: int | None = None,
@@ -43,18 +57,16 @@ def get_spark(
 ) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
 
-    ``max_partition_bytes`` sizes file-scan splits. The fixtures are
-    single parquet files per table (a 30 MB lineitem at sf0.1 = ONE
-    input split at the 128 MB default, so a scan-bound query runs on 1
-    of 32 cores); 8 MB splits parallelize the local fixtures 2-3x
-    (measured: b10 0.67->0.36 s, d05 0.78->0.26 s). This is the same
-    lever DEPLOYMENT.md sizes at 128-256 MB for a real lake — the rule
-    is splits ~= file-size/parallelism, not a fixed constant; override
-    with SPARK_GRAFT_MAX_PARTITION_BYTES."""
+    ``max_partition_bytes`` sizes file-scan splits; the library default
+    is Spark's own 128m (right for a real lake's 100 MB+ files). Local
+    test/bench entry points pass ``fixture_split_bytes()`` explicitly
+    because the tiny single-file fixtures need far smaller splits to
+    parallelize — see that helper's docstring (ADVICE r05: the 8m
+    fixture tuning must not leak into library defaults)."""
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     max_partition_bytes = max_partition_bytes or os.environ.get(
-        "SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"
+        "SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"
     )
     builder = (
         SparkSession.builder.appName(app_name)
@@ -76,20 +88,23 @@ def get_spark(
 
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable determinism/perf settings to an
-    externally-provided session (the driver passes its own ``spark``)."""
+    externally-provided session (the driver passes its own ``spark``).
+
+    maxPartitionBytes is only touched when SPARK_GRAFT_MAX_PARTITION_BYTES
+    is explicitly set: an externally-built session (including one from
+    ``get_spark(max_partition_bytes=...)``) keeps its own split sizing
+    otherwise (ADVICE r05: no silent clobbering)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    for key, val in (
+    settings = [
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
-        # Runtime-settable: size scan splits for the single-file-per-
-        # table fixtures (see get_spark docstring; cluster rule differs)
-        (
-            "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"),
-        ),
-    ):
+    ]
+    env_split = os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
+    if env_split is not None:
+        settings.append(("spark.sql.files.maxPartitionBytes", env_split))
+    for key, val in settings:
         try:
             spark.conf.set(key, val)
         except Exception:

@@ -21,7 +21,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from data_lake_staging_engine_spark.registry import registry  # noqa: E402
-from data_lake_staging_engine_spark.session import get_spark  # noqa: E402
+from data_lake_staging_engine_spark.session import (  # noqa: E402
+    fixture_split_bytes,
+    get_spark,
+)
 
 
 def main() -> None:
@@ -31,7 +34,11 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = -1.0
-    spark = get_spark(cores=cpus, shuffle_partitions=cpus)
+    spark = get_spark(
+        cores=cpus,
+        shuffle_partitions=cpus,
+        max_partition_bytes=fixture_split_bytes(),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
 

@@ -5,7 +5,10 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from data_lake_staging_engine_spark.session import get_spark  # noqa: E402
+from data_lake_staging_engine_spark.session import (  # noqa: E402
+    fixture_split_bytes,
+    get_spark,
+)
 from data_lake_staging_engine_spark.testing import duck_connection  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
@@ -14,7 +17,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(cores=8, shuffle_partitions=8)
+    s = get_spark(
+        cores=8, shuffle_partitions=8, max_partition_bytes=fixture_split_bytes()
+    )
     yield s
 
 
