@@ -25,6 +25,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -855,6 +857,26 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _g03d_guard_anchor_count(anchors: DataFrame) -> None:
+    """Refuse quadratic-anchor scoring beyond a configured cardinality.
+
+    g03d scores every (anchor, vector) pair exactly — acceptable only
+    as a test-scale recall anchor. The count is a key-only scan (column
+    pruning reaches the parquet reader) so the guard itself is cheap;
+    the bound is configurable for deliberate larger anchor studies."""
+    max_anchors = int(os.environ.get("SPARK_GRAFT_G03D_MAX_ANCHORS", "50000"))
+    n = anchors.select("vec_id").count()
+    if n > max_anchors:
+        raise ValueError(
+            f"g03d_embed_neardup: anchor set has {n} rows > bound "
+            f"{max_anchors}. This operator scores exact all-pairs cosine "
+            "against the anchor set (O(anchors x corpus)) and exists only "
+            "as a recall anchor for the approximate paths. Use "
+            "g02b/g03c (LSH), g03e (IVF) or g28 (semantic dedup) at "
+            "scale, or raise SPARK_GRAFT_G03D_MAX_ANCHORS deliberately."
+        )
+
+
 @query(
     "g03d_embed_neardup",
     oracle="""
@@ -885,7 +907,14 @@ def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored-pair count at ~10% of N^2 while remaining deterministic and
     hash-verified cross-engine — but the broadcast side still grows
     O(N), so this operator is bounded only at anchor/fixture scale and
-    must never be the production dedup path."""
+    must never be the production dedup path.
+
+    Misuse guard (VERDICT r05 #3): the anchor-set cardinality is
+    counted up front (a map-side key-only scan) and the operator
+    REFUSES anchor sets above SPARK_GRAFT_G03D_MAX_ANCHORS (default
+    50k). A 100 TB corpus routed here by mistake fails in seconds with
+    a pointer to g03c/g03e/g28 instead of melting the cluster on an
+    O(N^2/10) pair scan."""
     e = load(spark, sf_dir, "embeddings")
     v = e.select(
         "vec_id",
@@ -894,6 +923,7 @@ def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     in_anchor = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < "1a"
     a, b = v.filter(in_anchor).alias("a"), v.alias("b")
+    _g03d_guard_anchor_count(a)
     cos = F.col("dot") / (F.col("a.norm") * F.col("b.norm"))
     # Broadcast the anchor side. NOTE: the anchor is ~10% of ALL
     # vectors — an O(N) broadcast scoring O(N^2/10) pairs — so this is

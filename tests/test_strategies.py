@@ -268,3 +268,20 @@ def test_a27_text_roundtrip_preserves_payload_tabs(spark):
         .collect()
     }
     assert back == {1: "plain text", 2: "tab\tinside\tpayload", 3: ""}
+
+
+def test_g03d_guard_trips_on_large_anchor_set(spark, monkeypatch):
+    """VERDICT r05 #3: the exact-cosine anchor refuses to run beyond the
+    configured anchor cardinality, so it can never silently become a
+    production dedup path. sf0.001 has ~50 anchors (10% of 500), so a
+    bound of 10 must trip; the default 50k bound must not."""
+    import pytest
+
+    from data_lake_staging_engine_spark.operators.llmops import g03d_embed_neardup
+
+    monkeypatch.setenv("SPARK_GRAFT_G03D_MAX_ANCHORS", "10")
+    with pytest.raises(ValueError, match="anchor set has .* > bound 10"):
+        g03d_embed_neardup(spark, "/root/testdata/sf0.001")
+
+    monkeypatch.delenv("SPARK_GRAFT_G03D_MAX_ANCHORS")
+    assert g03d_embed_neardup(spark, "/root/testdata/sf0.001").count() >= 0
