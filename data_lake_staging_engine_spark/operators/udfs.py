@@ -275,75 +275,206 @@ MULTIMODAL_FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("modality", StringType()),
         StructField("payload_bytes", LongType()),
-        StructField("feature_dim", LongType()),
-        StructField("feature_crc", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
     ]
 )
 
 
+def make_encoder():
+    """Build the deterministic multimodal payload synthesizer (shipped
+    to executors, pickle-by-value; see _make_band note).
+
+    Fixture twin of an object-store read: each document becomes a REAL
+    binary blob — a valid 24-bit BMP (doc_id % 3 == 0), a valid PCM
+    WAV (== 1), or raw UTF-8 text (== 2) — whose header fields are
+    pure functions of doc_id, so an arithmetic oracle can verify the
+    full encode->Arrow->decode round trip value-exactly. No av libs in
+    this environment, so blob CONTENT is synthetic, but the container
+    formats (and the decoder parsing them) are the real thing."""
+    import struct
+
+    def encode_payload(doc_id: int, text: str) -> tuple[str, bytes]:
+        m = doc_id % 3
+        if m == 0:  # 24bpp bottom-up BMP, BITMAPINFOHEADER
+            w, h = doc_id % 61 + 1, doc_id % 47 + 1
+            row = w * 3
+            pad = (4 - row % 4) % 4
+            data_size = (row + pad) * h
+            header = b"BM" + struct.pack("<IHHI", 54 + data_size, 0, 0, 54)
+            dib = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+            )
+            px = bytearray()
+            for y in range(h):
+                for x in range(w):
+                    v = (doc_id + 7 * x + 13 * y) & 0xFF
+                    px += bytes((v, v ^ 0x55, v ^ 0xAA))
+                px += b"\x00" * pad
+            return "image", header + dib + bytes(px)
+        if m == 1:  # 16-bit PCM WAV, canonical 44-byte header
+            ch = doc_id % 2 + 1
+            rate = 8000 + (doc_id % 8) * 1000
+            n = doc_id % 32 + 1
+            block = ch * 2
+            data = b"".join(
+                struct.pack("<h", (doc_id * 31 + i * 17) % 2048 - 1024) * ch
+                for i in range(n)
+            )
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            return "audio", hdr + data
+        return "text", text.encode("utf-8")
+
+    return encode_payload
+
+
 def make_decoder():
-    """Build the payload decoder shipped to executors (pickle-by-value;
-    see _make_band note).
+    """Build the payload decoder shipped to executors (pickle-by-value).
 
-    STUB: real image/audio decoding (PIL/librosa/ffmpeg) is not
-    available in this environment. The Spark-side plumbing — schema,
-    Arrow batch shape, partitioning — is real; the codec is a
-    deterministic fake (byte histogram) so the pipeline is testable
-    end-to-end. Swap this factory's body for the real decoder."""
+    REAL pure-stdlib header parsing (VERDICT r05 #5, de-stubbed): BMP
+    dimensions from the BITMAPINFOHEADER, WAV channel/rate/sample
+    counts from the RIFF fmt/data chunks — `struct.unpack` against the
+    actual bytes, with magic-number validation that raises on a
+    malformed container. Pixel/sample DECODING (PIL/librosa territory)
+    still doesn't exist in this environment; swapping this factory's
+    body for a full decoder keeps every signature intact."""
+    import struct
 
-    def decode_payload(payload: bytes, modality: str):
-        if modality not in ("text", "image", "audio", "video"):
-            raise NotImplementedError(f"unknown modality: {modality}")
-        hist = [0] * 16
-        for b in payload:
-            hist[b & 0x0F] += 1
-        return hist
+    def decode_payload(payload: bytes, modality: str) -> dict:
+        none = {
+            "width": None,
+            "height": None,
+            "channels": None,
+            "sample_rate": None,
+            "n_samples": None,
+        }
+        if modality == "image":
+            if payload[:2] != b"BM":
+                raise ValueError("not a BMP payload")
+            w, h = struct.unpack_from("<ii", payload, 18)
+            return {**none, "width": w, "height": abs(h)}
+        if modality == "audio":
+            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE payload")
+            ch, rate = struct.unpack_from("<HI", payload, 22)
+            bits = struct.unpack_from("<H", payload, 34)[0]
+            data_size = struct.unpack_from("<I", payload, 40)[0]
+            return {
+                **none,
+                "channels": ch,
+                "sample_rate": rate,
+                "n_samples": data_size // (ch * bits // 8),
+            }
+        if modality in ("text", "video"):
+            return none
+        raise NotImplementedError(f"unknown modality: {modality}")
 
     return decode_payload
 
 
-@query("f08_multimodal_decode", oracle=None)  # stubbed codec — rows-only tier
+@query(
+    "f08_multimodal_decode",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, doc_id % 3 AS m, strlen(text) AS tb,
+             doc_id % 61 + 1 AS w, doc_id % 47 + 1 AS h,
+             doc_id % 2 + 1 AS ch, 8000 + (doc_id % 8) * 1000 AS rate,
+             doc_id % 32 + 1 AS ns
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'text' END AS modality,
+           CAST(CASE m WHEN 0 THEN 54 + (w*3 + (4 - (w*3) % 4) % 4) * h
+                       WHEN 1 THEN 44 + ns * ch * 2
+                       ELSE tb END AS BIGINT) AS payload_bytes,
+           CAST(CASE m WHEN 0 THEN w END AS BIGINT) AS width,
+           CAST(CASE m WHEN 0 THEN h END AS BIGINT) AS height,
+           CAST(CASE m WHEN 1 THEN ch END AS BIGINT) AS channels,
+           CAST(CASE m WHEN 1 THEN rate END AS BIGINT) AS sample_rate,
+           CAST(CASE m WHEN 1 THEN ns END AS BIGINT) AS n_samples
+    FROM m
+    """,
+)
 def f08_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas feature-extraction over binary payload columns: the
-    decode/resize/frame-sample stage of a multimodal training pipeline.
-    Codec is stubbed (decode_payload); batch shape, binary transport and
-    schema are the real thing."""
-    import pandas as pd
-    import zlib
+    decode stage of a multimodal training pipeline, now hash-tier.
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    Two Arrow-batched stages: (1) ENCODE each document into a real
+    container blob (valid BMP / PCM WAV / UTF-8 bytes — make_encoder),
+    (2) DECODE the binary column by parsing the container headers with
+    pure stdlib `struct` (make_decoder). The payload genuinely crosses
+    the JVM<->Python Arrow boundary between the stages as a binary
+    column, and the oracle recomputes every decoded field from the
+    doc_id formulas — so the round trip (not a copied-through value) is
+    what hash-matches. Both stages are narrow (no shuffle); partitioning
+    follows the scan, which is the right unit for whole-file codecs at
+    100 TB where stage (1) is the object-store read."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    encode_payload = make_encoder()
     decode_payload = make_decoder()
 
-    def extract(batches):
+    def encode(batches):
         for pdf in batches:
-            feats = [decode_payload(p, "text") for p in pdf["payload"]]
+            enc = [
+                encode_payload(i, t) for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "modality": "text",
-                    "payload_bytes": [len(p) for p in pdf["payload"]],
-                    "feature_dim": [len(f) for f in feats],
-                    "feature_crc": [
-                        zlib.crc32(b",".join(str(x).encode() for x in f))
-                        for f in feats
-                    ],
+                    "modality": [m for m, _ in enc],
+                    "payload": [p for _, p in enc],
                 }
             )
 
-    return d.mapInPandas(extract, MULTIMODAL_FEATURE_SCHEMA)
+    encoded = d.mapInPandas(
+        encode, "doc_id bigint, modality string, payload binary"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            feats = [
+                decode_payload(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "payload_bytes": [len(p) for p in pdf["payload"]],
+            }
+            for field in (
+                "width", "height", "channels", "sample_rate", "n_samples"
+            ):
+                out[field] = pd.array(
+                    [f[field] for f in feats], dtype="Int64"
+                )
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(extract, MULTIMODAL_FEATURE_SCHEMA)
 
 
 @query("f09_multimodal_framesample", oracle=None)  # stubbed codec — rows-only tier
 def f09_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas frame sampling: each binary payload expands to N
     frame rows (1:N batch shape — the video/audio segmentation stage,
-    vs f08's 1:1 feature extraction). The sampler is stubbed like
-    f08's codec (no av libs in env): deterministic byte-stride
-    'frames' of the payload, 4 per document, each with offset + crc
-    metadata. Row expansion happens inside the Arrow batch, so the
-    output partitioning inherits the input's — no shuffle."""
+    vs f08's 1:1 feature extraction). Unlike f08's now-real container
+    parsing, the SAMPLER remains a stub (frame decode needs av libs
+    absent from this env): deterministic byte-stride 'frames' of the
+    payload, 4 per document, each with offset + crc metadata. Row
+    expansion happens inside the Arrow batch, so the output
+    partitioning inherits the input's — no shuffle."""
     import zlib
 
     import pandas as pd
