@@ -2463,9 +2463,7 @@ def g29_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "g30_dedup_incremental",
-    oracle="""
+_G30_ORACLE = """
     WITH newdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
     ex AS (
       SELECT n.doc_id, MIN(c.doc_id) AS m
@@ -2501,30 +2499,26 @@ def g29_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM newdocs n
     LEFT JOIN ex ON n.doc_id = ex.doc_id
     LEFT JOIN nearm ON n.doc_id = nearm.nd
-    """,
-)
-def g30_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INCREMENTAL dedup — a new batch (doc_id % 7 = 0, ~14%) checked
-    against the existing corpus, the shape a production ingest actually
-    runs (g01/g02 dedup whole corpora; real pipelines dedup the DELTA):
-    exact layer by normalized-text digest join (keep min corpus match),
-    near layer by exact token-Jaccard >= 0.8 restricted to new x corpus
-    pairs, verdict precedence exact > near > unique with the matched
-    corpus doc as evidence.
+    """
 
-    Reuses the strategy-switched `_jaccard_pairs` machinery and filters
-    its self-join pairs to the new x corpus bipartite subset — at test
-    scale that costs the same as g02 and stays bit-exact against the
-    oracle. 100 TB: the exact layer is a digest equi-join of the BATCH
-    (tiny) against the corpus digest index (a broadcast or bucketed
-    probe); the near layer banding (g02b) indexes only the corpus once
-    and probes each new batch's signatures against the band index —
-    cost scales with the batch, not the corpus. The bipartite filter
-    here is the correctness twin of that probe."""
-    d = load(spark, sf_dir, "documents")
-    is_new = F.col("doc_id") % 7 == 0
-    newdocs = d.filter(is_new)
-    corpus = d.filter(~is_new)
+
+def incremental_dedup(
+    newdocs: DataFrame, corpus: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Batch-vs-corpus dedup core (g30's engine, input-parameterized —
+    the API a production ingest calls on its own frames).
+
+    Inputs are (doc_id, text) DataFrames with disjoint doc_ids; output
+    is one row per batch doc: (doc_id, verdict exact|near|unique,
+    match_id = MIN matching corpus doc or NULL). Exact layer =
+    normalized-text digest equi-join; near layer = exact token-Jaccard
+    >= threshold over the union, restricted to new x corpus pairs by a
+    BROADCAST membership flag on the batch ids (batch-sized, tiny —
+    never a corpus-sized build side). Verdict precedence exact > near >
+    unique. Only new x corpus edges count: duplicates WITHIN the batch
+    are intentionally not flagged here (that's g01/g02's whole-corpus
+    job); the completeness property pinning this equals full-corpus
+    dedup restricted to B x C pairs is tests/test_properties.py."""
     digest = lambda c: F.md5(F.lower(F.trim(c)))  # noqa: E731
     ex = (
         newdocs.select("doc_id", digest(F.col("text")).alias("dg"))
@@ -2537,14 +2531,34 @@ def g30_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min("cid").alias("exact_m"))
     )
-    jp = _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d)).select(
-        "d1", "d2"
+    alldocs = newdocs.select("doc_id", "text").unionByName(
+        corpus.select("doc_id", "text")
+    )
+    jp = _jaccard_pairs(
+        _tokens(alldocs), threshold=threshold, probe=_tokens_raw(alldocs)
+    ).select("d1", "d2")
+    new_ids = newdocs.select("doc_id")
+    f1 = F.broadcast(new_ids.select(F.col("doc_id").alias("d1")).withColumn(
+        "n1", F.lit(True)
+    ))
+    f2 = F.broadcast(new_ids.select(F.col("doc_id").alias("d2")).withColumn(
+        "n2", F.lit(True)
+    ))
+    jpf = (
+        jp.join(f1, "d1", "left")
+        .join(f2, "d2", "left")
+        .select(
+            "d1",
+            "d2",
+            F.coalesce("n1", F.lit(False)).alias("n1"),
+            F.coalesce("n2", F.lit(False)).alias("n2"),
+        )
     )
     near = (
-        jp.filter((F.col("d1") % 7 == 0) & (F.col("d2") % 7 != 0))
+        jpf.filter(F.col("n1") & ~F.col("n2"))
         .select(F.col("d1").alias("doc_id"), F.col("d2").alias("cd"))
         .unionByName(
-            jp.filter((F.col("d2") % 7 == 0) & (F.col("d1") % 7 != 0)).select(
+            jpf.filter(F.col("n2") & ~F.col("n1")).select(
                 F.col("d2").alias("doc_id"), F.col("d1").alias("cd")
             )
         )
@@ -2564,3 +2578,25 @@ def g30_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_m", "near_m").alias("match_id"),
         )
     )
+
+
+@query("g30_dedup_incremental", oracle=_G30_ORACLE)
+def g30_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL dedup — a new batch (doc_id % 7 = 0, ~14%) checked
+    against the existing corpus, the shape a production ingest actually
+    runs (g01/g02 dedup whole corpora; real pipelines dedup the DELTA).
+    Thin registered wrapper over ``incremental_dedup`` (the
+    input-parameterized core — see its docstring for the layering and
+    the broadcast bipartite filter).
+
+    100 TB: the exact layer is a digest equi-join of the BATCH (tiny)
+    against the corpus digest index (a broadcast or bucketed probe);
+    the near layer banding (g02b) indexes only the corpus once and
+    probes each new batch's signatures against the band index — cost
+    scales with the batch, not the corpus. The broadcast new-id flag
+    here is the correctness twin of that probe, and the completeness
+    property (incremental == full-corpus dedup restricted to B x C)
+    is pinned in tests/test_properties.py."""
+    d = load(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 7 == 0
+    return incremental_dedup(d.filter(is_new), d.filter(~is_new), threshold=0.8)

@@ -99,3 +99,72 @@ def test_prefix_filter_lemma(sets, t):
                 assert prefix(a) & prefix(b), (
                     f"prefix filter would miss pair with jaccard {jac}: {a} {b}"
                 )
+
+
+# --------------------------------------------------------------------------
+# g30 completeness property (VERDICT r05 #6): incremental dedup over batch
+# B vs corpus C must equal full-corpus dedup restricted to B x C pairs.
+# The pure-Python truth below IS that restriction (it scores every
+# new-vs-corpus pair exhaustively with the same digest/jaccard formulas),
+# so equality pins the engine's broadcast bipartite filter against the
+# self-join ground truth over arbitrary synthetic corpora.
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, example
+
+
+def _incremental_truth(new, corpus, threshold=0.8):
+    out = {}
+    for nid, ntext in new:
+        nkey = ntext.strip().lower()
+        ex = [cid for cid, ct in corpus if ct.strip().lower() == nkey]
+        ntok = set(ntext.split(" "))
+        nr = []
+        for cid, ct in corpus:
+            ctok = set(ct.split(" "))
+            shared = len(ntok & ctok)
+            if shared and shared * 1.0 / (len(ntok) + len(ctok) - shared) >= threshold:
+                nr.append(cid)
+        if ex:
+            out[nid] = ("exact", min(ex))
+        elif nr:
+            out[nid] = ("near", min(nr))
+        else:
+            out[nid] = (
+                "unique",
+                None,
+            )
+    return out
+
+
+_corpora = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=1, max_size=5
+    ).map(" ".join),
+    min_size=2,
+    max_size=10,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@example(["aa bb cc dd", "aa bb cc dd", "aa bb cc", "ee", "aa bb cc dd ee"])
+@example(["aa", "aa", "aa", "bb"])  # batch-internal dup must stay 'unique'
+@given(_corpora)
+def test_g30_incremental_equals_full_dedup_restricted(spark, texts):
+    from data_lake_staging_engine_spark.operators.llmops import incremental_dedup
+
+    docs = list(enumerate(texts))
+    new = [(i, t) for i, t in docs if i % 3 == 0]
+    corpus = [(i, t) for i, t in docs if i % 3 != 0]
+    got = {
+        r.doc_id: (r.verdict, r.match_id)
+        for r in incremental_dedup(
+            spark.createDataFrame(new, "doc_id long, text string"),
+            spark.createDataFrame(corpus, "doc_id long, text string"),
+        ).collect()
+    }
+    assert got == _incremental_truth(new, corpus)
