@@ -282,3 +282,53 @@ def test_quality_gate_single_codegen_projection(spark, sf_dir):
     assert "Exchange" not in plan
     assert "Generate" not in plan  # no explode — in-row aggregation only
     assert len(codegen_ids(plan)) == 1, plan
+
+
+def test_multi_format_union_no_shuffle(spark, sf_dir):
+    """a28: the three-format union is plan-level concatenation — three
+    independent scans feeding one Union, with NO exchange anywhere. At
+    100 TB the cost must be exactly the sum of the scans."""
+    plan = _plan("a28_multi_format_union", spark, sf_dir)
+    assert "Union" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_scd2_single_exchange_two_pass(spark, sf_dir):
+    """a29: change detection (lag) and interval derivation (lead) share
+    the (user_id) partitioning and (ts, event_id) ordering, so the
+    whole SCD2 build must cost ONE key shuffle + in-partition passes."""
+    plan = _plan("a29_scd2_dimension", spark, sf_dir)
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_nth_trailing_single_exchange(spark, sf_dir):
+    """c09: the full-frame nth_value and the trailing-exclusive average
+    share one (user_id) shuffle — two frames, one exchange."""
+    plan = _plan("c09_win_nth_trailing", spark, sf_dir)
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """c10: lag-flag and running-sum windows share partitioning and
+    ordering — batch sessionization is one exchange + two passes."""
+    plan = _plan("c10_win_sessionize", spark, sf_dir)
+    assert plan.count("hashpartitioning(") == 1, plan
+
+
+def test_incremental_dedup_broadcast_flags_no_cartesian(spark, sf_dir):
+    """g30: the bipartite new-vs-corpus restriction must ride broadcast
+    joins on the batch-id flags (batch-sized build side) and nothing
+    may degenerate to a cartesian — the 'cost scales with the batch'
+    posture. A BroadcastNestedLoopJoin is permitted ONLY as the
+    bitmap-mask pair scoring of the small-universe jaccard strategy
+    (the g02 contract — strategy-switched away for open vocabularies);
+    no token-keyed SMJ may appear (same pin as g02's plan test)."""
+    plan = _plan("g30_dedup_incremental", spark, sf_dir)
+    kinds = join_kinds(plan)
+    assert "CartesianProduct" not in kinds, kinds
+    assert "BroadcastHashJoin" in kinds, kinds
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+-")
+        if stripped.startswith("SortMergeJoin"):
+            assert "tok#" not in stripped.split("Inner")[0], stripped
