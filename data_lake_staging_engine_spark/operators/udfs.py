@@ -465,43 +465,103 @@ def f08_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoded.mapInPandas(extract, MULTIMODAL_FEATURE_SCHEMA)
 
 
-@query("f09_multimodal_framesample", oracle=None)  # stubbed codec — rows-only tier
+@query(
+    "f09_multimodal_framesample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, doc_id % 2 + 1 AS ch,
+             8000 + (doc_id % 8) * 1000 AS rate, doc_id % 32 + 1 AS ns
+      FROM documents
+    ),
+    k AS (SELECT UNNEST([0, 1, 2, 3]) AS frame_no)
+    SELECT p.doc_id, k.frame_no,
+           CAST(k.frame_no * p.ns // 4 AS BIGINT) AS sample_idx,
+           CAST((p.doc_id * 31 + (k.frame_no * p.ns // 4) * 17) % 2048 - 1024
+                AS BIGINT) AS amplitude,
+           CAST(p.rate AS BIGINT) AS sample_rate
+    FROM p CROSS JOIN k
+    """,
+)
 def f09_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas frame sampling: each binary payload expands to N
     frame rows (1:N batch shape — the video/audio segmentation stage,
-    vs f08's 1:1 feature extraction). Unlike f08's now-real container
-    parsing, the SAMPLER remains a stub (frame decode needs av libs
-    absent from this env): deterministic byte-stride 'frames' of the
-    payload, 4 per document, each with offset + crc metadata. Row
-    expansion happens inside the Arrow batch, so the output
-    partitioning inherits the input's — no shuffle."""
-    import zlib
+    vs f08's 1:1 feature extraction), now hash-tier like f08.
 
+    Stage 1 synthesizes a real 16-bit PCM WAV per document (the f08
+    audio container, amplitudes a pure function of (doc_id, sample
+    index)); stage 2 parses the RIFF header with stdlib `struct`,
+    locates 4 evenly-spaced sample positions (k*n_samples//4), and
+    reads each amplitude FROM THE ACTUAL PCM BYTES at offset
+    44 + idx*block — so the oracle's arithmetic recomputation verifies
+    a genuine bytes->sample decode, not a passed-through value. Row
+    expansion happens inside the Arrow batch; both stages are narrow,
+    so output partitioning inherits the scan's — no shuffle."""
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
-    )
+    d = load(spark, sf_dir, "documents").select("doc_id")
     n_frames = 4
 
-    def sample_frames(batches):
+    def encode(batches):
+        import struct
+
         for pdf in batches:
-            out = {"doc_id": [], "frame_no": [], "offset": [], "frame_crc": []}
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                ch = doc_id % 2 + 1
+                rate = 8000 + (doc_id % 8) * 1000
+                n = doc_id % 32 + 1
+                block = ch * 2
+                data = b"".join(
+                    struct.pack("<h", (doc_id * 31 + i * 17) % 2048 - 1024) * ch
+                    for i in range(n)
+                )
+                payloads.append(
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack(
+                        "<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16
+                    )
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    encoded = d.mapInPandas(encode, "doc_id bigint, payload binary")
+
+    def sample_frames(batches):
+        import struct
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "frame_no": [],
+                "sample_idx": [],
+                "amplitude": [],
+                "sample_rate": [],
+            }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                n = len(payload)
-                stride = max(1, n // n_frames)
-                for i in range(n_frames):
-                    off = min(i * stride, max(0, n - 1))
-                    frame = payload[off : off + stride]
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError("not a RIFF/WAVE payload")
+                ch, rate = struct.unpack_from("<HI", payload, 22)
+                block = struct.unpack_from("<H", payload, 32)[0]
+                data_size = struct.unpack_from("<I", payload, 40)[0]
+                n = data_size // block
+                for k in range(n_frames):
+                    idx = k * n // n_frames
+                    amp = struct.unpack_from("<h", payload, 44 + idx * block)[0]
                     out["doc_id"].append(doc_id)
-                    out["frame_no"].append(i)
-                    out["offset"].append(off)
-                    out["frame_crc"].append(zlib.crc32(frame))
+                    out["frame_no"].append(k)
+                    out["sample_idx"].append(idx)
+                    out["amplitude"].append(amp)
+                    out["sample_rate"].append(rate)
             yield pd.DataFrame(out)
 
-    return d.mapInPandas(
+    return encoded.mapInPandas(
         sample_frames,
-        "doc_id bigint, frame_no int, offset bigint, frame_crc bigint",
+        "doc_id bigint, frame_no int, sample_idx bigint, "
+        "amplitude bigint, sample_rate bigint",
     )
 
 
