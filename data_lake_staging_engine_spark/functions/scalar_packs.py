@@ -391,3 +391,49 @@ def d12_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         duck_round(F.degrees(F.lit(1.0)), 6).alias("deg_v"),
         duck_round(rad, 6).alias("rad_v"),
     )
+
+
+@query(
+    "d13_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, source, lang,
+             'https://' || source || '.example.com/' || lang || '/doc/'
+               || CAST(doc_id AS VARCHAR) || '?ref=' || lang || '&p='
+               || CAST(doc_id % 10 AS VARCHAR) AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           'https' AS protocol,
+           source || '.example.com' AS host,
+           '/' || lang || '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+           'ref=' || lang || '&p=' || CAST(doc_id % 10 AS VARCHAR) AS query,
+           lang AS ref_param
+    FROM u
+    """,
+)
+def d13_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function pack: ``parse_url`` component extraction (PROTOCOL /
+    HOST / PATH / QUERY / named query param) — the log-and-crawl
+    staging need the a27 text path feeds. The URLs are CONSTRUCTED from
+    fixture columns, then genuinely re-parsed by Spark's parse_url; the
+    oracle recomputes each component from the same construction
+    arithmetic (the f08 round-trip model: the parse, not a copied
+    value, is what hash-matches). All JVM-side; at 100 TB this is a
+    pure projection at scan speed, same posture as d01."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("lang"), F.lit("&p="),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )

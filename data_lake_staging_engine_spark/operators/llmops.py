@@ -2600,3 +2600,92 @@ def g30_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 7 == 0
     return incremental_dedup(d.filter(is_new), d.filter(~is_new), threshold=0.8)
+
+
+@query(
+    "g31_dedup_segments",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+             unnest([{'seg_no': k,
+                      'seg': array_to_string(toks[k*10+1 : k*10+10], ' ')}
+                     for k in range(CAST(ceil(len(toks)/10.0) AS BIGINT))])
+               AS seg_s
+      FROM t
+    ),
+    segs AS (SELECT doc_id, seg_s.seg_no AS seg_no, seg_s.seg AS seg FROM s),
+    occ AS (
+      SELECT doc_id, seg_no, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no)
+               AS rn
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY seg_no), '') AS clean_text
+    FROM occ
+    GROUP BY doc_id
+    """,
+)
+def g31_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-document (segment-level) dedup — the Dolma/FineWeb-style
+    paragraph dedup a training pipeline runs AFTER g01/g02's document
+    dedup: chunk each doc into 10-token segments, keep only the
+    corpus-wide FIRST occurrence of each segment text (ordered by
+    (doc_id, seg_no)), and reassemble each doc from its surviving
+    segments in order. Output: (doc_id, n_segs, n_kept, clean_text).
+
+    The fixture corpus has no paragraph boundaries, so segmentation is
+    positional (fixed 10-token windows via slice over the token array —
+    one in-row transform, no explode until the segment level); on real
+    data the chunker swaps for a newline split with this plan intact.
+    Exact string algebra end to end => hash tier.
+
+    100 TB: two inherent shuffles — the first-occurrence window
+    partitions by segment text (high cardinality, balanced; the same
+    key a digest-bucketed dedup index would use), and the reassembly
+    groups by doc_id. Min-wins semantics make the result independent
+    of partitioning; the window's per-segment state is one running
+    counter, and AQE splits any hot segment value."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(10.0)).cast("int")
+    seg_exprs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda k: F.array_join(F.slice(toks, k * 10 + 1, 10), " "),
+    )
+    segs = d.select(
+        "doc_id", F.posexplode(seg_exprs).alias("seg_no", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_no")
+    occ = segs.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.col("seg"))
+    return (
+        occ.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segs"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.filter(
+                            F.sort_array(
+                                F.collect_list(
+                                    F.struct(F.col("seg_no"), kept.alias("seg"))
+                                )
+                            ),
+                            lambda s: s["seg"].isNotNull(),
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("clean_text"),
+        )
+    )

@@ -2,12 +2,13 @@
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
 ``queries()`` in insertion order.  After folding the r05 greens into
-``LAST_VERIFIED`` (149 names), exactly 7 queries lack first-party
-driver evidence — the round-5 deferred band (a28 a29 c09 c10 d12 g29
-g30).  These tests pin the r06 window shape: the 7 never-verified
-entries first, then the STALEST verified evidence (the r02-era prefix,
-last proven before the split-sizing/decimal-emit changes) filling the
-remaining 43 slots, with fresher r03/r05 evidence behind it.
+``LAST_VERIFIED`` (149 names), the queries lacking first-party driver
+evidence are the round-5 deferred band (a28 a29 c09 c10 d12 g29 g30)
+plus the round-6 additions (d13 g31).  These tests pin the r06 window
+shape: the never-verified entries first, then the STALEST verified
+evidence (the r02-era prefix, last proven before the split-sizing/
+decimal-emit changes) filling the remaining slots, with fresher
+r03/r05 evidence behind it.
 """
 
 from data_lake_staging_engine_spark.driver_evidence import (
@@ -25,6 +26,9 @@ NEVER_VERIFIED = {
     "d12_fn_trig",
     "g29_quality_gate",
     "g30_dedup_incremental",
+    # round-6 additions — never inside a driver window yet
+    "d13_fn_url",
+    "g31_dedup_segments",
 }
 
 
@@ -37,10 +41,11 @@ def test_never_verified_head_the_window():
 def test_window_fills_with_stalest_evidence():
     names = list(registry())
     window = names[:50]
-    # 7 never-verified + 43 stalest (r02-era) re-verifications.
+    # 9 never-verified + 41 stalest (r02-era) re-verifications.
     stale = sorted(n for n, r in LAST_VERIFIED.items() if r == 2)
     assert len(stale) == 50
-    assert window == sorted(NEVER_VERIFIED) + stale[:43]
+    n_fill = 50 - len(NEVER_VERIFIED)
+    assert window == sorted(NEVER_VERIFIED) + stale[:n_fill]
     # Everything past the window is fresher evidence than anything in
     # the stale band (r02 <= r03 <= r05, monotone non-decreasing tail).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
