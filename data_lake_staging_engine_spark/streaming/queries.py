@@ -590,3 +590,83 @@ def e11_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "complete",
         state_partitions=_state_parts(spark, sf_dir, n_files=2, copies=2),
     )
+
+
+@query(
+    "e12_stream_outer_join",
+    oracle="""
+    SELECT e1.event_id AS signup_id, e1.user_id,
+           e2.event_id AS follow_id, e2.event_type AS follow_type
+    FROM events e1
+    LEFT JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.event_type = 'purchase'
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
+    WHERE e1.event_type = 'signup'
+      AND e1.ts <= (SELECT max(ts) - INTERVAL 130 MINUTE FROM events)
+    """,
+)
+def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarks — e08's interval
+    join plus the null-padded-emission semantics: a signup with no
+    purchase inside its 10-minute window is still emitted (with NULL
+    follow columns) once the watermark proves no match can arrive.
+
+    Outer emission is WATERMARK-DRIVEN: an unmatched left row flushes
+    only when the watermark passes ts1 + 10min, so rows inside the
+    final watermark horizon (max_ts - 1h) are never emitted by a
+    terminating drain — inherent to the semantics, not a defect. Both
+    engine and oracle therefore bound the left side to
+    ts1 <= max_ts - 130min (horizon 60 + range 10 + safety 60), the
+    provably-flushed region, making the query hash-tier where a naive
+    formulation could only be rows-only. The cutoff scalar comes from a
+    one-row static aggregate over the same landing fixture (the a12
+    fixture-setup pattern; at scale it's a pipeline constant).
+
+    State stays bounded exactly as in e08: watermark + range condition
+    => each side buffers at most watermark+10min per user."""
+    landing, schema = landing_copy(spark, sf_dir, "events")
+    cutoff_row = (
+        spark.read.schema(schema)
+        .parquet(landing)
+        .agg((F.max("ts") - F.expr("INTERVAL 130 MINUTES")).alias("c"))
+        .collect()[0]
+    )
+    s1 = spark.readStream.schema(schema).parquet(landing)
+    s2 = spark.readStream.schema(schema).parquet(landing)
+    # Watermark BEFORE the cutoff filter: the watermark tracks the max
+    # event time flowing through its node, so filtering first would cap
+    # this side's watermark at cutoff - 1h and re-strand the rows the
+    # cutoff exists to flush.
+    e1 = (
+        s1.withWatermark("ts", "1 hour")
+        .filter(
+            (F.col("event_type") == "signup") & (F.col("ts") <= F.lit(cutoff_row.c))
+        )
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id"),
+            F.col("ts").alias("ts1"),
+        )
+    )
+    e2 = (
+        s2.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("user_id2"),
+            F.col("event_type").alias("follow_type"),
+            F.col("ts").alias("ts2"),
+        )
+    )
+    joined = e1.join(
+        e2,
+        (F.col("user_id") == F.col("user_id2"))
+        & (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("signup_id", "user_id", "follow_id", "follow_type")
+    return run_to_memory(
+        joined, spark, "append", state_partitions=_state_parts(spark, sf_dir)
+    )

@@ -4,7 +4,7 @@ The driver records at most 50 CORRECTNESS rows per round, iterating
 ``queries()`` in insertion order.  After folding the r05 greens into
 ``LAST_VERIFIED`` (149 names), the queries lacking first-party driver
 evidence are the round-5 deferred band (a28 a29 c09 c10 d12 g29 g30)
-plus the round-6 additions (d13 g31).  These tests pin the r06 window
+plus the round-6 additions (d13 e12 g31).  These tests pin the r06 window
 shape: the never-verified entries first, then the STALEST verified
 evidence (the r02-era prefix, last proven before the split-sizing/
 decimal-emit changes) filling the remaining slots, with fresher
@@ -29,6 +29,7 @@ NEVER_VERIFIED = {
     # round-6 additions — never inside a driver window yet
     "d13_fn_url",
     "g31_dedup_segments",
+    "e12_stream_outer_join",
 }
 
 
