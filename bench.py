@@ -44,6 +44,11 @@ HEADLINE = [
     "e01_stream_tumbling",      # streaming tumbling agg (AvailableNow)
     "e08_stream_stream_join",   # watermarked stream-stream interval join
     "g02d_dedup_ngram",         # char 3-gram shingle jaccard
+    # round-6 additions (headline grows; cross-round totals compare on
+    # the shared per-query table, not the total)
+    "g31_dedup_segments",       # sub-document segment dedup + reassembly
+    "e12_stream_outer_join",    # watermarked left-outer interval join
+    "d13_fn_url",               # parse_url scalar pack
 ]
 
 

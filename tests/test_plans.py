@@ -332,3 +332,23 @@ def test_incremental_dedup_broadcast_flags_no_cartesian(spark, sf_dir):
         stripped = line.lstrip(" :+-")
         if stripped.startswith("SortMergeJoin"):
             assert "tok#" not in stripped.split("Inner")[0], stripped
+
+
+def test_url_pack_single_codegen_projection(spark, sf_dir):
+    """d13 is pure string construction + parse_url extraction: no
+    exchange, one whole-stage-codegen span, only the three consumed
+    columns read from the scan."""
+    plan = _plan("d13_fn_url", spark, sf_dir)
+    assert "Exchange" not in plan
+    assert len(codegen_ids(plan)) == 1, plan
+    cols = read_columns(plan, "documents")
+    assert cols <= {"doc_id", "source", "lang"}, cols
+
+
+def test_segment_dedup_two_shuffles(spark, sf_dir):
+    """g31 costs exactly its two inherent shuffles — the segment-text
+    first-occurrence window and the doc_id reassembly group — with the
+    chunker staying an in-row transform (no pre-window exchange)."""
+    plan = _plan("g31_dedup_segments", spark, sf_dir)
+    assert plan.count("hashpartitioning(") == 2, plan
+    assert "CartesianProduct" not in join_kinds(plan)
