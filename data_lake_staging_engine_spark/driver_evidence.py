@@ -17,8 +17,9 @@ History of the window rotation:
 After r05, every query registered before the r05 window filled has
 driver evidence; seven queries registered late in round 5 (the
 "deferred band": a28 a29 c09 c10 d12 g29 g30) have never been inside a
-window.  Round 6 policy (VERDICT r05 items 1-2): the 7 never-verified
-entries head the window, and the ~43 spare slots go to the STALEST
+window, and round 6 added three more never-verified entries (d13 e12
+g31).  Round 6 policy (VERDICT r05 items 1-2): the 10 never-verified
+entries head the window, and the 40 spare slots go to the STALEST
 evidence — the r02-era prefix, last proven before the split-sizing and
 decimal-emit changes touched every plan.
 
@@ -113,9 +114,9 @@ DRIVER_VERIFIED: frozenset[str] = frozenset(LAST_VERIFIED)
 def sweep_rank(name: str, has_oracle: bool) -> tuple[int, int, str]:
     """Sort key putting the most evidence-starved queries first.
 
-    Band 0: never driver-verified (the late round-5 additions) —
-            alphabetical, hash tier and rows-only alike (all 7 current
-            members are hash tier).
+    Band 0: never driver-verified (the late round-5 deferred band plus
+            the round-6 additions) — alphabetical, hash tier and
+            rows-only alike (all 10 current members are hash tier).
     Band 1: driver-verified — ordered by last-verified round ASCENDING
             (stalest evidence first), then name.  The r02-era prefix
             re-enters the window ahead of r03/r05 greens because every

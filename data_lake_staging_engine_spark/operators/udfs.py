@@ -284,18 +284,83 @@ MULTIMODAL_FEATURE_SCHEMA = StructType(
 )
 
 
+def make_wav_builder():
+    """Build the ONE definition of the synthetic 16-bit PCM WAV
+    container (canonical 44-byte header; channel/rate/sample-count and
+    the amplitude (doc_id*31 + i*17) % 2048 - 1024 are pure functions
+    of doc_id). f08's encoder and f09's frame source both consume this
+    factory so the container layout and formulas cannot drift apart —
+    their oracles recompute the same arithmetic.
+
+    Factory shape (not a module-level helper) because the returned
+    closure is shipped to executors pickle-by-value; a module-level
+    function would pickle by reference and require the package on the
+    worker PYTHONPATH (the vanilla-driver trap)."""
+    import struct
+
+    def wav_bytes(doc_id: int) -> bytes:
+        ch = doc_id % 2 + 1
+        rate = 8000 + (doc_id % 8) * 1000
+        n = doc_id % 32 + 1
+        block = ch * 2
+        data = b"".join(
+            struct.pack("<h", (doc_id * 31 + i * 17) % 2048 - 1024) * ch
+            for i in range(n)
+        )
+        return (
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    return wav_bytes
+
+
+def make_wav_parser():
+    """The matching single definition of the RIFF/WAVE header parse
+    (magic validation + fmt/data chunk fields at the canonical offsets)
+    consumed by f08's decoder and f09's frame sampler. Same factory
+    rationale as make_wav_builder."""
+    import struct
+
+    def parse_wav(payload: bytes) -> dict:
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        ch, rate = struct.unpack_from("<HI", payload, 22)
+        block = struct.unpack_from("<H", payload, 32)[0]
+        bits = struct.unpack_from("<H", payload, 34)[0]
+        data_size = struct.unpack_from("<I", payload, 40)[0]
+        return {
+            "channels": ch,
+            "sample_rate": rate,
+            "bits": bits,
+            "block": block,
+            "n_samples": data_size // block,
+            "data_offset": 44,
+        }
+
+    return parse_wav
+
+
 def make_encoder():
     """Build the deterministic multimodal payload synthesizer (shipped
     to executors, pickle-by-value; see _make_band note).
 
     Fixture twin of an object-store read: each document becomes a REAL
     binary blob — a valid 24-bit BMP (doc_id % 3 == 0), a valid PCM
-    WAV (== 1), or raw UTF-8 text (== 2) — whose header fields are
-    pure functions of doc_id, so an arithmetic oracle can verify the
-    full encode->Arrow->decode round trip value-exactly. No av libs in
-    this environment, so blob CONTENT is synthetic, but the container
-    formats (and the decoder parsing them) are the real thing."""
+    WAV (== 1, via make_wav_builder), or raw UTF-8 text (== 2) — whose
+    header fields are pure functions of doc_id, so an arithmetic oracle
+    can verify the full encode->Arrow->decode round trip value-exactly.
+    No av libs in this environment, so blob CONTENT is synthetic, but
+    the container formats (and the decoder parsing them) are the real
+    thing."""
     import struct
+
+    wav_bytes = make_wav_builder()
 
     def encode_payload(doc_id: int, text: str) -> tuple[str, bytes]:
         m = doc_id % 3
@@ -315,24 +380,8 @@ def make_encoder():
                     px += bytes((v, v ^ 0x55, v ^ 0xAA))
                 px += b"\x00" * pad
             return "image", header + dib + bytes(px)
-        if m == 1:  # 16-bit PCM WAV, canonical 44-byte header
-            ch = doc_id % 2 + 1
-            rate = 8000 + (doc_id % 8) * 1000
-            n = doc_id % 32 + 1
-            block = ch * 2
-            data = b"".join(
-                struct.pack("<h", (doc_id * 31 + i * 17) % 2048 - 1024) * ch
-                for i in range(n)
-            )
-            hdr = (
-                b"RIFF"
-                + struct.pack("<I", 36 + len(data))
-                + b"WAVEfmt "
-                + struct.pack("<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16)
-                + b"data"
-                + struct.pack("<I", len(data))
-            )
-            return "audio", hdr + data
+        if m == 1:
+            return "audio", wav_bytes(doc_id)
         return "text", text.encode("utf-8")
 
     return encode_payload
@@ -343,12 +392,14 @@ def make_decoder():
 
     REAL pure-stdlib header parsing (VERDICT r05 #5, de-stubbed): BMP
     dimensions from the BITMAPINFOHEADER, WAV channel/rate/sample
-    counts from the RIFF fmt/data chunks — `struct.unpack` against the
-    actual bytes, with magic-number validation that raises on a
-    malformed container. Pixel/sample DECODING (PIL/librosa territory)
-    still doesn't exist in this environment; swapping this factory's
-    body for a full decoder keeps every signature intact."""
+    counts via make_wav_parser — `struct.unpack` against the actual
+    bytes, with magic-number validation that raises on a malformed
+    container. Pixel/sample DECODING (PIL/librosa territory) still
+    doesn't exist in this environment; swapping this factory's body for
+    a full decoder keeps every signature intact."""
     import struct
+
+    parse_wav = make_wav_parser()
 
     def decode_payload(payload: bytes, modality: str) -> dict:
         none = {
@@ -364,16 +415,12 @@ def make_decoder():
             w, h = struct.unpack_from("<ii", payload, 18)
             return {**none, "width": w, "height": abs(h)}
         if modality == "audio":
-            if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                raise ValueError("not a RIFF/WAVE payload")
-            ch, rate = struct.unpack_from("<HI", payload, 22)
-            bits = struct.unpack_from("<H", payload, 34)[0]
-            data_size = struct.unpack_from("<I", payload, 40)[0]
+            meta = parse_wav(payload)
             return {
                 **none,
-                "channels": ch,
-                "sample_rate": rate,
-                "n_samples": data_size // (ch * bits // 8),
+                "channels": meta["channels"],
+                "sample_rate": meta["sample_rate"],
+                "n_samples": meta["n_samples"],
             }
         if modality in ("text", "video"):
             return none
@@ -500,33 +547,17 @@ def f09_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     n_frames = 4
+    wav_bytes = make_wav_builder()
+    parse_wav = make_wav_parser()
 
     def encode(batches):
-        import struct
-
         for pdf in batches:
-            payloads = []
-            for doc_id in pdf["doc_id"]:
-                ch = doc_id % 2 + 1
-                rate = 8000 + (doc_id % 8) * 1000
-                n = doc_id % 32 + 1
-                block = ch * 2
-                data = b"".join(
-                    struct.pack("<h", (doc_id * 31 + i * 17) % 2048 - 1024) * ch
-                    for i in range(n)
-                )
-                payloads.append(
-                    b"RIFF"
-                    + struct.pack("<I", 36 + len(data))
-                    + b"WAVEfmt "
-                    + struct.pack(
-                        "<IHHIIHH", 16, 1, ch, rate, rate * block, block, 16
-                    )
-                    + b"data"
-                    + struct.pack("<I", len(data))
-                    + data
-                )
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [wav_bytes(i) for i in pdf["doc_id"]],
+                }
+            )
 
     encoded = d.mapInPandas(encode, "doc_id bigint, payload binary")
 
@@ -542,20 +573,18 @@ def f09_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sample_rate": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    raise ValueError("not a RIFF/WAVE payload")
-                ch, rate = struct.unpack_from("<HI", payload, 22)
-                block = struct.unpack_from("<H", payload, 32)[0]
-                data_size = struct.unpack_from("<I", payload, 40)[0]
-                n = data_size // block
+                meta = parse_wav(payload)
+                n, block = meta["n_samples"], meta["block"]
                 for k in range(n_frames):
                     idx = k * n // n_frames
-                    amp = struct.unpack_from("<h", payload, 44 + idx * block)[0]
+                    amp = struct.unpack_from(
+                        "<h", payload, meta["data_offset"] + idx * block
+                    )[0]
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(k)
                     out["sample_idx"].append(idx)
                     out["amplitude"].append(amp)
-                    out["sample_rate"].append(rate)
+                    out["sample_rate"].append(meta["sample_rate"])
             yield pd.DataFrame(out)
 
     return encoded.mapInPandas(

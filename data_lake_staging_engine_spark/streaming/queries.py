@@ -635,10 +635,15 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s1 = spark.readStream.schema(schema).parquet(landing)
     s2 = spark.readStream.schema(schema).parquet(landing)
-    # Watermark BEFORE the cutoff filter: the watermark tracks the max
-    # event time flowing through its node, so filtering first would cap
-    # this side's watermark at cutoff - 1h and re-strand the rows the
-    # cutoff exists to flush.
+    # Watermark BEFORE the filters on BOTH sides: the global watermark
+    # is the min over every input's (max event time - delay), and each
+    # watermark node only sees rows that reach it — filtering first
+    # would cap a side's watermark at its filtered max (cutoff - 1h on
+    # the left; max PURCHASE ts - 1h on the right, a data-dependent gap
+    # that happens to be 32 min at sf0.01) and re-strand exactly the
+    # rows the cutoff exists to flush. Declared on the raw streams, the
+    # watermark provably reaches max_ts - 1h regardless of event-type
+    # density.
     e1 = (
         s1.withWatermark("ts", "1 hour")
         .filter(
@@ -651,8 +656,8 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     e2 = (
-        s2.filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "1 hour")
+        s2.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("follow_id"),
             F.col("user_id").alias("user_id2"),

@@ -152,7 +152,11 @@ _corpora = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @example(["aa bb cc dd", "aa bb cc dd", "aa bb cc", "ee", "aa bb cc dd ee"])
-@example(["aa", "aa", "aa", "bb"])  # batch-internal dup must stay 'unique'
+# docs 0 and 3 are both NEW (i%3==0) and identical with no corpus match:
+# a true batch-internal duplicate, which must stay 'unique' (only
+# new x corpus edges count — g01/g02 own within-corpus dedup)
+@example(["aa", "bb", "cc", "aa"])
+@example(["aa", "aa", "aa", "bb"])  # exact corpus match for doc 0
 @given(_corpora)
 def test_g30_incremental_equals_full_dedup_restricted(spark, texts):
     from data_lake_staging_engine_spark.operators.llmops import incremental_dedup

@@ -4,11 +4,17 @@ The driver records at most 50 CORRECTNESS rows per round, iterating
 ``queries()`` in insertion order.  After folding the r05 greens into
 ``LAST_VERIFIED`` (149 names), the queries lacking first-party driver
 evidence are the round-5 deferred band (a28 a29 c09 c10 d12 g29 g30)
-plus the round-6 additions (d13 e12 g31).  These tests pin the r06 window
-shape: the never-verified entries first, then the STALEST verified
-evidence (the r02-era prefix, last proven before the split-sizing/
-decimal-emit changes) filling the remaining slots, with fresher
-r03/r05 evidence behind it.
+plus the round-6 additions (d13 e12 g31) — 10 names.  These tests pin
+the r06 window shape: the never-verified entries first, then the
+STALEST verified evidence (the r02-era prefix, last proven before the
+split-sizing/decimal-emit changes) filling the remaining 40 slots,
+with fresher r03/r05 evidence behind it.
+
+Env tolerance: ``e10_transform_with_state`` registers only when
+google.protobuf is importable (streaming/queries.py gate).  In such an
+environment it is legitimately never-verified and joins the window
+head; the assertions below derive the expected head from what is
+ACTUALLY registered instead of hard-coding this env's 159 names.
 """
 
 from data_lake_staging_engine_spark.driver_evidence import (
@@ -32,21 +38,35 @@ NEVER_VERIFIED = {
     "e12_stream_outer_join",
 }
 
+# Registered only when google.protobuf is available; never-verified by
+# construction wherever it registers.
+ENV_GATED = {"e10_transform_with_state"}
+
+
+def _unverified_head(reg):
+    return sorted(set(reg) - DRIVER_VERIFIED)
+
 
 def test_never_verified_head_the_window():
-    names = list(registry())
-    assert names[: len(NEVER_VERIFIED)] == sorted(NEVER_VERIFIED)
+    reg = registry()
+    names = list(reg)
+    head = _unverified_head(reg)
+    assert names[: len(head)] == head
+    assert set(head) - ENV_GATED == NEVER_VERIFIED
     assert not (NEVER_VERIFIED & DRIVER_VERIFIED)
 
 
 def test_window_fills_with_stalest_evidence():
-    names = list(registry())
+    reg = registry()
+    names = list(reg)
     window = names[:50]
-    # 9 never-verified + 41 stalest (r02-era) re-verifications.
+    # 10 never-verified (+ env-gated e10 where registered) + the
+    # stalest (r02-era) re-verifications filling the rest.
+    head = _unverified_head(reg)
     stale = sorted(n for n, r in LAST_VERIFIED.items() if r == 2)
     assert len(stale) == 50
-    n_fill = 50 - len(NEVER_VERIFIED)
-    assert window == sorted(NEVER_VERIFIED) + stale[:n_fill]
+    n_fill = 50 - len(head)
+    assert window == head + stale[:n_fill]
     # Everything past the window is fresher evidence than anything in
     # the stale band (r02 <= r03 <= r05, monotone non-decreasing tail).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
@@ -63,11 +83,13 @@ def test_sweep_rank_orders_by_staleness():
 
 def test_all_queries_still_registered():
     reg = registry()
-    assert len(reg) == len(LAST_VERIFIED) + len(NEVER_VERIFIED)
+    expected = len(LAST_VERIFIED) + len(NEVER_VERIFIED)
+    assert expected <= len(reg) <= expected + len(ENV_GATED)
     assert DRIVER_VERIFIED <= set(reg)
     # LAST_VERIFIED names all correspond to real registered queries —
     # no typo can silently drop a query out of the rotation.
     assert set(LAST_VERIFIED) <= set(reg)
+    assert NEVER_VERIFIED <= set(reg)
 
 
 def test_order_deterministic():
