@@ -157,3 +157,17 @@ class Engine:
     # -- staging surface --------------------------------------------------
     def staging_pipeline(self, *args, **kwargs) -> StagingPipeline:
         return StagingPipeline(self.spark, *args, **kwargs)
+
+    # -- LLM-data surface -------------------------------------------------
+    def incremental_dedup(
+        self, newdocs: DataFrame, corpus: DataFrame, threshold: float = 0.8
+    ) -> DataFrame:
+        """Batch-vs-corpus dedup on caller-supplied (doc_id, text)
+        frames — the input-parameterized core behind g30 (see
+        operators.llmops.incremental_dedup for semantics and the
+        100 TB posture)."""
+        from data_lake_staging_engine_spark.operators.llmops import (
+            incremental_dedup,
+        )
+
+        return incremental_dedup(newdocs, corpus, threshold=threshold)

@@ -106,3 +106,23 @@ def test_staging_pipeline_resumes_for_new_files_only(spark, sf_dir):
     n2 = pipe.run_available_now(timeout_s=120).count()
     assert n2 == e.count(), f"expected exactly-once union, got {n2}"
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_engine_incremental_dedup_api(spark):
+    """The facade exposes batch-vs-corpus dedup on caller frames —
+    the library API shape (not tied to the fixture dir)."""
+    from data_lake_staging_engine_spark.pipeline import Engine
+
+    eng = Engine(spark=spark, data_dir="/root/testdata/sf0.001")
+    new = spark.createDataFrame(
+        [(100, "aa bb cc"), (101, "zz yy xx")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.verdict, r.match_id)
+        for r in eng.incremental_dedup(new, corpus).collect()
+    }
+    assert got == {100: ("exact", 1), 101: ("unique", None)}
