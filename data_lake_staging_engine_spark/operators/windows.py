@@ -335,14 +335,17 @@ def c09_win_nth_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "c10_win_sessionize",
     oracle="""
-    WITH g AS (
+    WITH s AS (
       SELECT user_id, event_id, ts,
-             CASE WHEN (epoch_us(ts) // 1000000)
-                       - lag(epoch_us(ts) // 1000000) OVER w IS NULL
-                    OR (epoch_us(ts) // 1000000)
-                       - lag(epoch_us(ts) // 1000000) OVER w > 1800
-                  THEN 1 ELSE 0 END AS is_new
+             CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS sec
       FROM events
+    ),
+    g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN sec - lag(sec) OVER w IS NULL
+                    OR sec - lag(sec) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM s
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
@@ -358,9 +361,15 @@ def c10_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session; session id = running count of session starts per user —
     the lag-flag-cumsum idiom. All integer epoch-second arithmetic, so
     the result is exact on both engines: the micros->seconds bucketing
-    is FLOOR division (m - pmod(m, 1e6)) div 1e6 — pure int64, matching
-    DuckDB's // for any timestamp domain including pre-1970, where
-    Spark's `div` alone would truncate toward zero (ADVICE r05). One
+    is FLOOR division on BOTH sides — (m - pmod(m, 1e6)) div 1e6 (pure
+    int64) here, explicit floor(epoch_us/1e6) in the oracle. Floor is
+    the time-bucketing convention (date_trunc semantics) and holds for
+    any timestamp domain including pre-1970 fractional seconds; note
+    the ADVICE r05 premise was inverted — DuckDB's integer `//`
+    TRUNCATES like Spark's `div` (verified: -3 // 2 = -1), so the
+    naive fix of flooring only the engine side would itself diverge.
+    Both the benign-domain parity and a pre-1970 session-boundary-flip
+    corpus are pinned in tests/test_negative_values.py. One
     user_id shuffle serves both window specs (lag and the running sum
     share partitioning and ordering); at 100 TB this is a single
     exchange + two in-partition passes, the cheapest sessionization

@@ -75,3 +75,72 @@ def test_signed_cents_parity(name, spark, neg_sf_dir, neg_duck):
     df = rq.fn(spark, neg_sf_dir)
     res = compare(name, df, neg_duck, rq.oracle)
     assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"
+
+
+# --------------------------------------------------------------------------
+# Edge-domain parity for the ADVICE r05 fixes: c10's epoch bucketing must
+# FLOOR (not truncate toward zero) so pre-1970 timestamps with fractional
+# seconds bucket identically to DuckDB's //, and d11's bitwise ops must be
+# width-independent for values far beyond the fixture's 0..149 user_ids.
+# Same shape as the signed-cents suite: registered query + registered
+# oracle over a synthetic adversarial corpus.
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def edge_sf_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("edge_sf"))
+    base = dt.datetime(1969, 12, 31, 12, 0, 0)  # crosses the epoch
+    rows, offset = [], dt.timedelta(0)
+    for i in range(48):
+        # mostly-in-session gaps with periodic >30min session breaks;
+        # thirds carry .5s so pre-1970 micros are non-multiples of 1e6
+        # (the exact inputs where truncation != floor)
+        offset += dt.timedelta(minutes=95 if i % 4 == 0 else 25)
+        frac = dt.timedelta(milliseconds=500) if i % 3 == 0 else dt.timedelta(0)
+        rows.append(
+            (
+                i,
+                base + offset + frac,
+                (i % 3) * (2**40 + 7) + i,  # ~1.1e12: far beyond int32
+                "purchase" if i % 2 else "refund",
+                1.0,
+                "{}",
+            )
+        )
+    # Targeted session-boundary flip: a 1800.5 s gap from a fractional
+    # pre-1970 start. Floor bucketing gives seconds -2 -> 1799 (gap
+    # 1801, NEW session, matching DuckDB //); truncation gives -1 ->
+    # 1799 (gap 1800, same session) — so the pre-fix code produces a
+    # DIFFERENT session_seq here, proving the test is not vacuous.
+    rows.append(
+        (1000, dt.datetime(1969, 12, 31, 23, 59, 58, 500000), 999, "purchase", 1.0, "{}")
+    )
+    rows.append(
+        (1001, dt.datetime(1970, 1, 1, 0, 29, 59), 999, "purchase", 1.0, "{}")
+    )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def edge_duck(edge_sf_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW events AS "
+        f"SELECT * FROM read_parquet('{edge_sf_dir}/events.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ["c10_win_sessionize", "d11_fn_bitwise"])
+def test_edge_domain_parity(name, spark, edge_sf_dir, edge_duck):
+    rq = _REG[name]
+    res = compare(name, rq.fn(spark, edge_sf_dir), edge_duck, rq.oracle)
+    assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"
