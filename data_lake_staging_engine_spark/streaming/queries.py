@@ -84,12 +84,13 @@ def e01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e02_stream_sliding",
     oracle=f"""
     WITH assigned AS (
-        SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS ws,
+        SELECT make_timestamp(CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT)
+                              * 1800000000) AS ws,
                event_type, value
         FROM events
         UNION ALL
-        SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
-                              - 1800000000) AS ws,
+        SELECT make_timestamp(CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT)
+                              * 1800000000 - 1800000000) AS ws,
                event_type, value
         FROM events
     )
@@ -99,7 +100,13 @@ def e01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def e02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h length, 30m slide): every event lands in two
-    windows; oracle assigns the two window starts arithmetically."""
+    windows; oracle assigns the two window starts arithmetically with
+    explicit FLOOR — Spark's window() floors to the slide boundary for
+    any timestamp domain (verified pre-1970: 23:59:58.5 lands in the
+    23:00/23:30 windows) while DuckDB's integer // truncates toward
+    zero, the same latent class the c10 edge suite caught (the r06
+    review discovery; tests/test_negative_values.py pins this query on
+    the pre-1970 corpus too)."""
     s = _events_stream(spark, sf_dir)
     agg = s.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
         duck_round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(

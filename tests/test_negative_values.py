@@ -139,7 +139,16 @@ def edge_duck(edge_sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", ["c10_win_sessionize", "d11_fn_bitwise"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "c10_win_sessionize",
+        "d11_fn_bitwise",
+        # e02: Spark window() floors to the slide boundary; the oracle
+        # must floor too (DuckDB // truncates — the c10 class)
+        "e02_stream_sliding",
+    ],
+)
 def test_edge_domain_parity(name, spark, edge_sf_dir, edge_duck):
     rq = _REG[name]
     res = compare(name, rq.fn(spark, edge_sf_dir), edge_duck, rq.oracle)
