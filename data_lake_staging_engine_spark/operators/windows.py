@@ -337,7 +337,9 @@ def c09_win_nth_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (
       SELECT user_id, event_id, ts,
-             CAST(floor(epoch_us(ts) / 1000000.0) AS BIGINT) AS sec
+             epoch_us(ts) // 1000000
+               - CASE WHEN epoch_us(ts) % 1000000 < 0 THEN 1 ELSE 0 END
+               AS sec
       FROM events
     ),
     g AS (
@@ -362,12 +364,14 @@ def c10_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lag-flag-cumsum idiom. All integer epoch-second arithmetic, so
     the result is exact on both engines: the micros->seconds bucketing
     is FLOOR division on BOTH sides — (m - pmod(m, 1e6)) div 1e6 (pure
-    int64) here, explicit floor(epoch_us/1e6) in the oracle. Floor is
-    the time-bucketing convention (date_trunc semantics) and holds for
-    any timestamp domain including pre-1970 fractional seconds; note
-    the ADVICE r05 premise was inverted — DuckDB's integer `//`
-    TRUNCATES like Spark's `div` (verified: -3 // 2 = -1), so the
-    naive fix of flooring only the engine side would itself diverge.
+    int64) here, trunc-minus-carry (// with a negative-remainder CASE,
+    also pure int64 — double division would lose exactness past
+    |epoch_us| = 2^53) in the oracle. Floor is the time-bucketing
+    convention (date_trunc semantics) and holds for any representable
+    timestamp including pre-1970 fractional seconds; note the ADVICE
+    r05 premise was inverted — DuckDB's integer `//` TRUNCATES like
+    Spark's `div` (verified: -3 // 2 = -1), so the naive fix of
+    flooring only the engine side would itself diverge.
     Both the benign-domain parity and a pre-1970 session-boundary-flip
     corpus are pinned in tests/test_negative_values.py. One
     user_id shuffle serves both window specs (lag and the running sum

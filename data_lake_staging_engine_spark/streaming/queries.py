@@ -83,16 +83,19 @@ def e01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "e02_stream_sliding",
     oracle=f"""
-    WITH assigned AS (
-        SELECT make_timestamp(CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT)
-                              * 1800000000) AS ws,
+    WITH slot AS (
+        SELECT epoch_us(ts) // 1800000000
+                 - CASE WHEN epoch_us(ts) % 1800000000 < 0 THEN 1 ELSE 0 END
+                 AS k,
                event_type, value
         FROM events
+    ),
+    assigned AS (
+        SELECT make_timestamp(k * 1800000000) AS ws, event_type, value
+        FROM slot
         UNION ALL
-        SELECT make_timestamp(CAST(floor(epoch_us(ts) / 1800000000.0) AS BIGINT)
-                              * 1800000000 - 1800000000) AS ws,
-               event_type, value
-        FROM events
+        SELECT make_timestamp((k - 1) * 1800000000) AS ws, event_type, value
+        FROM slot
     )
     SELECT ws, event_type, COUNT(*) AS n, {_DEC_SUM_ORACLE} AS sum_value
     FROM assigned GROUP BY 1, 2
@@ -101,12 +104,15 @@ def e01_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (1h length, 30m slide): every event lands in two
     windows; oracle assigns the two window starts arithmetically with
-    explicit FLOOR — Spark's window() floors to the slide boundary for
-    any timestamp domain (verified pre-1970: 23:59:58.5 lands in the
-    23:00/23:30 windows) while DuckDB's integer // truncates toward
-    zero, the same latent class the c10 edge suite caught (the r06
-    review discovery; tests/test_negative_values.py pins this query on
-    the pre-1970 corpus too)."""
+    exact-integer FLOOR (trunc-minus-carry on the negative remainder —
+    the c10 construction, exact for any representable timestamp where
+    double division would round past |epoch_us| = 2^53). Spark's
+    window() floors to the slide boundary for any timestamp domain
+    (verified pre-1970: 23:59:58.5 lands in the 23:00/23:30 windows)
+    while DuckDB's integer // truncates toward zero, the latent class
+    the c10 edge suite caught (the r06 review discovery;
+    tests/test_negative_values.py pins this query on the pre-1970
+    corpus too)."""
     s = _events_stream(spark, sf_dir)
     agg = s.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type").agg(
         duck_round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
