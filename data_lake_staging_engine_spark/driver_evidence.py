@@ -13,48 +13,46 @@ History of the window rotation:
 - r04 ended without a driver correctness run (no CORRECTNESS_r04).
 - r05 swept the remaining 50 never-verified entries — 40 hash-green,
   10 R-tier rows-only ran, 0 failures; d10's retry is green.
+- r06 led with the 10 never-verified entries (a28 a29 c09 c10 d12 d13
+  e12 g29 g30 g31 — all hash-green first try) and spent the 40 spare
+  slots on the stalest r02-era prefix (a01..b24; a14/b23 rows-only by
+  design).  0 failures.  Every registered query now has driver
+  evidence.
 
-After r05, every query registered before the r05 window filled has
-driver evidence; seven queries registered late in round 5 (the
-"deferred band": a28 a29 c09 c10 d12 g29 g30) have never been inside a
-window, and round 6 added three more never-verified entries (d13 e12
-g31).  Round 6 policy (VERDICT r05 items 1-2): the 10 never-verified
-entries head the window, and the 40 spare slots go to the STALEST
-evidence — the r02-era prefix, last proven before the split-sizing and
-decimal-emit changes touched every plan.
+``LAST_VERIFIED`` maps each query to the round of its most recent
+first-party row (hash-green, or rows-only-ran for R-tier).
 
-``LAST_VERIFIED`` maps each driver-evidenced query to the round of its
-most recent first-party row (hash-green, or rows-only-ran for R-tier).
+``CHANGED_IN`` marks queries whose Spark code or oracle text changed
+MATERIALLY in a given round (ADVICE r06): when ``CHANGED_IN[name] >
+LAST_VERIFIED[name]`` the recorded evidence no longer describes the
+current text, so the query re-enters the window AHEAD of every
+untouched entry.  Current members:
+
+- ``e02_stream_sliding`` — oracle floor-corrected r6 (commits
+  d25a507/4adc735) after its r3 green.
+- ``d11_fn_bitwise`` — operands cast to BIGINT before bit ops r6
+  (scalar_packs.py) after its r5 green.
+- ``f08_multimodal_decode`` / ``f09_multimodal_framesample`` —
+  rewritten from rows-only stubs to hash-tier with new output schemas
+  r6 (udfs.py) after their r5 rows-only runs.
+
 After each round, fold the new CORRECTNESS greens in here (bump the
-round number) and update tests/test_registry_order.py.
-Source of truth: CORRECTNESS_r0{1,2,3,5}.json, re-read 2026-08-13.
+round number, drop satisfied CHANGED_IN markers) and update
+tests/test_registry_order.py.  Source of truth:
+CORRECTNESS_r0{1,2,3,5,6}.json, re-read 2026-08-14.
 """
 
 from __future__ import annotations
 
 # fmt: off
 _R02 = (
-    # r01/r02 windows (identical 50-name prefix, green both rounds;
-    # a14/b23 are R-tier rows-only by design)
-    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
-    "a04_normalize_columns", "a05_apply_schema_cast",
-    "a06_partition_derive", "a07_dedup_keep_latest",
-    "a08_quality_nullcounts", "a09_sink_parquet_partitioned",
-    "a10_compaction", "a11_catalog_sync", "a12_incremental_ingest",
-    "a13_stream_ingest_foreachbatch", "a14_bad_records",
-    "a15_bucketed_join", "a16_partition_pruned_scan",
-    "a17_dynamic_partition_overwrite", "a18_python_datasource",
-    "a19_stream_upsert", "a20_observed_metrics", "a21_schema_evolution",
-    "a22_versioned_snapshot", "b01_project_arith", "b02_filter_pred",
-    "b03_distinct", "b10_join_inner", "b11_join_left",
-    "b12_join_right_full", "b13_join_semi", "b14_join_anti",
-    "b15_join_broadcast", "b16_join_theta", "b17_join_range_interval",
-    "b18_join_asof", "b19_join_cross", "b20_agg_groupby",
-    "b21_agg_having", "b22_agg_countdistinct", "b23_agg_approx_cd",
-    "b24_agg_rollup", "b25_agg_cube", "b26_agg_grouping_sets",
-    "b27_agg_stats", "b28_agg_percentile", "b29_agg_collect_sorted",
-    "b30_agg_minmax_by", "b31_agg_salted_skew", "b32_pivot",
-    "b33_unpivot", "b34_sample_systematic",
+    # r02-era tail: the 10 names the r06 window did not reach (the
+    # r01/r02 windows proved the full a01..b34 prefix; r06 re-proved
+    # a01..b24, leaving these at round-2 evidence).
+    "b25_agg_cube", "b26_agg_grouping_sets", "b27_agg_stats",
+    "b28_agg_percentile", "b29_agg_collect_sorted", "b30_agg_minmax_by",
+    "b31_agg_salted_skew", "b32_pivot", "b33_unpivot",
+    "b34_sample_systematic",
 )
 _R03 = (
     # CORRECTNESS_r03.json greens (49; d10 hash-failed there and is
@@ -99,34 +97,73 @@ _R05 = (
     "g24_pii_scrub", "g25_sequence_pack", "g26_dedup_clusters",
     "g27_corpus_mixture", "g28_semantic_dedup",
 )
+_R06 = (
+    # CORRECTNESS_r06.json — 48 hash-green + a14/b23 rows-only ran:
+    # the 10 formerly-never-verified entries + the a01..b24 re-sweep
+    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
+    "a04_normalize_columns", "a05_apply_schema_cast",
+    "a06_partition_derive", "a07_dedup_keep_latest",
+    "a08_quality_nullcounts", "a09_sink_parquet_partitioned",
+    "a10_compaction", "a11_catalog_sync", "a12_incremental_ingest",
+    "a13_stream_ingest_foreachbatch", "a14_bad_records",
+    "a15_bucketed_join", "a16_partition_pruned_scan",
+    "a17_dynamic_partition_overwrite", "a18_python_datasource",
+    "a19_stream_upsert", "a20_observed_metrics", "a21_schema_evolution",
+    "a22_versioned_snapshot", "a28_multi_format_union",
+    "a29_scd2_dimension", "b01_project_arith", "b02_filter_pred",
+    "b03_distinct", "b10_join_inner", "b11_join_left",
+    "b12_join_right_full", "b13_join_semi", "b14_join_anti",
+    "b15_join_broadcast", "b16_join_theta", "b17_join_range_interval",
+    "b18_join_asof", "b19_join_cross", "b20_agg_groupby",
+    "b21_agg_having", "b22_agg_countdistinct", "b23_agg_approx_cd",
+    "b24_agg_rollup", "c09_win_nth_trailing", "c10_win_sessionize",
+    "d12_fn_trig", "d13_fn_url", "e12_stream_outer_join",
+    "g29_quality_gate", "g30_dedup_incremental", "g31_dedup_segments",
+)
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
     **{name: 2 for name in _R02},
     **{name: 3 for name in _R03},
     **{name: 5 for name in _R05},
+    **{name: 6 for name in _R06},
+}
+
+# Queries whose Spark code or oracle text materially changed in the
+# given round.  CHANGED_IN[name] > LAST_VERIFIED[name] => the recorded
+# evidence predates the current text => band 0 (ADVICE r06).  Drop an
+# entry once a later CORRECTNESS round re-proves the query.
+CHANGED_IN: dict[str, int] = {
+    "e02_stream_sliding": 6,        # oracle floor fix (d25a507/4adc735)
+    "d11_fn_bitwise": 6,            # BIGINT cast before bit ops
+    "f08_multimodal_decode": 6,     # rows-only stub -> hash-tier oracle
+    "f09_multimodal_framesample": 6,  # rows-only stub -> hash-tier oracle
 }
 
 # Convenience view: every query with any first-party driver evidence.
 DRIVER_VERIFIED: frozenset[str] = frozenset(LAST_VERIFIED)
 
 
+def changed_since_verified(name: str) -> bool:
+    """True when the query's text is newer than its driver evidence."""
+    last = LAST_VERIFIED.get(name)
+    return last is None or CHANGED_IN.get(name, 0) > last
+
+
 def sweep_rank(name: str, has_oracle: bool) -> tuple[int, int, str]:
     """Sort key putting the most evidence-starved queries first.
 
-    Band 0: never driver-verified (the late round-5 deferred band plus
-            the round-6 additions) — alphabetical, hash tier and
-            rows-only alike (all 10 current members are hash tier).
-    Band 1: driver-verified — ordered by last-verified round ASCENDING
-            (stalest evidence first), then name.  The r02-era prefix
-            re-enters the window ahead of r03/r05 greens because every
-            plan has been touched by the split-sizing and decimal-emit
-            changes since it was last proven.
-    ``has_oracle`` kept in the signature for call-site stability; the
-    never-verified band no longer needs the tier split (r05 closed the
-    R-tier backlog).
+    Band 0: evidence does not describe the current text — either never
+            driver-verified (none today; r06 closed that backlog) or
+            changed-since-verified (``CHANGED_IN`` newer than
+            ``LAST_VERIFIED``: e02 d11 f08 f09).  Alphabetical.
+    Band 1: verified on current text — ordered by last-verified round
+            ASCENDING (stalest evidence first), then name.  The
+            b25..b34 r02-era tail re-enters ahead of the r03 mass,
+            which precedes r05/r06 greens.
+    ``has_oracle`` kept in the signature for call-site stability; both
+    bands order hash tier and rows-only alike.
     """
-    last = LAST_VERIFIED.get(name)
-    if last is None:
+    if changed_since_verified(name):
         return (0, 0, name)
-    return (1, last, name)
+    return (1, LAST_VERIFIED[name], name)

@@ -1,14 +1,15 @@
-"""Registry ordering = driver-evidence policy (VERDICT r05 items 1-2).
+"""Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r05 greens into
-``LAST_VERIFIED`` (149 names), the queries lacking first-party driver
-evidence are the round-5 deferred band (a28 a29 c09 c10 d12 g29 g30)
-plus the round-6 additions (d13 e12 g31) — 10 names.  These tests pin
-the r06 window shape: the never-verified entries first, then the
-STALEST verified evidence (the r02-era prefix, last proven before the
-split-sizing/decimal-emit changes) filling the remaining 40 slots,
-with fresher r03/r05 evidence behind it.
+``queries()`` in insertion order.  After folding the r06 greens into
+``LAST_VERIFIED`` (all 159 names now driver-evidenced), the only
+entries whose evidence does not describe their CURRENT text are the
+changed-since-verified band (``CHANGED_IN`` > ``LAST_VERIFIED``):
+e02's oracle was floor-corrected, d11 gained BIGINT casts, and f08/f09
+were rewritten from rows-only stubs into hash-tier — all in round 6,
+after their last driver rows.  These tests pin the r07 window shape:
+the changed band first, then the STALEST evidence (the b25..b34
+r02-era tail, then the r03 mass) filling the remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -18,24 +19,20 @@ ACTUALLY registered instead of hard-coding this env's 159 names.
 """
 
 from data_lake_staging_engine_spark.driver_evidence import (
+    CHANGED_IN,
     DRIVER_VERIFIED,
     LAST_VERIFIED,
+    changed_since_verified,
     sweep_rank,
 )
 from data_lake_staging_engine_spark.registry import registry
 
-NEVER_VERIFIED = {
-    "a28_multi_format_union",
-    "a29_scd2_dimension",
-    "c09_win_nth_trailing",
-    "c10_win_sessionize",
-    "d12_fn_trig",
-    "g29_quality_gate",
-    "g30_dedup_incremental",
-    # round-6 additions — never inside a driver window yet
-    "d13_fn_url",
-    "g31_dedup_segments",
-    "e12_stream_outer_join",
+# Text newer than driver evidence as of round 7 (see driver_evidence.py).
+CHANGED_BAND = {
+    "d11_fn_bitwise",
+    "e02_stream_sliding",
+    "f08_multimodal_decode",
+    "f09_multimodal_framesample",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -43,53 +40,66 @@ NEVER_VERIFIED = {
 ENV_GATED = {"e10_transform_with_state"}
 
 
-def _unverified_head(reg):
-    return sorted(set(reg) - DRIVER_VERIFIED)
+def _band0(reg):
+    return sorted(n for n in reg if changed_since_verified(n))
 
 
-def test_never_verified_head_the_window():
+def test_changed_band_heads_the_window():
     reg = registry()
     names = list(reg)
-    head = _unverified_head(reg)
+    head = _band0(reg)
     assert names[: len(head)] == head
-    assert set(head) - ENV_GATED == NEVER_VERIFIED
-    assert not (NEVER_VERIFIED & DRIVER_VERIFIED)
+    assert set(head) - ENV_GATED == CHANGED_BAND
+    # Every changed marker refers to a real, already-verified query.
+    assert set(CHANGED_IN) <= DRIVER_VERIFIED
 
 
 def test_window_fills_with_stalest_evidence():
     reg = registry()
     names = list(reg)
     window = names[:50]
-    # 10 never-verified (+ env-gated e10 where registered) + the
-    # stalest (r02-era) re-verifications filling the rest.
-    head = _unverified_head(reg)
-    stale = sorted(n for n, r in LAST_VERIFIED.items() if r == 2)
-    assert len(stale) == 50
-    n_fill = 50 - len(head)
-    assert window == head + stale[:n_fill]
-    # Everything past the window is fresher evidence than anything in
-    # the stale band (r02 <= r03 <= r05, monotone non-decreasing tail).
+    head = _band0(reg)
+    # The b25..b34 tail is the last r02-era evidence left.
+    stale_r02 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 2 and n not in CHANGED_IN
+    )
+    assert stale_r02 == [
+        "b25_agg_cube", "b26_agg_grouping_sets", "b27_agg_stats",
+        "b28_agg_percentile", "b29_agg_collect_sorted",
+        "b30_agg_minmax_by", "b31_agg_salted_skew", "b32_pivot",
+        "b33_unpivot", "b34_sample_systematic",
+    ]  # fmt: skip
+    stale_r03 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 3 and n not in CHANGED_IN
+    )
+    n_fill = 50 - len(head) - len(stale_r02)
+    assert window == head + stale_r02 + stale_r03[:n_fill]
+    # Everything past the window is ordered by non-decreasing evidence
+    # round (r03 remainder <= r05 <= r06).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    assert sweep_rank("a28_multi_format_union", True)[0] == 0
-    r02 = sweep_rank("a01_scan_parquet", True)
+    assert sweep_rank("e02_stream_sliding", True)[0] == 0
+    assert sweep_rank("f08_multimodal_decode", True)[0] == 0
+    r02 = sweep_rank("b25_agg_cube", True)
     r03 = sweep_rank("c01_win_ranking", True)
     r05 = sweep_rank("b56_join_lateral", True)
-    assert r02 < r03 < r05
+    r06 = sweep_rank("a01_scan_parquet", True)
+    assert r02 < r03 < r05 < r06
+    assert r02[0] == 1  # verified, just stale — band 1
 
 
-def test_all_queries_still_registered():
+def test_all_queries_have_driver_evidence():
     reg = registry()
-    expected = len(LAST_VERIFIED) + len(NEVER_VERIFIED)
-    assert expected <= len(reg) <= expected + len(ENV_GATED)
-    assert DRIVER_VERIFIED <= set(reg)
-    # LAST_VERIFIED names all correspond to real registered queries —
+    known = set(LAST_VERIFIED)
+    # Every registered query is evidenced, modulo a freshly-registered
+    # env-gated variant; every evidenced name is really registered —
     # no typo can silently drop a query out of the rotation.
-    assert set(LAST_VERIFIED) <= set(reg)
-    assert NEVER_VERIFIED <= set(reg)
+    assert set(reg) - known <= ENV_GATED
+    assert known <= set(reg)
+    assert len(reg) >= len(known)
 
 
 def test_order_deterministic():
