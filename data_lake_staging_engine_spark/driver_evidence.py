@@ -35,6 +35,8 @@ untouched entry.  Current members:
 - ``f08_multimodal_decode`` / ``f09_multimodal_framesample`` —
   rewritten from rows-only stubs to hash-tier with new output schemas
   r6 (udfs.py) after their r5 rows-only runs.
+- ``e12_stream_outer_join`` — cutoff literal re-derived as epoch
+  micros r7 (ADVICE r06 timezone-explicitness) after its r6 green.
 
 After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
@@ -138,6 +140,7 @@ CHANGED_IN: dict[str, int] = {
     "d11_fn_bitwise": 6,            # BIGINT cast before bit ops
     "f08_multimodal_decode": 6,     # rows-only stub -> hash-tier oracle
     "f09_multimodal_framesample": 6,  # rows-only stub -> hash-tier oracle
+    "e12_stream_outer_join": 7,     # cutoff re-derived as epoch micros (r7)
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -863,8 +863,20 @@ def _g03d_guard_anchor_count(anchors: DataFrame) -> None:
     g03d scores every (anchor, vector) pair exactly — acceptable only
     as a test-scale recall anchor. The count is a key-only scan (column
     pruning reaches the parquet reader) so the guard itself is cheap;
-    the bound is configurable for deliberate larger anchor studies."""
-    max_anchors = int(os.environ.get("SPARK_GRAFT_G03D_MAX_ANCHORS", "50000"))
+    the bound is configurable for deliberate larger anchor studies.
+
+    NOTE (registry contract): this guard runs an EAGER count() job at
+    DataFrame-construction time — g03d is deliberately not
+    plan-only-lazy. Callers that want only the plan (explain, dry
+    registry iteration) still trigger one key-only scan; that cost is
+    the fail-fast the guard exists to provide (ADVICE r06)."""
+    raw = os.environ.get("SPARK_GRAFT_G03D_MAX_ANCHORS", "50000")
+    try:
+        max_anchors = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_G03D_MAX_ANCHORS must be an integer, got {raw!r}"
+        ) from None
     n = anchors.select("vec_id").count()
     if n > max_anchors:
         raise ValueError(

@@ -635,16 +635,20 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably-flushed region, making the query hash-tier where a naive
     formulation could only be rows-only. The cutoff scalar comes from a
     one-row static aggregate over the same landing fixture (the a12
-    fixture-setup pattern; at scale it's a pipeline constant).
+    fixture-setup pattern; at scale it's a pipeline constant), carried
+    as EPOCH MICROS (an absolute instant) rather than a naive datetime
+    literal, so the collect and re-literal legs cannot skew if either
+    ever changes timezone handling (ADVICE r06).
 
     State stays bounded exactly as in e08: watermark + range condition
     => each side buffers at most watermark+10min per user."""
     landing, schema = landing_copy(spark, sf_dir, "events")
-    cutoff_row = (
+    cutoff_micros = (
         spark.read.schema(schema)
         .parquet(landing)
-        .agg((F.max("ts") - F.expr("INTERVAL 130 MINUTES")).alias("c"))
+        .agg(F.unix_micros(F.max("ts") - F.expr("INTERVAL 130 MINUTES")).alias("c"))
         .collect()[0]
+        .c
     )
     s1 = spark.readStream.schema(schema).parquet(landing)
     s2 = spark.readStream.schema(schema).parquet(landing)
@@ -660,7 +664,8 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e1 = (
         s1.withWatermark("ts", "1 hour")
         .filter(
-            (F.col("event_type") == "signup") & (F.col("ts") <= F.lit(cutoff_row.c))
+            (F.col("event_type") == "signup")
+            & (F.col("ts") <= F.timestamp_micros(F.lit(cutoff_micros)))
         )
         .select(
             F.col("event_id").alias("signup_id"),

@@ -31,6 +31,7 @@ from data_lake_staging_engine_spark.registry import registry
 CHANGED_BAND = {
     "d11_fn_bitwise",
     "e02_stream_sliding",
+    "e12_stream_outer_join",
     "f08_multimodal_decode",
     "f09_multimodal_framesample",
 }
