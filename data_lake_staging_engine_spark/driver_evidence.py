@@ -141,6 +141,7 @@ CHANGED_IN: dict[str, int] = {
     "f08_multimodal_decode": 6,     # rows-only stub -> hash-tier oracle
     "f09_multimodal_framesample": 6,  # rows-only stub -> hash-tier oracle
     "e12_stream_outer_join": 7,     # cutoff re-derived as epoch micros (r7)
+    "g25_sequence_pack": 7,         # seq_id double-division -> int64 div (r7)
 }
 
 # Convenience view: every query with any first-party driver evidence.

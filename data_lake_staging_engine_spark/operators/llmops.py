@@ -2083,7 +2083,10 @@ def g25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one window shuffle on the stream key (lang) computes the
     running offset, then a tiny (lang, seq_id) rollup; at 100 TB the
     stream key would be (shard, lang) so no single partition holds a
-    language's whole corpus."""
+    language's whole corpus. seq_id = start_off div capacity in pure
+    int64 (`div`, matching DuckDB `//` on BIGINT for the non-negative
+    offset domain) — double division would lose exactness once a
+    language's running token offset passes 2^53."""
     d = load(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
@@ -2096,7 +2099,7 @@ def g25_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return placed.groupBy(
         "lang",
-        (F.col("start_off") / _PACK_CAPACITY).cast("long").alias("seq_id"),
+        F.expr(f"start_off div {_PACK_CAPACITY}").alias("seq_id"),
     ).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -138,8 +138,10 @@ def c04_win_moving_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c05_win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-range frame (trailing 1 hour). Spark RANGE frames need a
-    numeric sort key, so both engines order by floored epoch-seconds —
-    identical frame boundaries by construction (§2 c05)."""
+    numeric sort key, so both engines order by TRUNCATED epoch-seconds
+    (`div` / `//` both truncate toward zero, including pre-1970
+    negatives with fractional seconds) — identical frame boundaries by
+    construction, pinned by tests/test_negative_values.py (§2 c05)."""
     e = load(spark, sf_dir, "events").withColumn(
         "_sec", F.expr("unix_micros(ts) div 1000000")
     )

@@ -147,9 +147,85 @@ def edge_duck(edge_sf_dir):
         # e02: Spark window() floors to the slide boundary; the oracle
         # must floor too (DuckDB // truncates — the c10 class)
         "e02_stream_sliding",
+        # c05: RANGE frame over epoch-seconds — `div`//`//` both
+        # TRUNCATE toward zero, so pre-1970 fractional timestamps must
+        # land on identical sort keys on both engines (VERDICT r06 #4)
+        "c05_win_range_interval",
+        # a06: calendar-field partition derivation for pre-1970 dates
+        "a06_partition_derive",
     ],
 )
 def test_edge_domain_parity(name, spark, edge_sf_dir, edge_duck):
     rq = _REG[name]
     res = compare(name, rq.fn(spark, edge_sf_dir), edge_duck, rq.oracle)
     assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"
+
+
+# --------------------------------------------------------------------------
+# g25 sequence packing: seq_id = start_off div capacity must be computed
+# in pure int64 (double division loses exactness past 2^53 — the c10
+# arithmetic class, VERDICT r06 #4).  The adversarial corpus hits the
+# exact capacity-boundary offsets (start_off == k*256), a doc longer
+# than a whole sequence, empty text, and 2^40-magnitude doc_ids whose
+# window ordering must agree across engines.
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_sf_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("docs_sf"))
+    rows = []
+    for lang, base_id in (("en", 2**40 + 7), ("de", 3 * 2**40 + 1)):
+        # token counts chosen so running offsets hit pack boundaries
+        # exactly: 255+1 = 256 (third doc STARTS on a boundary),
+        # then 700 (> capacity, straddles three 256-sequences), then
+        # 1-token docs around the straddler, then an empty text
+        # (split('') -> [''] -> 1 token on both engines).
+        for j, n_tok in enumerate((255, 1, 256, 700, 1, 1)):
+            rows.append(
+                (
+                    base_id + j,
+                    " ".join("t%d" % k for k in range(n_tok)) if n_tok else "",
+                    lang,
+                    "edge",
+                    n_tok,
+                )
+            )
+    rows.append((5 * 2**40, "", "fr", "edge", 0))  # lone empty doc
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+@pytest.fixture(scope="module")
+def docs_duck(docs_sf_dir):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{docs_sf_dir}/documents.parquet/*.parquet')"
+    )
+    yield con
+    con.close()
+
+
+def test_g25_pack_boundaries_parity(spark, docs_sf_dir, docs_duck):
+    rq = _REG["g25_sequence_pack"]
+    res = compare("g25_sequence_pack", rq.fn(spark, docs_sf_dir), docs_duck, rq.oracle)
+    assert res.ok, f"g25: {res.detail} {res.mismatches[:3]}"
+    # Boundary sanity, independent of the oracle: the 'en' doc with
+    # start_off exactly 256 must open seq 1, and the 700-token doc is
+    # ASSIGNED to the sequence containing its start offset (concat-and-
+    # chunk places docs by start), so seq counts reflect starts only.
+    out = {
+        (r.lang, r.seq_id): (r.n_docs, r.total_tokens)
+        for r in rq.fn(spark, docs_sf_dir).collect()
+    }
+    # start offsets per doc: 0, 255, 256, 512, 1212, 1213
+    assert out[("en", 0)] == (2, 256)  # 255 + 1 fill sequence 0 exactly
+    assert out[("en", 1)] == (1, 256)  # boundary doc STARTS seq 1 (off 256)
+    assert out[("en", 2)] == (1, 700)  # straddler assigned by start (off 512)
+    assert out[("en", 4)] == (2, 2)    # 1-token docs at offs 1212/1213 -> seq 4
+    assert ("en", 3) not in out        # no doc STARTS in seq 3 (straddled over)
+    assert out[("fr", 0)] == (1, 1)    # empty text -> [''] -> 1 token

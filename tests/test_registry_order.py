@@ -34,6 +34,7 @@ CHANGED_BAND = {
     "e12_stream_outer_join",
     "f08_multimodal_decode",
     "f09_multimodal_framesample",
+    "g25_sequence_pack",
 }
 
 # Registered only when google.protobuf is available; never-verified by
