@@ -2,8 +2,11 @@
 cluster/representative output plus co-cluster recall against the exact
 g03d anchor pairs (the same exact-vs-approx pattern as
 test_ann_recall.py — measured 4/6 = 0.667 at sf0.01 with k=16,
-nassign=2; floor 0.5 so a bucketing regression fails loudly while
-genuine boundary noise does not)."""
+nassign=2, re-measured 2026-08-14; everything is deterministic so this
+is an exact constant at this fixture SF).  Floor 0.6 = measured minus
+one anchor pair of margin (VERDICT r06 #6): losing even ONE of the six
+co-cluster hits (3/6 = 0.5) fails loudly instead of riding the old
+0.5 slack floor."""
 
 from data_lake_staging_engine_spark.registry import registry
 from data_lake_staging_engine_spark.sources import load
@@ -37,4 +40,4 @@ def test_g28_co_cluster_recall_vs_exact(spark, sf_dir):
     pairs = [(r.d1, r.d2) for r in exact]
     assert pairs  # anchor set must not silently go empty
     hits = sum(1 for a, b in pairs if cluster[a] == cluster[b])
-    assert hits / len(pairs) >= 0.5, (hits, len(pairs))
+    assert hits / len(pairs) >= 0.6, (hits, len(pairs))
