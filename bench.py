@@ -4,7 +4,12 @@
 
 Prints exactly ONE JSON line:
   {"metric": "headline_total", "value": N, "unit": "sec",
-   "queries": {"b20_agg_groupby": sec, ...}, "sf": 0.1}
+   "queries": {"b20_agg_groupby": sec, ...},
+   "original17_total": M, "sf": 0.1}
+
+``value`` is the full current headline (20 queries); ``original17_total``
+is the round-1-comparable subset's subtotal, so the 35.3 s baseline gate
+reads off one number with no per-query subtraction (VERDICT r06 #3).
 
 Materialization uses the noop sink (full execution, no write cost, no
 driver collect bottleneck). A warm-up query runs first so JVM/codegen
@@ -26,7 +31,7 @@ from data_lake_staging_engine_spark.session import (  # noqa: E402
     get_spark,
 )
 
-HEADLINE = [
+ORIGINAL_17 = [
     "b20_agg_groupby",          # flagship TPC-H-Q1-shape aggregation
     "b10_join_inner",           # fact-dim shuffle join
     "b15_join_broadcast",       # star join, broadcast dims
@@ -44,8 +49,10 @@ HEADLINE = [
     "e01_stream_tumbling",      # streaming tumbling agg (AvailableNow)
     "e08_stream_stream_join",   # watermarked stream-stream interval join
     "g02d_dedup_ngram",         # char 3-gram shingle jaccard
+]
+HEADLINE = ORIGINAL_17 + [
     # round-6 additions (headline grows; cross-round totals compare on
-    # the shared per-query table, not the total)
+    # the shared per-query table + the original17 subtotal)
     "g31_dedup_segments",       # sub-document segment dedup + reassembly
     "e12_stream_outer_join",    # watermarked left-outer interval join
     "d13_fn_url",               # parse_url scalar pack
@@ -105,6 +112,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "original17_total": round(
+                    sum(timings[n] for n in ORIGINAL_17), 3
+                ),
                 "sf": sf,
             }
         )

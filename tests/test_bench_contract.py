@@ -35,3 +35,6 @@ def test_bench_prints_one_json_line():
     assert set(payload["queries"]) and all(
         v >= 0 for v in payload["queries"].values()
     )
+    # The round-1-comparable subtotal must be present and consistent
+    # with (i.e. bounded by) the full headline total.
+    assert 0 < payload["original17_total"] <= payload["value"]
