@@ -106,3 +106,34 @@ def test_all_queries_have_driver_evidence():
 
 def test_order_deterministic():
     assert list(registry()) == list(registry())
+
+
+def test_last_verified_matches_correctness_artifacts():
+    """LAST_VERIFIED is hand-folded from the driver's CORRECTNESS_r*.json
+    files; recompute the fold (latest-wins over clean rows) and require
+    the bookkeeping to claim nothing the artifacts don't support.  A
+    fold round NEWER than LAST_VERIFIED is legal — it means a fresh
+    driver round ran and the fold update is pending — but an OLDER one
+    (or a name with no artifact row at all) is fabricated evidence."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fold: dict[str, int] = {}
+    for p in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", p).group(1))
+        with open(p) as f:
+            rows = json.load(f)
+        for name, row in rows.items():
+            clean = row.get("err") in (None, "no_oracle") and row.get(
+                "hash_match"
+            ) in (True, None)
+            if clean:
+                fold[name] = max(fold.get(name, 0), rnd)
+    assert fold, "no CORRECTNESS artifacts found"
+    unsupported = {
+        n: (r, fold.get(n)) for n, r in LAST_VERIFIED.items() if fold.get(n, 0) < r
+    }
+    assert not unsupported, f"LAST_VERIFIED claims without artifact rows: {unsupported}"
