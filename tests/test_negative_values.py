@@ -168,6 +168,14 @@ def test_edge_domain_parity(name, spark, edge_sf_dir, edge_duck):
 # exact capacity-boundary offsets (start_off == k*256), a doc longer
 # than a whole sequence, empty text, and 2^40-magnitude doc_ids whose
 # window ordering must agree across engines.
+#
+# Round-7 audit of the remaining floor/div sites (none need this suite):
+# g25 was the only division of an UNBOUNDED accumulator (a per-lang
+# running token sum).  b36/g18's floor((x-lo)/width) operate on bounded
+# value domains (prices, embedding coords) with the identical double
+# expression in their oracles; llmops' bitmap word index floors
+# tok_id/64 where tok_id = row_number()-1 is vocab-bounded; every money
+# sum is DECIMAL-cast before accumulation (order-independent, exact).
 # --------------------------------------------------------------------------
 
 
