@@ -206,6 +206,10 @@ def test_sequence_pack_single_shuffle(spark, sf_dir):
     assert plan.count("hashpartitioning(") == 1, plan
     assert "lang" in plan.split("hashpartitioning(")[1].split(")")[0], plan
     assert "Window" in plan
+    # seq_id stays pure-int64 (round 7): `div 256` in the grouping
+    # expression, never a double divide-then-cast (exact only < 2^53).
+    assert "div 256" in plan, plan
+    assert "/ 256" not in plan, plan
 
 
 def test_no_driver_collect_in_operator_bodies():
