@@ -140,7 +140,8 @@ CHANGED_IN: dict[str, int] = {
     "d11_fn_bitwise": 6,            # BIGINT cast before bit ops
     "f08_multimodal_decode": 6,     # rows-only stub -> hash-tier oracle
     "f09_multimodal_framesample": 6,  # rows-only stub -> hash-tier oracle
-    "e12_stream_outer_join": 7,     # cutoff re-derived as epoch micros (r7)
+    "e12_stream_outer_join": 7,     # cutoff: epoch micros + per-type maxima
+                                    # (watermark-pushdown fix, r7)
     "g25_sequence_pack": 7,         # seq_id double-division -> int64 div (r7)
 }
 

@@ -617,7 +617,11 @@ def e11_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND e2.ts > e1.ts
      AND e2.ts <= e1.ts + INTERVAL 10 MINUTE
     WHERE e1.event_type = 'signup'
-      AND e1.ts <= (SELECT max(ts) - INTERVAL 130 MINUTE FROM events)
+      AND e1.ts <= (SELECT LEAST(
+                        max(ts) FILTER (WHERE event_type = 'signup'),
+                        max(ts) FILTER (WHERE event_type = 'purchase'))
+                      - INTERVAL 130 MINUTE
+                    FROM events)
     """,
 )
 def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,18 +631,33 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     follow columns) once the watermark proves no match can arrive.
 
     Outer emission is WATERMARK-DRIVEN: an unmatched left row flushes
-    only when the watermark passes ts1 + 10min, so rows inside the
-    final watermark horizon (max_ts - 1h) are never emitted by a
-    terminating drain — inherent to the semantics, not a defect. Both
-    engine and oracle therefore bound the left side to
-    ts1 <= max_ts - 130min (horizon 60 + range 10 + safety 60), the
-    provably-flushed region, making the query hash-tier where a naive
-    formulation could only be rows-only. The cutoff scalar comes from a
-    one-row static aggregate over the same landing fixture (the a12
-    fixture-setup pattern; at scale it's a pipeline constant), carried
-    as EPOCH MICROS (an absolute instant) rather than a naive datetime
-    literal, so the collect and re-literal legs cannot skew if either
-    ever changes timezone handling (ADVICE r06).
+    only once the global watermark passes ts1 + 10min, so rows inside
+    the final watermark horizon are never emitted by a terminating
+    drain — inherent to the semantics, not a defect. Both engine and
+    oracle therefore bound the left side to the provably-flushed
+    region, making the query hash-tier where a naive formulation could
+    only be rows-only.
+
+    What the final watermark provably is: although ``withWatermark`` is
+    declared on the raw streams, Catalyst's PushPredicateThroughNonJoin
+    pushes any deterministic conjunct NOT referencing the event-time
+    column through the EventTimeWatermark operator — so each side's
+    watermark node physically sees only its own event_type subset and
+    tracks max(ts of that type) - 1h, NOT max(ts) - 1h. (Declaring the
+    watermark "before the filter" does not defend against this; the
+    optimizer reorders them. Caught by the round-7 cross-SF parity
+    sweep at sf0.001, where the last signup trails the corpus max ts by
+    ~4.7 h — far beyond the 60-min safety that happened to cover the
+    28-min gap at sf0.01 — and the two tail signups never flushed.)
+    The provable global watermark under either plan shape is
+    LEAST(max signup ts, max purchase ts) - 1h, so the flushed-region
+    cutoff is that LEAST minus 130min (horizon 60 + range 10 + safety
+    60) — the identical expression on both engines. The cutoff scalar
+    comes from a one-row static aggregate over the same landing fixture
+    (the a12 fixture-setup pattern; at scale it's a pipeline constant),
+    carried as EPOCH MICROS (an absolute instant) rather than a naive
+    datetime literal, so the collect and re-literal legs cannot skew if
+    either ever changes timezone handling (ADVICE r06).
 
     State stays bounded exactly as in e08: watermark + range condition
     => each side buffers at most watermark+10min per user."""
@@ -646,21 +665,28 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff_micros = (
         spark.read.schema(schema)
         .parquet(landing)
-        .agg(F.unix_micros(F.max("ts") - F.expr("INTERVAL 130 MINUTES")).alias("c"))
+        .agg(
+            F.unix_micros(
+                F.least(
+                    F.max(F.when(F.col("event_type") == "signup", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 130 MINUTES")
+            ).alias("c")
+        )
         .collect()[0]
         .c
     )
     s1 = spark.readStream.schema(schema).parquet(landing)
     s2 = spark.readStream.schema(schema).parquet(landing)
-    # Watermark BEFORE the filters on BOTH sides: the global watermark
-    # is the min over every input's (max event time - delay), and each
-    # watermark node only sees rows that reach it — filtering first
-    # would cap a side's watermark at its filtered max (cutoff - 1h on
-    # the left; max PURCHASE ts - 1h on the right, a data-dependent gap
-    # that happens to be 32 min at sf0.01) and re-strand exactly the
-    # rows the cutoff exists to flush. Declared on the raw streams, the
-    # watermark provably reaches max_ts - 1h regardless of event-type
-    # density.
+    # The global watermark is the min over every watermark node of
+    # (max event time seen - delay). Declaration order relative to the
+    # filters is COSMETIC: the optimizer pushes the event_type conjunct
+    # below the EventTimeWatermark operator either way (see docstring),
+    # so each node tracks its own type's max ts. The cutoff above is
+    # derived from exactly those per-type maxima, so the bounded region
+    # is provably flushed regardless of event-type density or plan
+    # shape.
     e1 = (
         s1.withWatermark("ts", "1 hour")
         .filter(

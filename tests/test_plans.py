@@ -356,3 +356,72 @@ def test_segment_dedup_two_shuffles(spark, sf_dir):
     plan = _plan("g31_dedup_segments", spark, sf_dir)
     assert plan.count("hashpartitioning(") == 2, plan
     assert "CartesianProduct" not in join_kinds(plan)
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    """b40: ORDER BY + LIMIT must compile to TakeOrderedAndProject —
+    per-partition k-row heaps merged on the driver — with ZERO
+    exchanges. The alternative (global range sort of 100 TB to keep 20
+    rows) is the canonical top-k scale-killer."""
+    plan = _plan("b40_sort_limit_topk", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "hashpartitioning(" not in plan, plan
+    assert "rangepartitioning(" not in plan, plan
+
+
+def test_null_ordering_limit_take_ordered(spark, sf_dir):
+    """b37: the NULLS-pinned ORDER BY ... LIMIT 20 downstream of the
+    full join must also compile to TakeOrderedAndProject — explicit
+    NULL placement must not force a global range sort."""
+    plan = _plan("b37_null_ordering", spark, sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning(" not in plan, plan
+
+
+def test_topk_per_group_window_group_limit(spark, sf_dir):
+    """b41: the rank() <= k filter must push into Spark's
+    WindowGroupLimit so each map task keeps only k rows per group
+    BEFORE the (o_custkey) shuffle — shuffle volume bounded by
+    k x groups, not by the orders row count."""
+    plan = _plan("b41_topk_per_group", spark, sf_dir)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_histogram_bounds_broadcast_only(spark, sf_dir):
+    """b36: the 1-row min/max bounds attach to the bucketing scan via
+    BroadcastNestedLoopJoin (broadcast of ONE row) — never a cartesian
+    or a shuffled join — and the 20-bucket agg combines map-side."""
+    plan = _plan("b36_histogram", spark, sf_dir)
+    kinds = set(join_kinds(plan))
+    assert kinds == {"BroadcastNestedLoopJoin"}, kinds
+    assert partial_aggregation(plan), plan
+
+
+def test_stratified_sample_prunes_text(spark, sf_dir):
+    """g19: digest sampling reads ONLY (lang, doc_id) from documents —
+    never the text payload. At 100 TB this is the difference between
+    scanning two slim columns and scanning the whole corpus; one
+    (lang) exchange, map-side combined."""
+    plan = _plan("g19_stratified_sample", spark, sf_dir)
+    cols = read_columns(plan, "documents")
+    assert cols == {"lang", "doc_id"}, cols
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert partial_aggregation(plan), plan
+
+
+def test_gapfill_grid_joins_broadcast(spark, sf_dir):
+    """c07/c08: the generated time grid joins back to observations via
+    broadcast only (grid size = buckets x keys, tiny by construction) —
+    no shuffle of the fact side, no cartesian."""
+    for name in ("c07_gapfill", "c08_win_forward_fill"):
+        kinds = set(join_kinds(_plan(name, spark, sf_dir)))
+        assert "CartesianProduct" not in kinds, (name, kinds)
+        assert "SortMergeJoin" not in kinds, (name, kinds)
+
+
+def test_event_funnel_joins_broadcast(spark, sf_dir):
+    """g16: every funnel-stage join rides BroadcastHashJoin (the
+    filtered stage sets are small relative to the raw events scan) —
+    no cartesian, no both-sides shuffle."""
+    kinds = set(join_kinds(_plan("g16_event_funnel", spark, sf_dir)))
+    assert kinds == {"BroadcastHashJoin"}, kinds
