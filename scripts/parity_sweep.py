@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""One-shot oracle-parity sweep at an arbitrary SF dir.
+
+The driver proves correctness at sf0.01 only; tests/test_oracle_parity
+replicates that, and tests/test_cross_sf_parity adds sf0.001 as a
+second, smaller shape. This script covers the remaining direction —
+UP-scale parity (default sf0.1, the bench shape) — where a different
+class of size-dependent assumption can hide: strategy probes flipping
+(bitmap vs token-join), broadcast thresholds, arithmetic overflow,
+oracle SQL whose cost explodes.
+
+Usage:
+    python scripts/parity_sweep.py [sf_dir] [--skip name ...]
+
+Prints one line per query (H tier: ok/FAIL + seconds; R tier: rows +
+seconds) and a final JSON summary line. Heavy-oracle queries can be
+skipped explicitly; every skip is printed so coverage gaps are never
+silent.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_lake_staging_engine_spark.registry import registry  # noqa: E402
+from data_lake_staging_engine_spark.session import (  # noqa: E402
+    fixture_split_bytes,
+    get_spark,
+)
+from data_lake_staging_engine_spark.testing import (  # noqa: E402
+    compare,
+    duck_connection,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--skip", nargs="*", default=[])
+    args = ap.parse_args()
+
+    spark = get_spark(max_partition_bytes=fixture_split_bytes())
+    con = duck_connection(args.sf_dir)
+    reg = registry()
+
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name, rq in reg.items():
+        if name in args.skip:
+            print(f"{name}: SKIPPED (explicit)", flush=True)
+            results[name] = {"status": "skipped"}
+            continue
+        t0 = time.monotonic()
+        try:
+            if rq.oracle is None:
+                n = rq.fn(spark, args.sf_dir).count()
+                dt = time.monotonic() - t0
+                print(f"{name}: rows-only ran, {n} rows  ({dt:.1f}s)", flush=True)
+                results[name] = {"status": "ran", "rows": n, "sec": round(dt, 2)}
+            else:
+                res = compare(name, rq.fn(spark, args.sf_dir), con, rq.oracle)
+                dt = time.monotonic() - t0
+                status = "ok" if res.ok else f"FAIL {res.detail}"
+                print(
+                    f"{name}: {status}, {res.spark_rows} rows  ({dt:.1f}s)",
+                    flush=True,
+                )
+                results[name] = {
+                    "status": "ok" if res.ok else "fail",
+                    "detail": res.detail,
+                    "rows": res.spark_rows,
+                    "sec": round(dt, 2),
+                }
+                if not res.ok:
+                    n_fail += 1
+        except Exception as exc:  # noqa: BLE001 - sweep must report, not die
+            dt = time.monotonic() - t0
+            print(f"{name}: ERROR {type(exc).__name__}: {exc}  ({dt:.1f}s)", flush=True)
+            results[name] = {"status": "error", "detail": str(exc)[:200]}
+            n_fail += 1
+
+    total_sec = sum(r.get("sec", 0) for r in results.values())
+    summary = {
+        "sf_dir": args.sf_dir,
+        "n": len(results),
+        "failures": n_fail,
+        "total_sec": round(total_sec, 1),
+    }
+    print(json.dumps(summary), flush=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
