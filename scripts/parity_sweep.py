@@ -10,12 +10,16 @@ class of size-dependent assumption can hide: strategy probes flipping
 oracle SQL whose cost explodes.
 
 Usage:
-    python scripts/parity_sweep.py [sf_dir] [--skip name ...]
+    python scripts/parity_sweep.py [sf_dir] [--skip name ...] \
+        [--resume-from prior_run.log]
 
 Prints one line per query (H tier: ok/FAIL + seconds; R tier: rows +
 seconds) and a final JSON summary line. Heavy-oracle queries can be
 skipped explicitly; every skip is printed so coverage gaps are never
-silent.
+silent. ``--resume-from`` re-reads a prior (possibly killed) run's
+stdout and skips every query that already produced a result line —
+the recovery path when one oracle stalls (e.g. g26's recursive-CTE
+closure at sf0.1): kill, then resume with the stall added to --skip.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import time
 
@@ -43,7 +48,17 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument("--resume-from", default=None)
     args = ap.parse_args()
+
+    resumed: set[str] = set()
+    if args.resume_from:
+        with open(args.resume_from) as f:
+            for line in f:
+                m = re.match(r"(\w+): (ok|rows-only|FAIL|ERROR)", line)
+                if m:
+                    resumed.add(m.group(1))
+        print(f"resuming: {len(resumed)} queries already done", flush=True)
 
     spark = get_spark(max_partition_bytes=fixture_split_bytes())
     con = duck_connection(args.sf_dir)
@@ -52,6 +67,9 @@ def main() -> int:
     results: dict[str, dict] = {}
     n_fail = 0
     for name, rq in reg.items():
+        if name in resumed:
+            results[name] = {"status": "resumed"}
+            continue
         if name in args.skip:
             print(f"{name}: SKIPPED (explicit)", flush=True)
             results[name] = {"status": "skipped"}
