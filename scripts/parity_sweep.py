@@ -11,7 +11,15 @@ oracle SQL whose cost explodes.
 
 Usage:
     python scripts/parity_sweep.py [sf_dir] [--skip name ...] \
-        [--resume-from prior_run.log]
+        [--resume-from prior_run.log] [--master local[4]] \
+        [--shuffle-partitions 3]
+
+``--master``/``--shuffle-partitions`` build a session with a
+deliberately different parallelism — results must be invariant to the
+partition count (no partition-id dependence, no unordered collect), so
+an odd configuration (local[4], 3 shuffle partitions) is a robustness
+axis of its own. BASELINE.md records a 159/159 clean run at sf0.001
+under exactly that configuration.
 
 Prints one line per query (H tier: ok/FAIL + seconds; R tier: rows +
 seconds) and a final JSON summary line. Heavy-oracle queries can be
@@ -49,6 +57,8 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", default=None)
     args = ap.parse_args()
 
     resumed: set[str] = set()
@@ -60,7 +70,19 @@ def main() -> int:
                     resumed.add(m.group(1))
         print(f"resuming: {len(resumed)} queries already done", flush=True)
 
-    spark = get_spark(max_partition_bytes=fixture_split_bytes())
+    if args.master or args.shuffle_partitions:
+        from pyspark.sql import SparkSession
+
+        from data_lake_staging_engine_spark.session import tune_session
+
+        builder = SparkSession.builder.master(args.master or "local[*]")
+        if args.shuffle_partitions:
+            builder = builder.config(
+                "spark.sql.shuffle.partitions", args.shuffle_partitions
+            )
+        spark = tune_session(builder.getOrCreate())
+    else:
+        spark = get_spark(max_partition_bytes=fixture_split_bytes())
     con = duck_connection(args.sf_dir)
     reg = registry()
 
