@@ -29,10 +29,31 @@ Config rationale (SURVEY.md §4, §5.4):
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _pin_process_utc() -> None:
+    """Pin the PYTHON PROCESS timezone to UTC, not just the session.
+
+    ``spark.sql.session.timeZone`` governs SQL semantics, but pyspark's
+    non-Arrow ``collect()`` renders each TimestampType instant via
+    ``datetime.fromtimestamp`` — the C library's LOCAL time. On a UTC
+    host the two coincide; on any other host every collected timestamp
+    shifts by the host offset while a DuckDB oracle (``SET
+    TimeZone='UTC'``) keeps UTC, so hash comparison fails. Found by a
+    round-7 TZ=Pacific/Kiritimati registry sweep: exactly the 13
+    timestamp-emitting queries failed, every other query held. Pinning
+    at the process level makes collection deterministic wherever the
+    contract wrapper runs; ``tzset`` is POSIX-only, hence the guard
+    (on platforms without it the env var alone still covers newly
+    spawned workers)."""
+    os.environ["TZ"] = "UTC"
+    if hasattr(time, "tzset"):
+        time.tzset()
 
 
 def fixture_split_bytes() -> str:
@@ -63,6 +84,7 @@ def get_spark(
     because the tiny single-file fixtures need far smaller splits to
     parallelize — see that helper's docstring (ADVICE r05: the 8m
     fixture tuning must not leak into library defaults)."""
+    _pin_process_utc()
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
     max_partition_bytes = max_partition_bytes or os.environ.get(
@@ -93,7 +115,13 @@ def tune_session(spark: SparkSession) -> SparkSession:
     maxPartitionBytes is only touched when SPARK_GRAFT_MAX_PARTITION_BYTES
     is explicitly set: an externally-built session (including one from
     ``get_spark(max_partition_bytes=...)``) keeps its own split sizing
-    otherwise (ADVICE r05: no silent clobbering)."""
+    otherwise (ADVICE r05: no silent clobbering).
+
+    Also pins the calling PROCESS's timezone to UTC (see
+    ``_pin_process_utc``): the driver collects query results in its own
+    process, and collection renders timestamps in the process-local
+    zone — session-level UTC alone is not enough on a non-UTC host."""
+    _pin_process_utc()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     settings = [
         ("spark.sql.adaptive.enabled", "true"),
