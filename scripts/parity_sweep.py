@@ -59,6 +59,15 @@ def main() -> int:
     ap.add_argument("--resume-from", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", default=None)
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="KEY=VALUE",
+        help="extra session conf (repeatable) — probe semantic knobs "
+        "like spark.sql.ansi.enabled that a driver-owned session might "
+        "set differently",
+    )
     args = ap.parse_args()
 
     resumed: set[str] = set()
@@ -70,7 +79,7 @@ def main() -> int:
                     resumed.add(m.group(1))
         print(f"resuming: {len(resumed)} queries already done", flush=True)
 
-    if args.master or args.shuffle_partitions:
+    if args.master or args.shuffle_partitions or args.conf:
         from pyspark.sql import SparkSession
 
         from data_lake_staging_engine_spark.session import tune_session
@@ -80,6 +89,9 @@ def main() -> int:
             builder = builder.config(
                 "spark.sql.shuffle.partitions", args.shuffle_partitions
             )
+        for kv in args.conf:
+            key, _, val = kv.partition("=")
+            builder = builder.config(key, val)
         spark = tune_session(builder.getOrCreate())
     else:
         spark = get_spark(max_partition_bytes=fixture_split_bytes())
