@@ -84,7 +84,18 @@ def main() -> int:
 
         from data_lake_staging_engine_spark.session import tune_session
 
-        builder = SparkSession.builder.master(args.master or "local[*]")
+        builder = (
+            SparkSession.builder.master(args.master or "local[*]")
+            # Match get_spark's heap sizing: a 1g-default driver JVM
+            # OOMs on the heavier dedup queries once AQE coalescing is
+            # probed off, which wedges the session and cascades errors
+            # through the rest of the sweep (observed on g28).
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
+            .config("spark.ui.enabled", "false")
+        )
         if args.shuffle_partitions:
             builder = builder.config(
                 "spark.sql.shuffle.partitions", args.shuffle_partitions
@@ -93,6 +104,15 @@ def main() -> int:
             key, _, val = kv.partition("=")
             builder = builder.config(key, val)
         spark = tune_session(builder.getOrCreate())
+        # Re-apply AFTER tune_session so a probed knob tune_session
+        # itself manages (e.g. spark.sql.adaptive.enabled) still wins;
+        # static-only confs already took effect at builder time.
+        for kv in args.conf:
+            key, _, val = kv.partition("=")
+            try:
+                spark.conf.set(key, val)
+            except Exception:
+                pass
     else:
         spark = get_spark(max_partition_bytes=fixture_split_bytes())
     con = duck_connection(args.sf_dir)
