@@ -143,6 +143,9 @@ CHANGED_IN: dict[str, int] = {
     "e12_stream_outer_join": 7,     # cutoff: epoch micros + per-type maxima
                                     # (watermark-pushdown fix, r7)
     "g25_sequence_pack": 7,         # seq_id double-division -> int64 div (r7)
+    "g02b_dedup_lsh": 7,            # band sigs via single posexplode
+                                    # (1 corpus scan, not 1/band — r7)
+    "g02e_dedup_lsh_shingle": 7,    # same banding reshape (r7)
 }
 
 # Convenience view: every query with any first-party driver evidence.

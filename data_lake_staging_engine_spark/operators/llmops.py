@@ -499,20 +499,24 @@ def _minhash_lsh_candidates(
             for i in range(n_hashes)
         ]
     )
-    # band signature = hash of the band's rows
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_rows.append(
-            minhashes.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.xxhash64(*cols).alias("sig"),
-            )
+    # band signature = hash of the band's rows. Emitted as ONE
+    # posexplode over an array of the per-band hashes (pos = band id)
+    # rather than a union of per-band selects: a union re-derives the
+    # minhash aggregate per band, which at plan level means re-scanning
+    # and re-aggregating the corpus ONCE PER BAND (round-7 PLANS.md
+    # audit: 8 documents scans, 11 shuffles for g02b). The array form
+    # computes signatures in the same single projection the aggregate
+    # feeds — one corpus scan, one agg shuffle, identical (band, sig)
+    # values.
+    band_sigs = [
+        F.xxhash64(
+            *[F.col(f"h{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
         )
-    sigs = band_rows[0]
-    for extra in band_rows[1:]:
-        sigs = sigs.unionByName(extra)
+        for b in range(bands)
+    ]
+    sigs = minhashes.select(
+        "doc_id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
+    )
     a, b_ = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(

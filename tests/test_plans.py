@@ -425,3 +425,14 @@ def test_event_funnel_joins_broadcast(spark, sf_dir):
     no cartesian, no both-sides shuffle."""
     kinds = set(join_kinds(_plan("g16_event_funnel", spark, sf_dir)))
     assert kinds == {"BroadcastHashJoin"}, kinds
+
+
+def test_lsh_banding_single_corpus_pass(spark, sf_dir):
+    """g02b: the 4 band signatures must come from ONE posexplode over
+    the minhash aggregate, not a union of per-band selects — the union
+    form re-scans and re-aggregates the whole corpus once per band
+    (round-7 PLANS.md audit caught 8 documents scans / 11 shuffles; at
+    100 TB that multiplies the dominant cost by the band count)."""
+    plan = physical_plan(_REG["g02b_dedup_lsh"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet") <= 2, plan.count("documents.parquet")
+    assert plan.count("hashpartitioning(") <= 5, plan.count("hashpartitioning(")

@@ -35,6 +35,8 @@ CHANGED_BAND = {
     "f08_multimodal_decode",
     "f09_multimodal_framesample",
     "g25_sequence_pack",
+    "g02b_dedup_lsh",
+    "g02e_dedup_lsh_shingle",
 }
 
 # Registered only when google.protobuf is available; never-verified by
