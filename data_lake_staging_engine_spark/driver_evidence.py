@@ -146,6 +146,7 @@ CHANGED_IN: dict[str, int] = {
     "g02b_dedup_lsh": 7,            # band sigs via single posexplode
                                     # (1 corpus scan, not 1/band — r7)
     "g02e_dedup_lsh_shingle": 7,    # same banding reshape (r7)
+    "g02c_dedup_simhash": 7,        # same banding reshape (r7)
 }
 
 # Convenience view: every query with any first-party driver evidence.

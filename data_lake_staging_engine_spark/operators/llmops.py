@@ -589,16 +589,18 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         sum([F.col(f"b{b}") for b in range(64)], F.lit(0).cast("long")).alias("simhash"),
     )
-    bands = None
-    for i in range(4):
-        piece = sim.select(
-            "doc_id",
-            F.lit(i).alias("band"),
-            F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias(
-                "chunk"
-            ),
-        )
-        bands = piece if bands is None else bands.unionByName(piece)
+    # One posexplode over the 4 16-bit chunks (pos = band id) instead of
+    # a union of per-band selects: the union form re-derives the 64-bit
+    # signature aggregate per band, re-scanning and re-aggregating the
+    # corpus 4x (round-7 PLANS.md audit: 8 documents scans, 8 shuffles
+    # — same defect and same fix as g02b's minhash banding).
+    band_chunks = [
+        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
+        for i in range(4)
+    ]
+    bands = sim.select(
+        "doc_id", F.posexplode(F.array(*band_chunks)).alias("band", "chunk")
+    )
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
         a.join(

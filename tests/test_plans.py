@@ -436,3 +436,8 @@ def test_lsh_banding_single_corpus_pass(spark, sf_dir):
     plan = physical_plan(_REG["g02b_dedup_lsh"].fn(spark, sf_dir))
     assert plan.count("documents.parquet") <= 2, plan.count("documents.parquet")
     assert plan.count("hashpartitioning(") <= 5, plan.count("hashpartitioning(")
+    # g02c's simhash banding had the identical union defect (8 scans, 8
+    # shuffles) and takes the identical posexplode fix.
+    plan_c = physical_plan(_REG["g02c_dedup_simhash"].fn(spark, sf_dir))
+    assert plan_c.count("documents.parquet") <= 2, plan_c.count("documents.parquet")
+    assert plan_c.count("hashpartitioning(") <= 2, plan_c.count("hashpartitioning(")

@@ -37,6 +37,7 @@ CHANGED_BAND = {
     "g25_sequence_pack",
     "g02b_dedup_lsh",
     "g02e_dedup_lsh_shingle",
+    "g02c_dedup_simhash",
 }
 
 # Registered only when google.protobuf is available; never-verified by
