@@ -147,6 +147,8 @@ CHANGED_IN: dict[str, int] = {
                                     # (1 corpus scan, not 1/band — r7)
     "g02e_dedup_lsh_shingle": 7,    # same banding reshape (r7)
     "g02c_dedup_simhash": 7,        # same banding reshape (r7)
+    "g03c_simsearch_lsh": 7,        # signature table materialized once
+                                    # (matmul UDF ran 2x before — r7)
 }
 
 # Convenience view: every query with any first-party driver evidence.

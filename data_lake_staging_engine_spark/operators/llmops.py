@@ -813,7 +813,16 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
         lsh_buckets("embedding").alias("buckets"),
     )
-    sigs = v.select("vec_id", F.posexplode("buckets").alias("table", "bucket"))
+    # Materialize the signature table ONCE (eager localCheckpoint — the
+    # g02 bitmap precedent; reliable checkpoint on a real cluster): the
+    # probe expansion and the index join side otherwise each re-run the
+    # whole lineage INCLUDING the Arrow matmul UDF, doubling the
+    # dominant per-vector cost (round-7 PLANS.md audit: 4 embeddings
+    # scans). The materialized table is (vec_id, table, bucket) — 48
+    # small rows per vector, never the embeddings.
+    sigs = v.select(
+        "vec_id", F.posexplode("buckets").alias("table", "bucket")
+    ).localCheckpoint(eager=True)
     # Probe side: each (table, bucket) expands to itself + the 12
     # single-bit flips, so an exact-bucket join reaches Hamming<=1.
     probes = sigs.select(

@@ -38,6 +38,7 @@ CHANGED_BAND = {
     "g02b_dedup_lsh",
     "g02e_dedup_lsh_shingle",
     "g02c_dedup_simhash",
+    "g03c_simsearch_lsh",
 }
 
 # Registered only when google.protobuf is available; never-verified by
