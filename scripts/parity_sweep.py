@@ -57,6 +57,14 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("--skip", nargs="*", default=[])
     ap.add_argument("--resume-from", default=None)
+    ap.add_argument(
+        "--oracle-sf-dir",
+        default=None,
+        help="run DuckDB oracles against this dir instead of sf_dir — "
+        "for the row-order/layout axis, where Spark reads a shuffled "
+        "multi-file copy (scripts/make_shuffled_copy.py) and the oracle "
+        "keeps the original single-file layout (same multiset)",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", default=None)
     ap.add_argument(
@@ -115,7 +123,7 @@ def main() -> int:
                 pass
     else:
         spark = get_spark(max_partition_bytes=fixture_split_bytes())
-    con = duck_connection(args.sf_dir)
+    con = duck_connection(args.oracle_sf_dir or args.sf_dir)
     reg = registry()
 
     results: dict[str, dict] = {}
