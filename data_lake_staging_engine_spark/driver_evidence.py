@@ -149,6 +149,8 @@ CHANGED_IN: dict[str, int] = {
     "g02c_dedup_simhash": 7,        # same banding reshape (r7)
     "g03c_simsearch_lsh": 7,        # signature table materialized once
                                     # (matmul UDF ran 2x before — r7)
+    "e07_stream_late_data": 7,      # rows-only -> hash tier (the emitted
+                                    # (n_batches, n_rows) is deterministic)
 }
 
 # Convenience view: every query with any first-party driver evidence.

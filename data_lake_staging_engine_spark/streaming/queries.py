@@ -297,12 +297,29 @@ def e06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("e07_stream_late_data", oracle=None)  # batch-boundary dependent — rows-only
+@query(
+    "e07_stream_late_data",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    """,
+)
 def e07_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data accounting: multi-batch replay (maxFilesPerTrigger=1
     over 4 files) with a 1-hour watermark; foreachBatch tags rows older
-    than the batch's entry watermark. Which rows count as late depends
-    on nondeterministic file->batch assignment => rows-only tier."""
+    than the batch's entry watermark in a per-batch accounting log.
+
+    WHICH rows get tagged late depends on nondeterministic file->batch
+    assignment — but the tags live only in the side log; the EMITTED
+    result is (n_batches, n_rows), and both are deterministic:
+    maxFilesPerTrigger=1 over the 4-file landing gives exactly 4 data
+    batches (this passthrough plan has no stateful operator, so no
+    trailing no-data batch fires foreachBatch), and row conservation
+    makes n_rows the table count. Probed 4x at two SFs (round 7, stable
+    both), so the query carries a hash oracle — the 4 literal is the
+    landing_copy n_files below. The late-tagging internals stay covered
+    behaviorally in tests/test_streaming_behavior.py."""
     import json
     import os
     import shutil

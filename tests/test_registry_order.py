@@ -39,6 +39,7 @@ CHANGED_BAND = {
     "g02e_dedup_lsh_shingle",
     "g02c_dedup_simhash",
     "g03c_simsearch_lsh",
+    "e07_stream_late_data",
 }
 
 # Registered only when google.protobuf is available; never-verified by
