@@ -338,7 +338,11 @@ def d11_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     the narrower operand and raises on 32-bit shift overflow where
     Spark wraps at the column type, so widening first makes parity
     independent of the fixture value domain (bit_count's TINYINT
-    result is still widened after)."""
+    result is still widened after). The shift additionally requires a
+    NON-NEGATIVE left operand — DuckDB raises OutOfRange on `x << s`
+    for any negative x (even s=0) where Spark wraps two's-complement
+    (found by tests/test_fuzz_parity.py's randomized sweep); ids are
+    non-negative by schema, which is the portable domain."""
     e = load(spark, sf_dir, "events")
     uid = F.col("user_id").cast("long")
     eid = F.col("event_id").cast("long")

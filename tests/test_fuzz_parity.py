@@ -1,0 +1,526 @@
+"""Randomized differential testing: engine semantics vs DuckDB on
+HYPOTHESIS-GENERATED tables (SURVEY.md §5.3 evidence classes; extends
+the fixed-fixture oracle replica with an adversarial-input axis).
+
+The fixed fixtures exercise one data shape per SF; the two real bugs
+round 7 found (the e12 per-type watermark flush, the host-TZ collect
+skew) were both DOMAIN bugs — correct on the benign fixture domain,
+wrong outside it. This suite attacks the shared-semantics layer the
+oracle contract leans on (integer floor bucketing, timestamp
+trunc/extract, string functions, agg/window/join/limit semantics)
+with randomized inputs including the edges the fixtures never hit:
+null group keys, all-null columns, empty tables, pre-1970 and year-9999
+timestamps, negative epochs, tie-heavy orderings, multi-space strings.
+
+Each property builds the SAME table in both engines from one generated
+column set (arrow for DuckDB, a local relation for Spark — no pandas
+round-trip, so int64 nullability and NULL-vs-NaN survive), runs the
+paired engine expression / oracle SQL, and compares with the strict
+driver-replica `compare()` (multiset of canonicalized rows).
+
+Runtime budget: ~25 examples x 7 Spark-bound properties ~= 60-90 s on
+the session fixture. Domains are chosen to be DEFINED-BEHAVIOR on both
+engines (e.g. shift widths bounded, sums bounded away from int64
+overflow, timestamps inside year [1000, 9999]); a failure here is a
+real semantics divergence, not an overflow artifact.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_lake_staging_engine_spark.testing import compare
+
+# Timestamp-representable micros domain (year 1000..9999): keeps every
+# generated instant inside datetime/pyarrow/Spark/DuckDB common range
+# while still covering ~970 years of NEGATIVE epochs.
+_TS_MIN_US = -30_610_224_000 * 1_000_000  # 1000-01-01
+_TS_MAX_US = 253_402_300_799 * 1_000_000  # 9999-12-31 23:59:59
+
+# Hypothesis defaults for Spark-bound properties: each example runs two
+# local-relation Spark jobs, so cap examples and disable the deadline
+# (first-example codegen warmup would trip it).
+_FUZZ = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@pytest.fixture(scope="module")
+def fuzz_duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    yield con
+    con.close()
+
+
+def _both_tables(spark, con, columns):
+    """Materialize one generated column set as BOTH engines' table ``t``.
+
+    ``columns`` = list of (name, pa_type, spark_type, values). DuckDB
+    gets an arrow registration; Spark gets a local relation with an
+    explicit nullable schema. Row count is taken from the first column.
+    """
+    arrow = pa.table({c: pa.array(v, type=t) for c, t, _st, v in columns})
+    try:
+        con.unregister("t")
+    except Exception:
+        pass
+    con.register("t", arrow)
+    schema = T.StructType(
+        [T.StructField(c, s_type, True) for c, _t, s_type, _v in columns]
+    )
+    n = len(columns[0][3])
+    rows = [tuple(col[3][i] for col in columns) for i in range(n)]
+    return spark.createDataFrame(rows, schema)
+
+
+def _check(name, spark_df, con, sql):
+    res = compare(name, spark_df, con, sql)
+    assert res.ok, f"{res.detail} mismatches={res.mismatches}"
+
+
+# --------------------------------------------------------------------------
+# 1. Integer floor bucketing (the c10/e02 bug class) + bitwise pack
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    micros=st.lists(
+        st.one_of(st.none(), st.integers(_TS_MIN_US, _TS_MAX_US)),
+        min_size=0,
+        max_size=30,
+    ),
+    bucket=st.sampled_from([1_000_000, 60_000_000, 300_000_000, 3_600_000_000]),
+)
+def test_fuzz_epoch_floor_bucketing(spark, fuzz_duck, micros, bucket):
+    """The engine's (m - pmod(m,B)) div B floor must equal the oracle's
+    trunc-minus-carry (m // B with the negative-remainder CASE) for ANY
+    representable epoch, positive or negative — the exact pairing every
+    time-bucketing query (c10, e02, g25, a06) is built on."""
+    ids = list(range(len(micros)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("m", pa.int64(), T.LongType(), micros),
+        ],
+    )
+    out = df.select(
+        "id", F.expr(f"(m - pmod(m, {bucket}L)) div {bucket}L").alias("b")
+    )
+    _check(
+        "epoch_floor",
+        out,
+        fuzz_duck,
+        f"""
+        SELECT id, m // {bucket}
+                   - CASE WHEN m % {bucket} < 0 THEN 1 ELSE 0 END AS b
+        FROM t
+        """,
+    )
+
+
+@_FUZZ
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**31), 2**31)),
+            st.one_of(st.none(), st.integers(-(2**31), 2**31)),
+            st.integers(0, 30),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_bitwise_pack(spark, fuzz_duck, vals):
+    """d11-class bitwise semantics on randomized int64 operands
+    (domain bounded so shifts can't overflow): &, |, xor, ~, <<.
+
+    FUZZ FINDING (this suite's first catch): `<<` has NO cross-engine
+    parity on negative LHS — DuckDB raises OutOfRange ("Cannot
+    left-shift negative number") even for shift 0, Spark's shiftleft
+    wraps two's-complement. The shift column therefore runs on abs(a):
+    d11's contract domain (ids >= 0) is exactly the domain where the
+    operator IS portable, now documented in d11's docstring."""
+    ids = list(range(len(vals)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("a", pa.int64(), T.LongType(), [v[0] for v in vals]),
+            ("b", pa.int64(), T.LongType(), [v[1] for v in vals]),
+            ("s", pa.int64(), T.LongType(), [v[2] for v in vals]),
+        ],
+    )
+    out = df.select(
+        "id",
+        F.expr("a & b").alias("band"),
+        F.expr("a | b").alias("bor"),
+        F.expr("a ^ b").alias("bxor"),
+        F.expr("~a").alias("bnot"),
+        F.expr("shiftleft(abs(a), cast(s as int))").alias("shl"),
+    )
+    _check(
+        "bitwise",
+        out,
+        fuzz_duck,
+        """
+        SELECT id, a & b AS band, a | b AS bor, xor(a, b) AS bxor,
+               ~a AS bnot, abs(a) << s AS shl
+        FROM t
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Timestamp trunc / extract
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    micros=st.lists(
+        st.one_of(st.none(), st.integers(_TS_MIN_US, _TS_MAX_US)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_timestamp_trunc_extract(spark, fuzz_duck, micros):
+    """date_trunc day/hour + year/month/day/hour/minute/second parity on
+    arbitrary micros (both engines proleptic Gregorian, UTC-pinned).
+    Micros enter as int64 and convert INSIDE each engine
+    (timestamp_micros / make_timestamp), so no client datetime layer
+    can mask a divergence."""
+    ids = list(range(len(micros)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("m", pa.int64(), T.LongType(), micros),
+        ],
+    )
+    ts = F.timestamp_micros(F.col("m"))
+    out = df.select(
+        "id",
+        F.date_trunc("day", ts).alias("t_day"),
+        F.date_trunc("hour", ts).alias("t_hour"),
+        F.year(ts).cast("long").alias("y"),
+        F.month(ts).cast("long").alias("mo"),
+        F.dayofmonth(ts).cast("long").alias("d"),
+        F.hour(ts).cast("long").alias("h"),
+        F.minute(ts).cast("long").alias("mi"),
+        F.second(ts).cast("long").alias("s"),
+        F.unix_micros(ts).alias("back"),
+    )
+    _check(
+        "ts_trunc_extract",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               CAST(date_trunc('day', make_timestamp(m)) AS TIMESTAMP) AS t_day,
+               CAST(date_trunc('hour', make_timestamp(m)) AS TIMESTAMP) AS t_hour,
+               CAST(year(make_timestamp(m)) AS BIGINT) AS y,
+               CAST(month(make_timestamp(m)) AS BIGINT) AS mo,
+               CAST(day(make_timestamp(m)) AS BIGINT) AS d,
+               CAST(hour(make_timestamp(m)) AS BIGINT) AS h,
+               CAST(minute(make_timestamp(m)) AS BIGINT) AS mi,
+               CAST(CAST(extract(second FROM make_timestamp(m)) AS BIGINT)
+                    AS BIGINT) AS s,
+               epoch_us(make_timestamp(m)) AS back
+        FROM t
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. String pack
+# --------------------------------------------------------------------------
+
+# Safe fuzz alphabet: ASCII word chars, punctuation the d-pack uses,
+# spaces (incl. runs), and 1:1-case-mapping accented latin. Excluded by
+# design: ß/İ-class chars whose case mapping is locale/width-dependent —
+# the engine's text contract is documented as simple-case-mapping text.
+_STR_ALPHABET = "abcdefgh XY Z0189_-.,!éñüö"
+
+
+@_FUZZ
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet=_STR_ALPHABET, max_size=40)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_string_pack(spark, fuzz_duck, texts):
+    """d01-class string semantics on randomized text: lower/upper/trim/
+    length/substr/instr-class behavior must agree, including empty
+    strings, all-space strings, and multibyte (code-point) lengths."""
+    ids = list(range(len(texts)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("s", pa.string(), T.StringType(), texts),
+        ],
+    )
+    out = df.select(
+        "id",
+        F.lower("s").alias("lo"),
+        F.upper("s").alias("up"),
+        F.trim(F.col("s")).alias("tr"),
+        F.length("s").cast("long").alias("n"),
+        F.substring("s", 2, 5).alias("sub"),
+        F.expr("replace(s, ' ', '_')").alias("rep"),
+        F.reverse("s").alias("rev"),
+    )
+    _check(
+        "string_pack",
+        out,
+        fuzz_duck,
+        """
+        SELECT id, lower(s) AS lo, upper(s) AS up, trim(s) AS tr,
+               CAST(length(s) AS BIGINT) AS n,
+               substr(s, 2, 5) AS sub,
+               replace(s, ' ', '_') AS rep,
+               reverse(s) AS rev
+        FROM t
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. Aggregation semantics (null keys, null values, empty input)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(0, 4)),
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_fuzz_group_aggs(spark, fuzz_duck, rows):
+    """groupBy with NULL group keys and NULL values: count(*) vs
+    count(v) vs count(distinct v), min/max/sum — the exact null
+    semantics every b2x aggregate's oracle assumes."""
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("k", pa.int64(), T.LongType(), [r[0] for r in rows]),
+            ("v", pa.int64(), T.LongType(), [r[1] for r in rows]),
+        ],
+    )
+    out = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("v").alias("n_v"),
+        F.countDistinct("v").alias("n_distinct"),
+        F.min("v").alias("v_min"),
+        F.max("v").alias("v_max"),
+        F.sum("v").alias("v_sum"),
+    )
+    _check(
+        "group_aggs",
+        out,
+        fuzz_duck,
+        """
+        SELECT k, COUNT(*) AS n_rows, COUNT(v) AS n_v,
+               COUNT(DISTINCT v) AS n_distinct,
+               MIN(v) AS v_min, MAX(v) AS v_max, SUM(v) AS v_sum
+        FROM t GROUP BY k
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. Window frames on tie-heavy orderings
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                       # partition key
+            st.integers(-5, 5),                      # tie-heavy order value
+            st.one_of(st.none(), st.integers(-(2**40), 2**40)),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_fuzz_window_frames(spark, fuzz_duck, rows):
+    """Running/moving ROWS frames, lag, rank on a TIE-HEAVY order column
+    with the engine's mandatory unique tie-break appended — parity must
+    hold for every generated tie pattern (the b4x/c0x window contract)."""
+    from pyspark.sql import Window
+
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("k", pa.int64(), T.LongType(), [r[0] for r in rows]),
+            ("o", pa.int64(), T.LongType(), [r[1] for r in rows]),
+            ("v", pa.int64(), T.LongType(), [r[2] for r in rows]),
+        ],
+    )
+    w = Window.partitionBy("k").orderBy("o", "id")
+    out = df.select(
+        "id",
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run"),
+        F.sum("v").over(w.rowsBetween(-2, 0)).alias("mov3"),
+        F.lag("v").over(w).alias("prev"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+    _check(
+        "window_frames",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               SUM(v) OVER (PARTITION BY k ORDER BY o, id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS run,
+               SUM(v) OVER (PARTITION BY k ORDER BY o, id
+                            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3,
+               lag(v) OVER (PARTITION BY k ORDER BY o, id) AS prev,
+               CAST(rank() OVER (PARTITION BY k ORDER BY o, id) AS BIGINT) AS rk,
+               CAST(row_number() OVER (PARTITION BY k ORDER BY o, id) AS BIGINT)
+                 AS rn
+        FROM t
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Join semantics (null keys never match; left-outer null padding)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    left=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.integers(0, 100)),
+        min_size=0,
+        max_size=25,
+    ),
+    right=st.lists(
+        st.tuples(st.one_of(st.none(), st.integers(0, 5)), st.integers(0, 100)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_fuzz_join_null_keys(spark, fuzz_duck, left, right):
+    """Inner + left joins with NULL keys on both sides: null never
+    matches null, left rows null-pad — with duplicate keys multiplying
+    rows identically on both engines (the b1x join contract)."""
+    lids = list(range(len(left)))
+    rids = list(range(len(right)))
+    arrow_l = pa.table(
+        {
+            "lid": pa.array(lids, type=pa.int64()),
+            "k": pa.array([r[0] for r in left], type=pa.int64()),
+            "a": pa.array([r[1] for r in left], type=pa.int64()),
+        }
+    )
+    arrow_r = pa.table(
+        {
+            "rid": pa.array(rids, type=pa.int64()),
+            "k": pa.array([r[0] for r in right], type=pa.int64()),
+            "b": pa.array([r[1] for r in right], type=pa.int64()),
+        }
+    )
+    for name, tbl in (("tl", arrow_l), ("tr", arrow_r)):
+        try:
+            fuzz_duck.unregister(name)
+        except Exception:
+            pass
+        fuzz_duck.register(name, tbl)
+    schema_l = T.StructType(
+        [
+            T.StructField("lid", T.LongType(), True),
+            T.StructField("k", T.LongType(), True),
+            T.StructField("a", T.LongType(), True),
+        ]
+    )
+    schema_r = T.StructType(
+        [
+            T.StructField("rid", T.LongType(), True),
+            T.StructField("k", T.LongType(), True),
+            T.StructField("b", T.LongType(), True),
+        ]
+    )
+    ldf = spark.createDataFrame(
+        [(lids[i], left[i][0], left[i][1]) for i in range(len(left))], schema_l
+    )
+    rdf = spark.createDataFrame(
+        [(rids[i], right[i][0], right[i][1]) for i in range(len(right))], schema_r
+    )
+    out = ldf.join(rdf, "k", "left").select(
+        "lid", F.col("rid"), F.col("a"), F.col("b")
+    )
+    _check(
+        "join_null_keys",
+        out,
+        fuzz_duck,
+        """
+        SELECT tl.lid, tr.rid, tl.a, tr.b
+        FROM tl LEFT JOIN tr ON tl.k = tr.k
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. Top-k with total tie-break (LIMIT determinism)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-3, 3), st.one_of(st.none(), st.integers(-10, 10))),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_fuzz_topk_tiebreak(spark, fuzz_duck, rows):
+    """ORDER BY v DESC NULLS LAST, id LIMIT 5 — the engine's b40-class
+    total-tie-break discipline must select the IDENTICAL row set on any
+    tie/null pattern (this is what made the shuffled-layout sweep pass)."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("g", pa.int64(), T.LongType(), [r[0] for r in rows]),
+            ("v", pa.int64(), T.LongType(), [r[1] for r in rows]),
+        ],
+    )
+    out = df.orderBy(F.col("v").desc_nulls_last(), F.col("id").asc()).limit(5)
+    _check(
+        "topk_tiebreak",
+        out,
+        fuzz_duck,
+        """
+        SELECT id, g, v FROM t
+        ORDER BY v DESC NULLS LAST, id
+        LIMIT 5
+        """,
+    )
