@@ -151,6 +151,9 @@ CHANGED_IN: dict[str, int] = {
                                     # (matmul UDF ran 2x before — r7)
     "e07_stream_late_data": 7,      # rows-only -> hash tier (the emitted
                                     # (n_batches, n_rows) is deterministic)
+    "g26_dedup_clusters": 7,        # delta-iteration frontier propagate
+                                    # (same fixpoint; execution path new — r7)
+    "g28_semantic_dedup": 7,        # same components helper (r7)
 }
 
 # Convenience view: every query with any first-party driver evidence.

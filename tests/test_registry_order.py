@@ -40,6 +40,8 @@ CHANGED_BAND = {
     "g02c_dedup_simhash",
     "g03c_simsearch_lsh",
     "e07_stream_late_data",
+    "g26_dedup_clusters",
+    "g28_semantic_dedup",
 }
 
 # Registered only when google.protobuf is available; never-verified by
