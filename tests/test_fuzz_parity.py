@@ -488,7 +488,126 @@ def test_fuzz_join_null_keys(spark, fuzz_duck, left, right):
 
 
 # --------------------------------------------------------------------------
-# 7. Top-k with total tie-break (LIMIT determinism)
+# 7. Regex pack (the constructs the d01/g05/g14/g24 oracles lean on)
+# --------------------------------------------------------------------------
+
+_REGEX_ALPHABET = "abc XYZ 0189 _-.,!@#"
+
+
+@_FUZZ
+@given(
+    texts=st.lists(
+        st.one_of(st.none(), st.text(alphabet=_REGEX_ALPHABET, max_size=40)),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_regex_pack(spark, fuzz_duck, texts):
+    """Java regex (Spark) vs RE2-style (DuckDB) parity on exactly the
+    construct set the committed oracles use — char classes, negated
+    classes, alternation, `+` quantifiers, capture-group extract, and
+    global replace — including NO-MATCH inputs the fixtures never
+    produce (both engines must return '' from a group extract with no
+    match, and pass text through an all-miss replace unchanged)."""
+    ids = list(range(len(texts)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("s", pa.string(), T.StringType(), texts),
+        ],
+    )
+    out = df.select(
+        "id",
+        F.size(F.regexp_extract_all("s", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("long")
+        .alias("n_toks"),
+        F.regexp_extract("s", "([a-z]+)", 1).alias("first_word"),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("s"), "[^a-z0-9 ]", ""), " +", " "
+            )
+        ).alias("clean"),
+        F.regexp_replace("s", " ", "_").alias("snake"),
+    )
+    _check(
+        "regex_pack",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               CAST(len(regexp_extract_all(s, '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+                    AS BIGINT) AS n_toks,
+               regexp_extract(s, '([a-z]+)', 1) AS first_word,
+               trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS clean,
+               regexp_replace(s, ' ', '_', 'g') AS snake
+        FROM t
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. Array higher-order functions (the d05 pairing, randomized)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    arrays=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(st.integers(-(2**30), 2**30), min_size=0, max_size=12),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fuzz_array_hof(spark, fuzz_duck, arrays):
+    """transform / filter / aggregate-fold / size / element access on
+    randomized int arrays incl. EMPTY and NULL arrays (size/first/fold
+    of both must null out identically — fixtures only carry fixed-width
+    non-null vectors)."""
+    ids = list(range(len(arrays)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("arr", pa.list_(pa.int64()), T.ArrayType(T.LongType()), arrays),
+        ],
+    )
+    fold = F.aggregate(
+        F.transform("arr", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    out = df.select(
+        "id",
+        F.size("arr").cast("long").alias("dim"),
+        F.col("arr").getItem(0).alias("first_elem"),
+        fold.alias("sq_sum"),
+        F.size(F.filter("arr", lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.array_max("arr").alias("mx"),
+    )
+    _check(
+        "array_hof",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               CAST(len(arr) AS BIGINT) AS dim,
+               arr[1] AS first_elem,
+               list_aggregate(list_transform(arr, x -> x * x), 'sum') AS sq_sum,
+               CAST(len(list_filter(arr, x -> x > 0)) AS BIGINT) AS n_pos,
+               list_max(arr) AS mx
+        FROM t
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 9. Top-k with total tie-break (LIMIT determinism)
 # --------------------------------------------------------------------------
 
 @_FUZZ
