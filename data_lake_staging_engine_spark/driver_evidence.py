@@ -18,6 +18,11 @@ History of the window rotation:
   slots on the stalest r02-era prefix (a01..b24; a14/b23 rows-only by
   design).  0 failures.  Every registered query now has driver
   evidence.
+- r07 led with the 13-member changed-since-verified band (d11 e02 e07
+  e12 f08 f09 g02b g02c g02e g03c g25 g26 g28 — all proven on current
+  text: 45 of the 50 rows hash-green, 5 R-tier rows-only ran) and
+  re-proved the b25..b34 r02 tail plus the stalest r03 entries
+  (c01-c08, d01-d09, most of the e-family, f01).  0 failures.
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -26,49 +31,30 @@ first-party row (hash-green, or rows-only-ran for R-tier).
 MATERIALLY in a given round (ADVICE r06): when ``CHANGED_IN[name] >
 LAST_VERIFIED[name]`` the recorded evidence no longer describes the
 current text, so the query re-enters the window AHEAD of every
-untouched entry.  Current members:
+untouched entry.  Current members (all round-8 edits):
 
-- ``e02_stream_sliding`` — oracle floor-corrected r6 (commits
-  d25a507/4adc735) after its r3 green.
-- ``d11_fn_bitwise`` — operands cast to BIGINT before bit ops r6
-  (scalar_packs.py) after its r5 green.
-- ``f08_multimodal_decode`` / ``f09_multimodal_framesample`` —
-  rewritten from rows-only stubs to hash-tier with new output schemas
-  r6 (udfs.py) after their r5 rows-only runs.
-- ``e12_stream_outer_join`` — cutoff literal re-derived as epoch
-  micros r7 (ADVICE r06 timezone-explicitness) after its r6 green.
+- ``a27_scan_text`` — tab-split projection moved from ``.getItem`` to
+  ``F.get`` (ANSI empty-split hardening, VERDICT r07 #2).
+- ``d05_fn_array`` — first-element access moved to ``F.get`` (same
+  ANSI hardening class).
+- ``g26_dedup_clusters`` / ``g28_semantic_dedup`` — the components
+  delta-iteration no longer checkpoints the frontier and releases
+  superseded per-round checkpoints (ADVICE r07; same fixpoint, new
+  execution path).
 
 After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
 tests/test_registry_order.py.  Source of truth:
-CORRECTNESS_r0{1,2,3,5,6}.json, re-read 2026-08-14.
+CORRECTNESS_r0{1,2,3,5,6,7}.json, re-read 2026-08-14.
 """
 
 from __future__ import annotations
 
 # fmt: off
-_R02 = (
-    # r02-era tail: the 10 names the r06 window did not reach (the
-    # r01/r02 windows proved the full a01..b34 prefix; r06 re-proved
-    # a01..b24, leaving these at round-2 evidence).
-    "b25_agg_cube", "b26_agg_grouping_sets", "b27_agg_stats",
-    "b28_agg_percentile", "b29_agg_collect_sorted", "b30_agg_minmax_by",
-    "b31_agg_salted_skew", "b32_pivot", "b33_unpivot",
-    "b34_sample_systematic",
-)
 _R03 = (
-    # CORRECTNESS_r03.json greens (49; d10 hash-failed there and is
-    # carried under its r05 green retry below)
-    "c01_win_ranking", "c02_win_lag_lead", "c03_win_running_sum",
-    "c04_win_moving_rows", "c05_win_range_interval",
-    "c06_win_first_last", "c07_gapfill", "c08_win_forward_fill",
-    "d01_fn_string", "d02_fn_date", "d03_fn_math", "d04_fn_cond",
-    "d05_fn_array", "d06_fn_explode", "d07_fn_json", "d08_fn_struct",
-    "d09_fn_variant", "e01_stream_tumbling", "e02_stream_sliding",
-    "e03_stream_session", "e04_stream_watermark", "e05_stream_dedup",
-    "e06_stream_stateful", "e08_stream_stream_join",
-    "e09_stream_static_join", "e10_batch_twin",
-    "e11_stream_dedup_then_window", "f01_udf_python",
+    # CORRECTNESS_r03.json greens not re-proven since: the pandas-UDF
+    # family and the oldest text/sim entries — the stalest evidence in
+    # the registry, so they lead the r08 window (VERDICT r07 #2).
     "f02_pandas_udf_scalar", "f03_pandas_udf_grouped_agg",
     "f04_apply_in_pandas", "f05_map_in_pandas", "f06_udtf",
     "f07_arrow_udf", "f10_cogroup_in_pandas", "g01_dedup_exact",
@@ -79,29 +65,25 @@ _R03 = (
     "g08c_text_langid",
 )
 _R05 = (
-    # CORRECTNESS_r05.json — 40 hash-green + 10 R-tier rows-only ran
+    # CORRECTNESS_r05.json greens not re-proven since.
     "a23_schema_widening", "a24_sink_orc", "a25_scan_xml",
     "a26_scan_binaryfile", "a27_scan_text", "b35_join_salted_skew",
     "b36_histogram", "b37_null_ordering", "b38_sql_cte_chain",
     "b40_sort_limit_topk", "b41_topk_per_group", "b42_group_by_all",
     "b50_union_all", "b51_intersect", "b52_except",
-    "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
-    "b56_join_lateral", "d10_fn_decimal_interval", "d11_fn_bitwise",
-    "e07_stream_late_data", "f08_multimodal_decode",
-    "f09_multimodal_framesample", "g02b_dedup_lsh", "g02c_dedup_simhash",
-    "g02e_dedup_lsh_shingle", "g03c_simsearch_lsh", "g03e_simsearch_ivf",
+    "b53_subquery_scalar", "b54_subquery_in",
+    "b55_subquery_corr_exists", "b56_join_lateral",
+    "d10_fn_decimal_interval", "g03e_simsearch_ivf",
     "g08d_text_fingerprint", "g09_multimodal_record",
     "g10_embed_join_docs", "g11_events_user_join", "g12_contamination",
     "g13_kmeans_iterations", "g14_text_clean", "g15_vocab_prune",
     "g16_event_funnel", "g17_text_bigrams", "g18_embed_quantize",
     "g19_stratified_sample", "g20_unigram_logprob",
     "g21_dedup_agreement", "g22_corpus_split", "g23_text_repetition",
-    "g24_pii_scrub", "g25_sequence_pack", "g26_dedup_clusters",
-    "g27_corpus_mixture", "g28_semantic_dedup",
+    "g24_pii_scrub", "g27_corpus_mixture",
 )
 _R06 = (
-    # CORRECTNESS_r06.json — 48 hash-green + a14/b23 rows-only ran:
-    # the 10 formerly-never-verified entries + the a01..b24 re-sweep
+    # CORRECTNESS_r06.json greens not re-proven since (e12 moved to r07).
     "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
     "a04_normalize_columns", "a05_apply_schema_cast",
     "a06_partition_derive", "a07_dedup_keep_latest",
@@ -119,16 +101,39 @@ _R06 = (
     "b18_join_asof", "b19_join_cross", "b20_agg_groupby",
     "b21_agg_having", "b22_agg_countdistinct", "b23_agg_approx_cd",
     "b24_agg_rollup", "c09_win_nth_trailing", "c10_win_sessionize",
-    "d12_fn_trig", "d13_fn_url", "e12_stream_outer_join",
-    "g29_quality_gate", "g30_dedup_incremental", "g31_dedup_segments",
+    "d12_fn_trig", "d13_fn_url", "g29_quality_gate",
+    "g30_dedup_incremental", "g31_dedup_segments",
+)
+_R07 = (
+    # CORRECTNESS_r07.json — 45 hash-green + 5 R-tier rows-only ran
+    # (g02b g02c g02e g03c g28, oracle=None by design); 0 failures.
+    "b25_agg_cube", "b26_agg_grouping_sets", "b27_agg_stats",
+    "b28_agg_percentile", "b29_agg_collect_sorted", "b30_agg_minmax_by",
+    "b31_agg_salted_skew", "b32_pivot", "b33_unpivot",
+    "b34_sample_systematic", "c01_win_ranking", "c02_win_lag_lead",
+    "c03_win_running_sum", "c04_win_moving_rows",
+    "c05_win_range_interval", "c06_win_first_last", "c07_gapfill",
+    "c08_win_forward_fill", "d01_fn_string", "d02_fn_date",
+    "d03_fn_math", "d04_fn_cond", "d05_fn_array", "d06_fn_explode",
+    "d07_fn_json", "d08_fn_struct", "d09_fn_variant", "d11_fn_bitwise",
+    "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
+    "e04_stream_watermark", "e05_stream_dedup", "e06_stream_stateful",
+    "e07_stream_late_data", "e08_stream_stream_join",
+    "e09_stream_static_join", "e10_batch_twin",
+    "e11_stream_dedup_then_window", "e12_stream_outer_join",
+    "f01_udf_python", "f08_multimodal_decode",
+    "f09_multimodal_framesample", "g02b_dedup_lsh",
+    "g02c_dedup_simhash", "g02e_dedup_lsh_shingle",
+    "g03c_simsearch_lsh", "g25_sequence_pack", "g26_dedup_clusters",
+    "g28_semantic_dedup",
 )
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
-    **{name: 2 for name in _R02},
     **{name: 3 for name in _R03},
     **{name: 5 for name in _R05},
     **{name: 6 for name in _R06},
+    **{name: 7 for name in _R07},
 }
 
 # Queries whose Spark code or oracle text materially changed in the
@@ -136,24 +141,12 @@ LAST_VERIFIED: dict[str, int] = {
 # evidence predates the current text => band 0 (ADVICE r06).  Drop an
 # entry once a later CORRECTNESS round re-proves the query.
 CHANGED_IN: dict[str, int] = {
-    "e02_stream_sliding": 6,        # oracle floor fix (d25a507/4adc735)
-    "d11_fn_bitwise": 6,            # BIGINT cast before bit ops
-    "f08_multimodal_decode": 6,     # rows-only stub -> hash-tier oracle
-    "f09_multimodal_framesample": 6,  # rows-only stub -> hash-tier oracle
-    "e12_stream_outer_join": 7,     # cutoff: epoch micros + per-type maxima
-                                    # (watermark-pushdown fix, r7)
-    "g25_sequence_pack": 7,         # seq_id double-division -> int64 div (r7)
-    "g02b_dedup_lsh": 7,            # band sigs via single posexplode
-                                    # (1 corpus scan, not 1/band — r7)
-    "g02e_dedup_lsh_shingle": 7,    # same banding reshape (r7)
-    "g02c_dedup_simhash": 7,        # same banding reshape (r7)
-    "g03c_simsearch_lsh": 7,        # signature table materialized once
-                                    # (matmul UDF ran 2x before — r7)
-    "e07_stream_late_data": 7,      # rows-only -> hash tier (the emitted
-                                    # (n_batches, n_rows) is deterministic)
-    "g26_dedup_clusters": 7,        # delta-iteration frontier propagate
-                                    # (same fixpoint; execution path new — r7)
-    "g28_semantic_dedup": 7,        # same components helper (r7)
+    "a27_scan_text": 8,        # .getItem -> F.get on the tab split (ANSI
+                               # empty-split hardening, VERDICT r07 #2)
+    "d05_fn_array": 8,         # .getItem(0) -> F.get on first_elem
+    "g26_dedup_clusters": 8,   # frontier no longer checkpointed; superseded
+                               # round checkpoints released (ADVICE r07)
+    "g28_semantic_dedup": 8,   # same components helper
 }
 
 # Convenience view: every query with any first-party driver evidence.
@@ -172,11 +165,12 @@ def sweep_rank(name: str, has_oracle: bool) -> tuple[int, int, str]:
     Band 0: evidence does not describe the current text — either never
             driver-verified (none today; r06 closed that backlog) or
             changed-since-verified (``CHANGED_IN`` newer than
-            ``LAST_VERIFIED``: e02 d11 f08 f09).  Alphabetical.
+            ``LAST_VERIFIED``: the round-8 edits a27 d05 g26 g28).
+            Alphabetical.
     Band 1: verified on current text — ordered by last-verified round
-            ASCENDING (stalest evidence first), then name.  The
-            b25..b34 r02-era tail re-enters ahead of the r03 mass,
-            which precedes r05/r06 greens.
+            ASCENDING (stalest evidence first), then name.  The r03
+            pandas-UDF/text tail re-enters ahead of the r05 mass,
+            which precedes r06/r07 greens.
     ``has_oracle`` kept in the signature for call-site stability; both
     bands order hash tier and rows-only alike.
     """

@@ -175,7 +175,10 @@ def d05_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         as_long(F.size("embedding")).alias("dim"),
-        F.col("embedding").getItem(0).cast("double").alias("first_elem"),
+        # F.get NULLs on an empty array where .getItem(0) would throw
+        # under ANSI; embeddings are fixed 64-wide today, but the scalar
+        # pack should not depend on that.
+        F.get("embedding", 0).cast("double").alias("first_elem"),
         duck_round(sq, 6).alias("sq_norm"),
         as_long(F.size(F.filter("embedding", lambda x: x > 0))).alias("n_pos"),
     )

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from data_lake_staging_engine_spark.functions.determinism import as_long, dec_sum, duck_round
 from data_lake_staging_engine_spark.registry import query
+from data_lake_staging_engine_spark.session import release_local_checkpoint
 from data_lake_staging_engine_spark.sources import load
 
 
@@ -2239,6 +2240,7 @@ def _min_label_components_rounds(
             .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
+        prev_ckpt = labels  # superseded checkpoints are released per round
         # Delta-iteration frontier. Round 1's frontier is the WHOLE
         # label table (every label just initialized = changed), which is
         # itself usually tiny next to the edge list — one (node, label)
@@ -2287,13 +2289,21 @@ def _min_label_components_rounds(
                 )
                 .localCheckpoint(eager=True)
             )
+            # The frontier is NOT checkpointed: it is a one-filter
+            # derivation of the just-checkpointed new_labels, so its
+            # plan is already flat and a second checkpoint would only
+            # double the blocks held per round (ADVICE r07).
             frontier = (
                 new_labels.filter(F.col("label") != F.col("olabel"))
                 .select("node", "label")
-                .localCheckpoint(eager=True)
             )
             frontier_size = frontier.count()
             labels = new_labels.select("node", "label")
+            # The previous round's checkpoint can never be read again
+            # (every live frame derives from new_labels) — release its
+            # storage now instead of holding max_rounds' worth.
+            release_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
             if frontier_size == 0:
                 return labels, rounds
         raise RuntimeError(

@@ -489,6 +489,13 @@ def b25_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b26_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portability note (round-8 fuzz finding): on EMPTY input Spark's
+    grouping-sets expansion emits ZERO rows for every set — including
+    the pure () set, where ANSI/DuckDB emit one global row. Parity
+    holds on any non-empty relation (randomized NULL-key coverage in
+    tests/test_fuzz_parity.py::test_fuzz_grouping_sets_nulls; the
+    divergence itself is pinned by
+    test_grouping_sets_empty_input_divergence)."""
     register_views(spark, sf_dir, "documents")
     return spark.sql(
         """

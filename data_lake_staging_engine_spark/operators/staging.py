@@ -968,9 +968,13 @@ def a27_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(out)
     )
     parts = F.split(F.col("value"), "\t", 2)
+    # F.get, not .getItem: a landing line with no tab yields a 1-element
+    # split, and ANSI mode would THROW on index 1 instead of NULLing —
+    # the a14 philosophy (bad records happen) applies at every text
+    # ingest site.
     return spark.read.text(out).select(
-        parts.getItem(0).cast("long").alias("doc_id"),
-        parts.getItem(1).alias("text"),
+        F.get(parts, 0).cast("long").alias("doc_id"),
+        F.get(parts, 1).alias("text"),
     )
 
 

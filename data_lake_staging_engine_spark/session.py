@@ -138,3 +138,26 @@ def tune_session(spark: SparkSession) -> SparkSession:
         except Exception:
             pass  # static-only conf on some builds
     return spark
+
+
+def release_local_checkpoint(df) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint``-ed
+    DataFrame once nothing will read it again.
+
+    ``Dataset.unpersist()`` is a NO-OP for checkpoints — they never
+    register with the CacheManager — so iterative operators that
+    checkpoint per round (g26/g28 components, g13 k-means) would
+    otherwise hold every superseded round's blocks until session end
+    (ADVICE r07). The checkpointed RDD lives inside the analyzed plan's
+    ``LogicalRDD``; unpersisting THAT rdd releases the blocks (verified
+    against ``sc.getRDDStorageInfo`` on pyspark 4.1.2).
+
+    Best-effort by design: storage is bounded (max_rounds-capped) even
+    if a future Spark hides the internals, so failure to release must
+    never fail the query."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass

@@ -81,7 +81,13 @@ def materialize(df) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=2)
+    def _positive_int(v: str) -> int:
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--reps must be >= 1")
+        return n
+
+    ap.add_argument("--reps", type=_positive_int, default=2)
     ap.add_argument("--queries", type=str, default="")
     args = ap.parse_args()
     names = (
@@ -131,8 +137,9 @@ def main() -> None:
     )
     for name, a, b, c, ratio in table:
         flag = "  <-- SUPERLINEAR" if ratio is not None and ratio > 13 else ""
+        ratio_s = f"{ratio:9.2f}" if ratio is not None else f"{'n/a':>9s}"
         print(
-            f"{name:32s} {a:8.3f} {b:8.3f} {c:8.3f} {ratio:9.2f}{flag}",
+            f"{name:32s} {a:8.3f} {b:8.3f} {c:8.3f} {ratio_s}{flag}",
             file=sys.stderr,
         )
     print(json.dumps({"metric": "scaling_study", "reps": args.reps,

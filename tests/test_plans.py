@@ -441,3 +441,20 @@ def test_lsh_banding_single_corpus_pass(spark, sf_dir):
     plan_c = physical_plan(_REG["g02c_dedup_simhash"].fn(spark, sf_dir))
     assert plan_c.count("documents.parquet") <= 2, plan_c.count("documents.parquet")
     assert plan_c.count("hashpartitioning(") <= 2, plan_c.count("hashpartitioning(")
+    # g02e (shingle-MinHash-LSH) shares the banding machinery; pin it to
+    # the same one-pass shape so a refactor can't regress one variant.
+    plan_e = physical_plan(_REG["g02e_dedup_lsh_shingle"].fn(spark, sf_dir))
+    assert plan_e.count("documents.parquet") <= 2, plan_e.count("documents.parquet")
+    assert plan_e.count("hashpartitioning(") <= 5, plan_e.count("hashpartitioning(")
+
+
+def test_simsearch_lsh_signatures_materialized_once(spark, sf_dir):
+    """g03c: the random-hyperplane signature table is computed ONCE
+    (localCheckpoint) and reused by the probe and index branches — the
+    round-7 audit found the matmul UDF running twice (once per branch).
+    The final plan may read the embeddings base table for the probe and
+    the verify stage, but never more than twice, and the banding itself
+    costs at most one exchange."""
+    plan = physical_plan(_REG["g03c_simsearch_lsh"].fn(spark, sf_dir))
+    assert plan.count("embeddings.parquet") <= 2, plan.count("embeddings.parquet")
+    assert plan.count("hashpartitioning(") <= 2, plan.count("hashpartitioning(")

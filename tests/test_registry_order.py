@@ -1,15 +1,16 @@
 """Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r06 greens into
-``LAST_VERIFIED`` (all 159 names now driver-evidenced), the only
+``queries()`` in insertion order.  After folding the r07 greens into
+``LAST_VERIFIED`` (all 159 names driver-evidenced; the r07 window
+closed the 13-member changed band and the r02-era tail), the only
 entries whose evidence does not describe their CURRENT text are the
-changed-since-verified band (``CHANGED_IN`` > ``LAST_VERIFIED``):
-e02's oracle was floor-corrected, d11 gained BIGINT casts, and f08/f09
-were rewritten from rows-only stubs into hash-tier — all in round 6,
-after their last driver rows.  These tests pin the r07 window shape:
-the changed band first, then the STALEST evidence (the b25..b34
-r02-era tail, then the r03 mass) filling the remaining slots.
+round-8 edits: a27/d05 moved element access from ``.getItem`` to
+``F.get`` (ANSI hardening) and g26/g28's components iteration stopped
+checkpointing its frontier and releases superseded checkpoints.  These
+tests pin the r08 window shape: that changed band first, then the
+STALEST evidence (the 21-member r03 pandas-UDF/text tail, then the r05
+mass) filling the remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -27,19 +28,10 @@ from data_lake_staging_engine_spark.driver_evidence import (
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 7 (see driver_evidence.py).
+# Text newer than driver evidence as of round 8 (see driver_evidence.py).
 CHANGED_BAND = {
-    "d11_fn_bitwise",
-    "e02_stream_sliding",
-    "e12_stream_outer_join",
-    "f08_multimodal_decode",
-    "f09_multimodal_framesample",
-    "g25_sequence_pack",
-    "g02b_dedup_lsh",
-    "g02e_dedup_lsh_shingle",
-    "g02c_dedup_simhash",
-    "g03c_simsearch_lsh",
-    "e07_stream_late_data",
+    "a27_scan_text",
+    "d05_fn_array",
     "g26_dedup_clusters",
     "g28_semantic_dedup",
 }
@@ -68,36 +60,33 @@ def test_window_fills_with_stalest_evidence():
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # The b25..b34 tail is the last r02-era evidence left.
-    stale_r02 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 2 and n not in CHANGED_IN
-    )
-    assert stale_r02 == [
-        "b25_agg_cube", "b26_agg_grouping_sets", "b27_agg_stats",
-        "b28_agg_percentile", "b29_agg_collect_sorted",
-        "b30_agg_minmax_by", "b31_agg_salted_skew", "b32_pivot",
-        "b33_unpivot", "b34_sample_systematic",
-    ]  # fmt: skip
+    # No r02-era evidence is left (the r07 window re-proved b25..b34);
+    # the r03 pandas-UDF/text tail is now the stalest band.
+    assert not any(r <= 2 for r in LAST_VERIFIED.values())
     stale_r03 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 3 and n not in CHANGED_IN
     )
-    n_fill = 50 - len(head) - len(stale_r02)
-    assert window == head + stale_r02 + stale_r03[:n_fill]
+    assert len(stale_r03) == 21
+    stale_r05 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 5 and n not in CHANGED_IN
+    )
+    n_fill = 50 - len(head) - len(stale_r03)
+    assert window == head + stale_r03 + stale_r05[:n_fill]
     # Everything past the window is ordered by non-decreasing evidence
-    # round (r03 remainder <= r05 <= r06).
+    # round (r05 remainder <= r06 <= r07).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    assert sweep_rank("e02_stream_sliding", True)[0] == 0
-    assert sweep_rank("f08_multimodal_decode", True)[0] == 0
-    r02 = sweep_rank("b25_agg_cube", True)
-    r03 = sweep_rank("c01_win_ranking", True)
+    assert sweep_rank("a27_scan_text", True)[0] == 0
+    assert sweep_rank("g26_dedup_clusters", True)[0] == 0
+    r03 = sweep_rank("f02_pandas_udf_scalar", True)
     r05 = sweep_rank("b56_join_lateral", True)
     r06 = sweep_rank("a01_scan_parquet", True)
-    assert r02 < r03 < r05 < r06
-    assert r02[0] == 1  # verified, just stale — band 1
+    r07 = sweep_rank("b25_agg_cube", True)
+    assert r03 < r05 < r06 < r07
+    assert r03[0] == 1  # verified, just stale — band 1
 
 
 def test_all_queries_have_driver_evidence():

@@ -240,6 +240,30 @@ def test_min_label_pointer_doubling_round_count(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def test_min_label_components_releases_checkpoints(spark):
+    """ADVICE r07: the per-round localCheckpoints must not accumulate —
+    each superseded round's blocks are released and the frontier is
+    never checkpointed (it is a filter of the checkpointed labels), so
+    a multi-round run ends holding ONE checkpoint (the returned label
+    table), not 2-per-round. A 256-chain forces ~9 rounds, which under
+    the old behavior would leak ~18 cached RDDs."""
+    from data_lake_staging_engine_spark.operators.llmops import (
+        _min_label_components_rounds,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "d1 long, d2 long"
+    )
+    before = len(jsc.getRDDStorageInfo())
+    labels, rounds = _min_label_components_rounds(pairs)
+    assert rounds >= 3  # multi-round, or the test proves nothing
+    after = len(jsc.getRDDStorageInfo())
+    assert after - before <= 1, (before, after, rounds)
+    # the surviving checkpoint is the one the caller still needs
+    assert labels.count() == 256
+
+
 def test_a27_text_roundtrip_preserves_payload_tabs(spark):
     """a27's parse splits on the FIRST tab only (split limit 2), so a
     payload containing tabs survives the text round-trip — the property
