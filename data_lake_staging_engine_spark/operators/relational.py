@@ -409,7 +409,16 @@ def b22_agg_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b23_agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ sketch — the 100 TB path for distinct counts (no
     exact-distinct shuffle explosion). Approximate => never hash-matches
-    a different engine's sketch; rows-only tier by design."""
+    a different engine's sketch; rows-only tier by design.
+
+    Hash-tier upgrade probed and rejected (VERDICT r07 #7, round 8): at
+    rsd=0.01 the estimate is deterministic but already off-exact at
+    fixture scale (151 vs 150 distinct at sf0.01, 1507 vs 1500 at
+    sf0.1), and an rsd small enough to force the exact linear-counting
+    regime (0.001 => ~1.08M registers) inflates the aggregation buffer
+    to a ~170 MiB task binary — the wrong trade everywhere. The
+    estimator's accuracy and determinism ARE pinned engine-side by
+    tests/test_properties.py::test_b23_hll_tolerance_and_determinism."""
     return (
         load(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -489,7 +498,10 @@ def b25_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b26_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Portability note (round-8 fuzz finding): on EMPTY input Spark's
+    """Explicit GROUPING SETS ((lang), (source), ()) with grouping()
+    markers separating key-NULL from subtotal-NULL.
+
+    Portability note (round-8 fuzz finding): on EMPTY input Spark's
     grouping-sets expansion emits ZERO rows for every set — including
     the pure () set, where ANSI/DuckDB emit one global row. Parity
     holds on any non-empty relation (randomized NULL-key coverage in

@@ -172,3 +172,46 @@ def test_g30_incremental_equals_full_dedup_restricted(spark, texts):
         ).collect()
     }
     assert got == _incremental_truth(new, corpus)
+
+
+def test_b23_hll_tolerance_and_determinism(spark, sf_dir):
+    """b23 stays R-tier by design (a sketch never hash-matches another
+    engine), so pin its semantic contract engine-side instead: the
+    HLL++ estimate is (a) DETERMINISTIC — same input => same estimate,
+    independent of partitioning — and (b) within the configured rsd
+    neighborhood of the exact per-group distinct count (5 sigma at
+    rsd=0.01 on the fixture cardinalities; the round-8 probe measured
+    151/150 at sf0.01 and 1507/1500 at sf0.1)."""
+    from pyspark.sql import functions as F
+
+    from data_lake_staging_engine_spark.registry import registry
+    from data_lake_staging_engine_spark.sources import load
+
+    fn = registry()["b23_agg_approx_cd"].fn
+    est1 = {r.event_type: r.approx_users for r in fn(spark, sf_dir).collect()}
+    # same aggregation over a reshuffled INPUT layout: the sketch merge
+    # is commutative/associative, so the estimate may not depend on how
+    # rows are partitioned before the partial aggregates
+    est2 = {
+        r.event_type: r.approx_users
+        for r in load(spark, sf_dir, "events")
+        .repartition(7, "user_id")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .collect()
+    }
+    assert est1 == est2  # deterministic, layout-independent
+    exact = {
+        r.event_type: r.exact
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(est1) == set(exact)
+    for etype, est in est1.items():
+        assert abs(est - exact[etype]) <= max(2, 0.05 * exact[etype]), (
+            etype,
+            est,
+            exact[etype],
+        )
