@@ -18,11 +18,20 @@ round-trip, so int64 nullability and NULL-vs-NaN survive), runs the
 paired engine expression / oracle SQL, and compares with the strict
 driver-replica `compare()` (multiset of canonicalized rows).
 
-Runtime budget: ~25 examples x 7 Spark-bound properties ~= 60-90 s on
+Runtime budget: ~25 examples x 14 Spark-bound properties ~= 2-3 min on
 the session fixture. Domains are chosen to be DEFINED-BEHAVIOR on both
 engines (e.g. shift widths bounded, sums bounded away from int64
 overflow, timestamps inside year [1000, 9999]); a failure here is a
 real semantics divergence, not an overflow artifact.
+
+Where the engines' semantics GENUINELY differ, the suite does not
+paper over it: the property restricts to the portable domain and a
+companion `*_divergence_pin` test asserts the differing behaviors
+verbatim, so the boundary stays documented-and-true. Current pins:
+negative left-shift (DuckDB errors, Spark wraps — see the bitwise
+property), grouping sets over EMPTY input (ANSI/DuckDB emit the ()
+row, Spark emits nothing), and the try_cast integral grammar (DuckDB
+accepts 1e3/0x1A/underscores and rounds decimals; Spark nulls them).
 """
 
 from __future__ import annotations
@@ -795,3 +804,213 @@ def test_grouping_sets_empty_input_divergence(spark, fuzz_duck):
         "GROUP BY GROUPING SETS ((a), ())"
     ).fetchall()
     assert duck == [(None, 0)]
+
+
+# --------------------------------------------------------------------------
+# 12. Date arithmetic (epoch-day construction, add/sub/diff/last_day)
+# --------------------------------------------------------------------------
+
+# Epoch-day domain: base dates spanning years ~1012..9637, offsets
+# +-100k days, sum provably inside both engines' DATE range.
+_D_MIN = -250_000
+_D_MAX = 2_800_000
+
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(_D_MIN, _D_MAX)),
+            st.one_of(st.none(), st.integers(-100_000, 100_000)),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_date_arithmetic(spark, fuzz_duck, rows):
+    """DATE-typed arithmetic parity on arbitrary proleptic-Gregorian
+    dates: construction from epoch days (date_from_unix_date vs DATE +
+    days), date_add/date_sub, signed datediff, last_day, month,
+    weekday (Spark weekday 0=Mon == DuckDB isodow-1 — probed before
+    writing). The d02 pack runs on 2024-only fixtures; only fuzz
+    reaches pre-1970, century leap rules (1700/2000), and year-9xxx."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("d", pa.int64(), T.LongType(), [r[0] for r in rows]),
+            ("k", pa.int64(), T.LongType(), [r[1] for r in rows]),
+        ],
+    )
+    base = F.date_from_unix_date(F.col("d").cast("int"))
+    out = df.select(
+        "id",
+        base.alias("base"),
+        F.date_add(base, F.col("k").cast("int")).alias("plus"),
+        F.date_sub(base, F.col("k").cast("int")).alias("minus"),
+        F.datediff(F.date_add(base, F.col("k").cast("int")), base)
+        .cast("long")
+        .alias("dd"),
+        F.last_day(base).alias("eom"),
+        F.month(base).cast("long").alias("mo"),
+        F.weekday(base).cast("long").alias("wd"),
+    )
+    _check(
+        "date_arith",
+        out,
+        fuzz_duck,
+        """
+        WITH b AS (
+            SELECT id, DATE '1970-01-01' + CAST(d AS INT) AS base,
+                   CAST(k AS INT) AS k
+            FROM t
+        )
+        SELECT id, base,
+               base + k AS plus,
+               base - k AS minus,
+               CAST(date_diff('day', base, base + k) AS BIGINT) AS dd,
+               last_day(base) AS eom,
+               CAST(month(base) AS BIGINT) AS mo,
+               CAST(isodow(base) - 1 AS BIGINT) AS wd
+        FROM b
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 13. Map function pack (build from arrays, size, sorted keys, lookup)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    maps=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.tuples(
+                    st.sampled_from([f"k{i}" for i in range(8)]),
+                    st.integers(-(2**40), 2**40),
+                ),
+                min_size=0,
+                max_size=6,
+                unique_by=lambda kv: kv[0],  # dup keys are engine-errors
+            ),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_fuzz_map_pack(spark, fuzz_duck, maps):
+    """Map construction from parallel arrays + cardinality + sorted key
+    list + scalar lookup parity (the d07 map-access pairing fuzzed).
+    Keys are UNIQUE by construction — duplicate-key maps are an error
+    in BOTH engines (Spark ANSI DUPLICATED_MAP_KEY, DuckDB map error) —
+    and values are non-null so the value fold has one semantics.
+    DuckDB's m[k] yields a LIST (empty when the key is absent), so the
+    oracle indexes [1] to match Spark's NULL-on-missing getItem."""
+    ids = list(range(len(maps)))
+    keys = [None if m is None else [kv[0] for kv in m] for m in maps]
+    vals = [None if m is None else [kv[1] for kv in m] for m in maps]
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("ks", pa.list_(pa.string()), T.ArrayType(T.StringType()), keys),
+            ("vs", pa.list_(pa.int64()), T.ArrayType(T.LongType()), vals),
+        ],
+    )
+    m = F.map_from_arrays("ks", "vs")
+    fold = F.aggregate(
+        F.map_values(m), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    out = df.select(
+        "id",
+        F.size(m).cast("long").alias("n"),
+        F.sort_array(F.map_keys(m)).alias("sk"),
+        m.getItem("k0").alias("v0"),
+        F.when(F.size(m) > 0, fold).alias("vsum"),
+    )
+    _check(
+        "map_pack",
+        out,
+        fuzz_duck,
+        """
+        WITH b AS (SELECT id, map(ks, vs) AS m FROM t)
+        SELECT id,
+               CAST(cardinality(m) AS BIGINT) AS n,
+               list_sort(map_keys(m)) AS sk,
+               (m['k0'])[1] AS v0,
+               CASE WHEN cardinality(m) > 0
+                    THEN list_aggregate(map_values(m), 'sum') END AS vsum
+        FROM b
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 14. try_cast portable domain + divergence pin
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.from_regex(r" {0,2}[+-]?[0-9]{1,25} {0,2}", fullmatch=True),
+            st.text(alphabet="abcXYZ ?!", max_size=8),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_try_cast_integral(spark, fuzz_duck, texts):
+    """try_cast(s AS BIGINT) parity on the PORTABLE domain: optionally
+    signed integral strings with surrounding spaces (valid or
+    overflowing — overflow nulls in both engines) and non-numeric
+    garbage. The portable domain is deliberately narrow — see
+    test_try_cast_divergence_pin for the classes where the engines'
+    accepted grammars genuinely differ."""
+    ids = list(range(len(texts)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("s", pa.string(), T.StringType(), texts),
+        ],
+    )
+    out = df.select("id", F.expr("try_cast(s AS BIGINT)").alias("v"))
+    _check(
+        "try_cast_integral",
+        out,
+        fuzz_duck,
+        "SELECT id, TRY_CAST(s AS BIGINT) AS v FROM t",
+    )
+
+
+def test_try_cast_divergence_pin(spark, fuzz_duck):
+    """Pin the try_cast grammar divergence (round-8 probe): DuckDB's
+    BIGINT cast accepts scientific notation, hex, underscores, and
+    ROUNDS decimal strings half-away-from-zero; Spark's try_cast
+    accepts only the integral grammar and nulls all of these. No
+    product operator try_casts arbitrary strings (a05's casts run on
+    engine-written round-trip strings), so this is a documented
+    portability boundary, not a defect — if either engine moves, this
+    test says so."""
+    cases = ["1e3", "0x1A", "3.5", "-3.5", ".5", "5.", "1_000"]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    sp = {r.s: r.v for r in df.selectExpr("s", "try_cast(s AS BIGINT) v").collect()}
+    assert sp == {c: None for c in cases}  # Spark: all rejected
+    dk = dict(
+        fuzz_duck.execute(
+            "SELECT s, TRY_CAST(s AS BIGINT) FROM (SELECT UNNEST(?) AS s)",
+            [cases],
+        ).fetchall()
+    )
+    assert dk == {
+        "1e3": 1000, "0x1A": 26, "3.5": 4, "-3.5": -4,
+        ".5": 1, "5.": 5, "1_000": 1000,
+    }  # DuckDB: all accepted (decimals rounded half-away-from-zero)
