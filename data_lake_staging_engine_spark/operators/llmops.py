@@ -475,6 +475,14 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: shuffle volume is O(docs * bands), never quadratic; band
     buckets are the only join keys. Skewed buckets (ultra-common
     signatures) are handled by AQE skew split.
+
+    OUTPUT-size note (round-8 scaling study): the PAIR list itself is
+    inherently quadratic in duplicate-cluster size — a cluster of m
+    near-identical docs emits m(m-1)/2 pairs, so the fixtures' ~97x
+    pair growth from sf0.01 to sf0.1 (29k -> 2.8M rows in ~7.6x the
+    wall-clock, i.e. SUBLINEAR per output row) is the semantics, not
+    the plan. A 100 TB pipeline that only needs representatives should
+    consume g26 (cluster -> keep-min) instead of materializing pairs.
     """
     d = load(spark, sf_dir, "documents")
     return _minhash_lsh_neardup(_tokens(d), probe=_tokens_raw(d))
