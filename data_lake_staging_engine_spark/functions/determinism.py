@@ -34,13 +34,28 @@ def duck_round(col: Column | str, n: int = 2) -> Column:
     shortest-decimal representation HALF_UP, giving ``101112.72`` —
     verified divergence on fixture data. Since the driver hash-compares
     against DuckDB, every computed double the engine emits goes through
-    this mirror: ``floor(|x*p| + 0.5)/p`` with the sign reapplied
-    reproduces the exact IEEE sequence DuckDB executes (multiply, add,
-    truncate, divide — all deterministic per-row ops).
+    this mirror.
+
+    Implementation note (round-8 fuzz-probe fix): the obvious mirror
+    ``floor(|x*p| + 0.5)/p`` is NOT std::round — when ``|x*p|`` sits
+    within one ulp BELOW a half-integer (e.g. 0.49999999999999994, or
+    0.004999999999999999 * 100), the IEEE ``+ 0.5`` addition rounds UP
+    to the half and floor then lands one too high, where std::round
+    truncates the true fraction. The exact mirror splits off the
+    integer part first: ``t = floor(y)`` and ``y - t`` are both EXACT
+    in IEEE (Sterbenz: t >= y/2 for y >= 1; y - 0 for y < 1), so
+    ``t + (y - t >= 0.5)`` reproduces std::round's comparison on the
+    true fraction with no rounding step in between. Domain: |x * 10^n|
+    < 2^52 (beyond that doubles are integers and no product query
+    rounds there).
     """
     c = F.col(col) if isinstance(col, str) else col
     p = F.lit(float(10**n))
-    mag = F.floor(F.abs(c * p) + F.lit(0.5)) / p
+    y = F.abs(c * p)
+    t = F.floor(y)
+    mag = (
+        t + F.when(y - t >= F.lit(0.5), F.lit(1)).otherwise(F.lit(0))
+    ) / p
     return F.when(c < 0, -mag).otherwise(mag)
 
 

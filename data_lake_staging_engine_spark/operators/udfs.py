@@ -38,9 +38,13 @@ from data_lake_staging_engine_spark.sources import load, register_views
 
 
 def _pyduck_round(x: float, n: int) -> float:
-    """Python twin of functions.determinism.duck_round (same formula)."""
+    """Python twin of functions.determinism.duck_round (same formula:
+    exact std::round mirror — see duck_round's docstring for why
+    ``floor(y + 0.5)`` is wrong one ulp below a half-integer)."""
     p = float(10**n)
-    mag = math.floor(abs(x) * p + 0.5) / p
+    y = abs(x) * p
+    t = math.floor(y)
+    mag = (t + (1 if y - t >= 0.5 else 0)) / p
     return -mag if x < 0 else mag
 
 
@@ -106,7 +110,12 @@ def f02_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         x = ep.to_numpy() * (1.0 - dc.to_numpy())
-        return pd.Series(np.floor(np.abs(x) * 100.0 + 0.5) / 100.0 * np.sign(x))
+        # exact std::round mirror (see duck_round): split the integer
+        # part BEFORE comparing the fraction — floor(y + 0.5) rounds up
+        # one ulp below a half-integer
+        y = np.abs(x) * 100.0
+        t = np.floor(y)
+        return pd.Series((t + (y - t >= 0.5)) / 100.0 * np.sign(x))
 
     _disc_price.__annotations__ = {"ep": pd.Series, "dc": pd.Series, "return": pd.Series}
     disc_price = F.pandas_udf(DoubleType())(_disc_price)
@@ -153,9 +162,12 @@ def f03_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             else int(math.floor(abs(x) * 100.0 + 0.5))
             for x in mid
         )
-        # inline duck-round (self-contained for executor pickling)
+        # inline duck-round to 4 places (self-contained for executor
+        # pickling; exact std::round mirror — see duck_round)
         x = (cents / 100.0) / len(mid)
-        mag = math.floor(abs(x) * 1e4 + 0.5) / 1e4
+        y = abs(x) * 1e4
+        t = math.floor(y)
+        mag = (t + (1 if y - t >= 0.5 else 0)) / 1e4
         return -mag if x < 0 else mag
 
     _trimmed_mean.__annotations__ = {"v": pd.Series, "return": float}

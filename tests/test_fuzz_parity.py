@@ -1014,3 +1014,48 @@ def test_try_cast_divergence_pin(spark, fuzz_duck):
         "1e3": 1000, "0x1A": 26, "3.5": 4, "-3.5": -4,
         ".5": 1, "5.": 5, "1_000": 1000,
     }  # DuckDB: all accepted (decimals rounded half-away-from-zero)
+
+
+# --------------------------------------------------------------------------
+# 15. duck_round (JVM expression) vs DuckDB ROUND
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e9, max_value=1e9,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    n=st.sampled_from([0, 2, 4, 6]),
+)
+def test_fuzz_duck_round(spark, fuzz_duck, vals, n):
+    """The JVM duck_round expression (exact std::round mirror after the
+    round-8 one-ulp-below-half fix) must equal DuckDB ROUND bit-for-bit
+    on arbitrary finite doubles — the Catalyst twin of the Python-side
+    test_pyduck_round_matches_duckdb, proving the fix through the real
+    expression pipeline (arrow float64 in, exact repr compare out)."""
+    from data_lake_staging_engine_spark.functions.determinism import duck_round
+
+    ids = list(range(len(vals)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("x", pa.float64(), T.DoubleType(), vals),
+        ],
+    )
+    out = df.select("id", duck_round(F.col("x"), n).alias("r"))
+    _check(
+        "duck_round",
+        out,
+        fuzz_duck,
+        f"SELECT id, ROUND(x, {n}) AS r FROM t",
+    )

@@ -5,7 +5,7 @@ fast and run wide."""
 import math
 
 import duckdb
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from data_lake_staging_engine_spark.operators.staging import normalize_name
@@ -13,6 +13,11 @@ from data_lake_staging_engine_spark.operators.udfs import _pyduck_round
 
 
 @settings(max_examples=500, deadline=None)
+@example(0.49999999999999994, 0)   # largest double < 0.5: +0.5 rounds UP
+@example(-0.49999999999999994, 0)
+@example(0.004999999999999999, 2)  # scaled twin of the same boundary
+@example(2.675, 2)                 # x*100 lands EXACTLY on 267.5 -> 2.68
+@example(101112.72499999999, 2)    # the documented DuckDB half-up case
 @given(
     st.floats(
         min_value=-1e9,
@@ -24,7 +29,13 @@ from data_lake_staging_engine_spark.operators.udfs import _pyduck_round
 )
 def test_pyduck_round_matches_duckdb(x, n):
     """The python/duck_round formula must equal DuckDB ROUND bit-for-bit
-    — this is the foundation of every hash-matched double output."""
+    — this is the foundation of every hash-matched double output.
+
+    The @example pins are the round-8 finding: ``floor(y + 0.5)`` is NOT
+    std::round when y sits one ulp below a half-integer (the + 0.5
+    addition rounds up to the half), so the formula now splits the
+    integer part before comparing the fraction. 500 random examples
+    never hit that measure-zero class — targeted probes did."""
     con = test_pyduck_round_matches_duckdb._con
     # Bind as a parameter: a repr() literal in SQL text parses as DECIMAL,
     # and the decimal->double cast is lossy once the mantissa digits exceed
