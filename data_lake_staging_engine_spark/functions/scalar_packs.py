@@ -300,7 +300,14 @@ def d10_fn_decimal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-fail on this query). Same class of pitfall as DATE: the due
     date is emitted as a midnight TIMESTAMP because raw DATE columns
     canonicalize differently too (DuckDB fetchdf => datetime64, Spark
-    toPandas => date objects)."""
+    toPandas => date objects).
+
+    Portability boundary (round-8 probe): this pack never REDUCES a
+    decimal's scale — Spark's scale-reducing cast rounds HALF_UP while
+    DuckDB's truncates toward zero (2.679 -> 2.68 vs 2.67; pinned in
+    tests/test_fuzz_parity.py::test_decimal_downcast_divergence_pin).
+    The (price * 2) downcast below is precision-only (scale 2 -> 2),
+    which both engines treat identically."""
     o = load(spark, sf_dir, "orders")
     price_dec = F.col("o_totalprice").cast("decimal(18,2)")
     due = F.date_add(F.col("o_orderdate").cast("date"), 90)

@@ -30,8 +30,10 @@ companion `*_divergence_pin` test asserts the differing behaviors
 verbatim, so the boundary stays documented-and-true. Current pins:
 negative left-shift (DuckDB errors, Spark wraps — see the bitwise
 property), grouping sets over EMPTY input (ANSI/DuckDB emit the ()
-row, Spark emits nothing), and the try_cast integral grammar (DuckDB
-accepts 1e3/0x1A/underscores and rounds decimals; Spark nulls them).
+row, Spark emits nothing), the try_cast integral grammar (DuckDB
+accepts 1e3/0x1A/underscores and rounds decimals; Spark nulls them),
+and scale-reducing decimal casts (Spark HALF_UP, DuckDB truncates
+toward zero).
 """
 
 from __future__ import annotations
@@ -1059,3 +1061,89 @@ def test_fuzz_duck_round(spark, fuzz_duck, vals, n):
         fuzz_duck,
         f"SELECT id, ROUND(x, {n}) AS r FROM t",
     )
+
+
+# --------------------------------------------------------------------------
+# 16. Decimal arithmetic (d10 class) — portable domain + downcast pin
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(10**13), 10**13)),  # a*1e-4
+            st.one_of(st.none(), st.integers(-(10**13), 10**13)),  # b*1e-4
+            st.integers(-9, 9),                                    # int factor
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fuzz_decimal_arithmetic(spark, fuzz_duck, rows):
+    """DECIMAL(18,4) exact arithmetic parity on randomized scaled
+    integers: addition, scale-preserving integer multiplication,
+    SUM(decimal), and the decimal->double emit cast (the d10 pairing
+    fuzzed — both engines' decimal engines are integer arithmetic, so
+    every column here must match exactly). Scale-REDUCING casts are
+    deliberately absent: see test_decimal_downcast_divergence_pin."""
+    import decimal
+
+    ids = list(range(len(rows)))
+    q = decimal.Decimal("0.0001")
+    a_vals = [None if r[0] is None else decimal.Decimal(r[0]) * q for r in rows]
+    b_vals = [None if r[1] is None else decimal.Decimal(r[1]) * q for r in rows]
+    k_vals = [r[2] for r in rows]
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("a", pa.decimal128(18, 4), T.DecimalType(18, 4), a_vals),
+            ("b", pa.decimal128(18, 4), T.DecimalType(18, 4), b_vals),
+            ("k", pa.int64(), T.LongType(), k_vals),
+        ],
+    )
+    out = df.select(
+        "id",
+        (F.col("a") + F.col("b")).cast("decimal(20,4)").alias("s"),
+        (F.col("a") * F.col("k")).cast("decimal(20,4)").alias("m"),
+        F.col("a").cast("double").alias("dbl"),
+    )
+    _check(
+        "decimal_arith",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               CAST(a + b AS DECIMAL(20,4)) AS s,
+               CAST(a * k AS DECIMAL(20,4)) AS m,
+               CAST(a AS DOUBLE) AS dbl
+        FROM t
+        """,
+    )
+
+
+def test_decimal_downcast_divergence_pin(spark, fuzz_duck):
+    """Pin the scale-REDUCING decimal cast divergence (round-8 probe):
+    Spark rounds HALF_UP (2.679 -> 2.68), DuckDB TRUNCATES toward zero
+    (2.679 -> 2.67, -2.679 -> -2.67). No product operator reduces a
+    decimal's scale (d10's downcast is precision-only, scale 2 -> 2),
+    so this is a documented portability boundary; if either engine
+    moves, this fails and the boundary needs re-probing."""
+    import decimal as _d
+
+    cases = ["2.679", "2.671", "2.675", "-2.679", "0.005"]
+    df = spark.createDataFrame(
+        [(_d.Decimal(c),) for c in cases], "v decimal(18,4)"
+    )
+    sp = [str(r.o) for r in df.selectExpr("CAST(v AS DECIMAL(18,2)) o").collect()]
+    assert sp == ["2.68", "2.67", "2.68", "-2.68", "0.01"]  # HALF_UP
+    dk = [
+        str(
+            fuzz_duck.execute(
+                "SELECT CAST(CAST(? AS DECIMAL(18,4)) AS DECIMAL(18,2))", [c]
+            ).fetchone()[0]
+        )
+        for c in cases
+    ]
+    assert dk == ["2.67", "2.67", "2.67", "-2.67", "0.00"]  # truncation
