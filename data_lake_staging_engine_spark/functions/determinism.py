@@ -56,7 +56,11 @@ def duck_round(col: Column | str, n: int = 2) -> Column:
     mag = (
         t + F.when(y - t >= F.lit(0.5), F.lit(1)).otherwise(F.lit(0))
     ) / p
-    return F.when(c < 0, -mag).otherwise(mag)
+    # c == 0 returns c ITSELF so the sign of zero survives: std::round
+    # (and DuckDB) emit -0.0 for -0.0 and for small negatives that
+    # round to zero, and the driver's exact-repr compare distinguishes
+    # -0.0 from 0.0 (round-8 fuzz catch).
+    return F.when(c < 0, -mag).when(c == 0, c).otherwise(mag)
 
 
 def dec_sum(col_name: str, scale: int = 2, round_to: int | None = None) -> Column:

@@ -45,7 +45,9 @@ def _pyduck_round(x: float, n: int) -> float:
     y = abs(x) * p
     t = math.floor(y)
     mag = (t + (1 if y - t >= 0.5 else 0)) / p
-    return -mag if x < 0 else mag
+    # copysign keeps the sign of ZERO too (-0.0 and small negatives
+    # round to -0.0, exactly like std::round / DuckDB)
+    return math.copysign(mag, x)
 
 
 _BAND_ORACLE = """
@@ -115,7 +117,8 @@ def f02_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         # one ulp below a half-integer
         y = np.abs(x) * 100.0
         t = np.floor(y)
-        return pd.Series((t + (y - t >= 0.5)) / 100.0 * np.sign(x))
+        # copysign, not sign-multiply: the sign of ZERO must survive
+        return pd.Series(np.copysign((t + (y - t >= 0.5)) / 100.0, x))
 
     _disc_price.__annotations__ = {"ep": pd.Series, "dc": pd.Series, "return": pd.Series}
     disc_price = F.pandas_udf(DoubleType())(_disc_price)
@@ -168,7 +171,7 @@ def f03_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = abs(x) * 1e4
         t = math.floor(y)
         mag = (t + (1 if y - t >= 0.5 else 0)) / 1e4
-        return -mag if x < 0 else mag
+        return math.copysign(mag, x)  # sign of zero survives
 
     _trimmed_mean.__annotations__ = {"v": pd.Series, "return": float}
     trimmed_mean = F.pandas_udf(DoubleType())(_trimmed_mean)

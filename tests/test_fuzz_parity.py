@@ -18,8 +18,8 @@ round-trip, so int64 nullability and NULL-vs-NaN survive), runs the
 paired engine expression / oracle SQL, and compares with the strict
 driver-replica `compare()` (multiset of canonicalized rows).
 
-Runtime budget: ~25 examples x 14 Spark-bound properties ~= 2-3 min on
-the session fixture. Domains are chosen to be DEFINED-BEHAVIOR on both
+Runtime budget: ~25 examples x 18 Spark-bound properties ~= 2-3.5 min
+on the session fixture. Domains are chosen to be DEFINED-BEHAVIOR on both
 engines (e.g. shift widths bounded, sums bounded away from int64
 overflow, timestamps inside year [1000, 9999]); a failure here is a
 real semantics divergence, not an overflow artifact.
@@ -1147,3 +1147,115 @@ def test_decimal_downcast_divergence_pin(spark, fuzz_duck):
         for c in cases
     ]
     assert dk == ["2.67", "2.67", "2.67", "-2.67", "0.00"]  # truncation
+
+
+# --------------------------------------------------------------------------
+# 17. RANGE window frames over duplicate order keys (c05 class)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-2, 2),                                  # group
+            st.integers(-50, 50),                                # order key
+            st.one_of(st.none(), st.integers(-1000, 1000)),      # value
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    width=st.sampled_from([0, 1, 5, 20]),
+)
+def test_fuzz_range_frames(spark, fuzz_duck, rows, width):
+    """RANGE BETWEEN w PRECEDING AND CURRENT ROW over integer order
+    keys WITH DUPLICATES (the c05 trailing-interval class): RANGE
+    includes all peers of the current row, so tie-heavy keys are the
+    load-bearing edge — a ROWS frame would differ there. Both engines
+    run the identical SQL; id joins the ordering only in the output
+    projection, never the frame."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("g", pa.int64(), T.LongType(), [r[0] for r in rows]),
+            ("o", pa.int64(), T.LongType(), [r[1] for r in rows]),
+            ("v", pa.int64(), T.LongType(), [r[2] for r in rows]),
+        ],
+    )
+    df.createOrReplaceTempView("t_fuzz_rf")
+    sql = f"""
+        SELECT id,
+               CAST(SUM(v) OVER (PARTITION BY g ORDER BY o
+                    RANGE BETWEEN {width} PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS rsum,
+               CAST(COUNT(v) OVER (PARTITION BY g ORDER BY o
+                    RANGE BETWEEN {width} PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS rcnt
+        FROM {{table}}
+    """
+    out = spark.sql(sql.format(table="t_fuzz_rf"))
+    _check("range_frames", out, fuzz_duck, sql.format(table="t"))
+
+
+# --------------------------------------------------------------------------
+# 18. String pack II: substring / least / greatest / pads
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="abcXY 01", max_size=12),
+            st.integers(-15, 15).filter(lambda s: s != 0),  # 0 diverges; see pin
+            st.integers(0, 8),
+            st.one_of(st.none(), st.integers(-100, 100)),
+            st.one_of(st.none(), st.integers(-100, 100)),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_substring_least_pads(spark, fuzz_duck, rows):
+    """substring with positive AND negative start (both engines count
+    negative starts from the end), least/greatest NULL-skipping, lpad/
+    rpad truncation-or-fill, repeat. Start 0 is excluded from the
+    domain — see test_substring_zero_divergence_pin."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("s", pa.string(), T.StringType(), [r[0] for r in rows]),
+            ("st", pa.int64(), T.LongType(), [r[1] for r in rows]),
+            ("ln", pa.int64(), T.LongType(), [r[2] for r in rows]),
+            ("x", pa.int64(), T.LongType(), [r[3] for r in rows]),
+            ("y", pa.int64(), T.LongType(), [r[4] for r in rows]),
+        ],
+    )
+    df.createOrReplaceTempView("t_fuzz_str2")
+    sql = """
+        SELECT id,
+               substring(s, CAST(st AS INT), CAST(ln AS INT)) AS sub,
+               least(x, y) AS lo,
+               greatest(x, y) AS hi,
+               lpad(s, 6, '_') AS lp,
+               rpad(s, 6, '_') AS rp
+        FROM {table}
+    """
+    out = spark.sql(sql.format(table="t_fuzz_str2"))
+    _check("substring_least_pads", out, fuzz_duck, sql.format(table="t"))
+
+
+def test_substring_zero_divergence_pin(spark, fuzz_duck):
+    """Pin the substring start-0 divergence (round-8 probe): Spark
+    treats start 0 as start 1 and returns `len` characters; DuckDB
+    counts position 0 as before the first character, so the length
+    window covers one fewer real character ('abcdef', 0, 3 -> 'abc'
+    vs 'ab'). Product operators never compute a 0 start (d01's
+    substrings are literal positive positions)."""
+    q = "SELECT substring('abcdef', 0, 3) AS z"
+    assert spark.sql(q).collect()[0].z == "abc"
+    assert fuzz_duck.execute(q).fetchone()[0] == "ab"

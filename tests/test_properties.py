@@ -15,6 +15,8 @@ from data_lake_staging_engine_spark.operators.udfs import _pyduck_round
 @settings(max_examples=500, deadline=None)
 @example(0.49999999999999994, 0)   # largest double < 0.5: +0.5 rounds UP
 @example(-0.49999999999999994, 0)
+@example(-0.0, 0)                  # sign of zero survives (std::round)
+@example(-0.3, 2)                  # small negative -> -0.0, not 0.0
 @example(0.004999999999999999, 2)  # scaled twin of the same boundary
 @example(2.675, 2)                 # x*100 lands EXACTLY on 267.5 -> 2.68
 @example(101112.72499999999, 2)    # the documented DuckDB half-up case
@@ -45,6 +47,14 @@ def test_pyduck_round_matches_duckdb(x, n):
     expected = con.execute("SELECT ROUND(CAST(? AS DOUBLE), ?)", [x, n]).fetchone()[0]
     got = _pyduck_round(x, n)
     assert got == expected or (math.isnan(got) and math.isnan(expected))
+    # == treats -0.0 and 0.0 as equal; the driver's exact-repr hash does
+    # NOT, so pin the sign of zero too (std::round emits -0.0 for -0.0
+    # and for small negatives — round-8 fuzz catch)
+    if got == 0 and not math.isnan(got):
+        assert math.copysign(1.0, got) == math.copysign(1.0, expected), (
+            repr(got),
+            repr(expected),
+        )
 
 
 test_pyduck_round_matches_duckdb._con = duckdb.connect()

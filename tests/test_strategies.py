@@ -309,3 +309,26 @@ def test_g03d_guard_trips_on_large_anchor_set(spark, monkeypatch):
 
     monkeypatch.delenv("SPARK_GRAFT_G03D_MAX_ANCHORS")
     assert g03d_embed_neardup(spark, "/root/testdata/sf0.001").count() >= 0
+
+
+def test_release_local_checkpoint_frees_blocks(spark):
+    """Unit pin for session.release_local_checkpoint: localCheckpoint
+    blocks are NOT freed by Dataset.unpersist (checkpoints never enter
+    the CacheManager — probed on pyspark 4.1.2), so the helper reaches
+    the analyzed plan's LogicalRDD and unpersists ITS rdd. If a Spark
+    upgrade changes the internals the helper must degrade to a no-op
+    (best-effort contract), so both the release and the non-LogicalRDD
+    no-op path are asserted."""
+    from data_lake_staging_engine_spark.session import release_local_checkpoint
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = len(jsc.getRDDStorageInfo())
+    ck = spark.range(500).selectExpr("id", "id * 2 AS x").localCheckpoint(eager=True)
+    assert len(jsc.getRDDStorageInfo()) == before + 1
+    ck.unpersist(blocking=True)  # documented no-op for checkpoints
+    assert len(jsc.getRDDStorageInfo()) == before + 1
+    release_local_checkpoint(ck)
+    assert len(jsc.getRDDStorageInfo()) == before
+    # non-checkpointed frame: must be a silent no-op
+    release_local_checkpoint(spark.range(5))
+    assert len(jsc.getRDDStorageInfo()) == before
