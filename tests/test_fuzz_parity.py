@@ -18,9 +18,9 @@ round-trip, so int64 nullability and NULL-vs-NaN survive), runs the
 paired engine expression / oracle SQL, and compares with the strict
 driver-replica `compare()` (multiset of canonicalized rows).
 
-Runtime budget: ~25 examples x 18 Spark-bound properties ~= 2-3.5 min
-on the session fixture. Domains are chosen to be DEFINED-BEHAVIOR on both
-engines (e.g. shift widths bounded, sums bounded away from int64
+Runtime budget: ~25 examples x 20 Spark-bound properties ~= 2.5-4 min
+on the session fixture. Domains are chosen to be DEFINED-BEHAVIOR on
+both engines (e.g. shift widths bounded, sums bounded away from int64
 overflow, timestamps inside year [1000, 9999]); a failure here is a
 real semantics divergence, not an overflow artifact.
 
@@ -32,8 +32,10 @@ negative left-shift (DuckDB errors, Spark wraps — see the bitwise
 property), grouping sets over EMPTY input (ANSI/DuckDB emit the ()
 row, Spark emits nothing), the try_cast integral grammar (DuckDB
 accepts 1e3/0x1A/underscores and rounds decimals; Spark nulls them),
-and scale-reducing decimal casts (Spark HALF_UP, DuckDB truncates
-toward zero).
+scale-reducing decimal casts (Spark HALF_UP, DuckDB truncates toward
+zero), substring start 0 (Spark treats it as 1; DuckDB's window covers
+one fewer char), and array_distinct over NULLs (Spark keeps one null,
+DuckDB drops them).
 """
 
 from __future__ import annotations
@@ -1259,3 +1261,164 @@ def test_substring_zero_divergence_pin(spark, fuzz_duck):
     q = "SELECT substring('abcdef', 0, 3) AS z"
     assert spark.sql(q).collect()[0].z == "abc"
     assert fuzz_duck.execute(q).fetchone()[0] == "ab"
+
+
+# --------------------------------------------------------------------------
+# 19. JSON path extraction (d07 class)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.fixed_dictionaries(
+                {},
+                optional={
+                    "k0": st.one_of(
+                        st.none(),
+                        st.integers(-(10**9), 10**9),
+                        st.text(alphabet='ab"\\/ café☃\t<>&$.', max_size=10),
+                    ),
+                    "k1": st.lists(
+                        st.integers(-100, 100), min_size=0, max_size=4
+                    ),
+                    "k2": st.fixed_dictionaries(
+                        {"e": st.integers(-(10**6), 10**6)}
+                    ),
+                },
+            ),
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fuzz_json_extraction(spark, fuzz_duck, docs):
+    """get_json_object vs DuckDB ->> on randomized documents: scalar
+    values incl. quotes/backslashes/control chars/unicode/'$.'-laden
+    strings (json.dumps guarantees well-formed escapes on BOTH sides
+    of the comparison), JSON null vs absent key (both NULL out), array
+    indexing in and OUT of range, one-level nesting. Extraction paths
+    target scalar positions only — extracting a whole object/array
+    compares serialized JSON text, which is formatting- not
+    semantics-defined."""
+    import json as _json
+
+    ids = list(range(len(docs)))
+    texts = [None if d is None else _json.dumps(d) for d in docs]
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("j", pa.string(), T.StringType(), texts),
+        ],
+    )
+    out = df.select(
+        "id",
+        F.get_json_object("j", "$.k0").alias("v0"),
+        F.get_json_object("j", "$.k1[0]").alias("v1"),
+        F.get_json_object("j", "$.k1[9]").alias("v1oob"),
+        F.get_json_object("j", "$.k2.e").alias("v2"),
+        F.get_json_object("j", "$.missing").alias("vm"),
+    )
+    _check(
+        "json_extraction",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               j->>'$.k0' AS v0,
+               j->>'$.k1[0]' AS v1,
+               j->>'$.k1[9]' AS v1oob,
+               j->>'$.k2.e' AS v2,
+               j->>'$.missing' AS vm
+        FROM t
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# 20. Array ops II: sort / distinct / flatten / slice / membership
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.lists(  # nullable elements: sort/flatten coverage
+                st.one_of(st.none(), st.integers(-50, 50)),
+                min_size=0,
+                max_size=6,
+            ),
+            st.lists(  # non-null elements: distinct/slice/membership
+                st.integers(-50, 50), min_size=0, max_size=6
+            ),
+            st.integers(1, 6),   # slice start (positive domain)
+            st.integers(0, 5),   # slice length
+            st.integers(-50, 50),  # membership probe value
+        ),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_fuzz_array_ops2(spark, fuzz_duck, rows):
+    """sort_array (NULLS FIRST matches DuckDB's list_sort ASC NULLS
+    FIRST), array_distinct on NON-NULL elements (see the pin below for
+    why), flatten, positive-domain slice (DuckDB's list_slice takes an
+    END index where Spark takes a LENGTH — the oracle converts), and
+    membership (contains/position) on non-null arrays."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("xs", pa.list_(pa.int64()), T.ArrayType(T.LongType()), [r[0] for r in rows]),
+            ("ys", pa.list_(pa.int64()), T.ArrayType(T.LongType()), [r[1] for r in rows]),
+            ("b", pa.int64(), T.LongType(), [r[2] for r in rows]),
+            ("ln", pa.int64(), T.LongType(), [r[3] for r in rows]),
+            ("p", pa.int64(), T.LongType(), [r[4] for r in rows]),
+        ],
+    )
+    out = df.select(
+        "id",
+        F.sort_array("xs").alias("sorted_xs"),
+        F.sort_array(F.array_distinct("ys")).alias("dist_ys"),
+        F.flatten(F.array("xs", "ys")).alias("flat"),
+        F.slice("ys", F.col("b").cast("int"), F.col("ln").cast("int")).alias("sl"),
+        F.array_contains("ys", F.col("p")).alias("has_p"),
+        F.array_position("ys", F.col("p")).alias("pos_p"),
+    )
+    _check(
+        "array_ops2",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               list_sort(xs, 'ASC', 'NULLS FIRST') AS sorted_xs,
+               list_sort(list_distinct(ys), 'ASC', 'NULLS FIRST') AS dist_ys,
+               flatten([xs, ys]) AS flat,
+               list_slice(ys, b, b + ln - 1) AS sl,
+               list_contains(ys, p) AS has_p,
+               list_position(ys, p) AS pos_p
+        FROM t
+        """,
+    )
+
+
+def test_array_distinct_null_divergence_pin(spark, fuzz_duck):
+    """Pin the array_distinct NULL divergence (round-8 probe): Spark
+    keeps ONE null representative ([null,1,2] from [2,1,2,null,null]);
+    DuckDB's list_distinct DROPS nulls entirely ([1,2]). d05/g15-class
+    operators only distinct non-null token/element sets, so this is a
+    documented portability boundary."""
+    got = spark.sql(
+        "SELECT sort_array(array_distinct(array(2, 1, 2, CAST(NULL AS INT), "
+        "CAST(NULL AS INT)))) AS d"
+    ).collect()[0].d
+    assert got == [None, 1, 2]
+    duck = fuzz_duck.execute(
+        "SELECT list_sort(list_distinct([2,1,2,NULL,NULL]), 'ASC', 'NULLS FIRST')"
+    ).fetchone()[0]
+    assert duck == [1, 2]
