@@ -18,7 +18,7 @@ round-trip, so int64 nullability and NULL-vs-NaN survive), runs the
 paired engine expression / oracle SQL, and compares with the strict
 driver-replica `compare()` (multiset of canonicalized rows).
 
-Runtime budget: ~25 examples x 20 Spark-bound properties ~= 2.5-4 min
+Runtime budget: ~25 examples x 21 Spark-bound properties ~= 2.5-4 min
 on the session fixture. Domains are chosen to be DEFINED-BEHAVIOR on
 both engines (e.g. shift widths bounded, sums bounded away from int64
 overflow, timestamps inside year [1000, 9999]); a failure here is a
@@ -34,8 +34,10 @@ row, Spark emits nothing), the try_cast integral grammar (DuckDB
 accepts 1e3/0x1A/underscores and rounds decimals; Spark nulls them),
 scale-reducing decimal casts (Spark HALF_UP, DuckDB truncates toward
 zero), substring start 0 (Spark treats it as 1; DuckDB's window covers
-one fewer char), and array_distinct over NULLs (Spark keeps one null,
-DuckDB drops them).
+one fewer char), array_distinct over NULLs (Spark keeps one null,
+DuckDB drops them), and non-ASCII string functions (codepoint- vs
+byte-counting levenshtein, full-vs-simple case mapping, Latin-1-
+wrapping chr).
 """
 
 from __future__ import annotations
@@ -1422,3 +1424,84 @@ def test_array_distinct_null_divergence_pin(spark, fuzz_duck):
         "SELECT list_sort(list_distinct([2,1,2,NULL,NULL]), 'ASC', 'NULLS FIRST')"
     ).fetchone()[0]
     assert duck == [1, 2]
+
+
+# --------------------------------------------------------------------------
+# 21. String pack III: levenshtein / case / reverse / hex (ASCII domain)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="abcXYZ 01_", max_size=10),
+            st.text(alphabet="abcXYZ 01_", max_size=10),
+            st.integers(0, 2**40),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_string_pack3(spark, fuzz_duck, rows):
+    """levenshtein / upper / lower / reverse / hex on the ASCII-portable
+    domain. Non-ASCII is deliberately excluded: Spark's levenshtein
+    counts CODEPOINTS while DuckDB counts BYTES, and the case mappings
+    disagree on full Unicode (see the pin below). The engine's text
+    operators (g05/g08c/g14) run on whitespace-token ASCII features,
+    which is exactly this domain."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("a", pa.string(), T.StringType(), [r[0] for r in rows]),
+            ("b", pa.string(), T.StringType(), [r[1] for r in rows]),
+            ("n", pa.int64(), T.LongType(), [r[2] for r in rows]),
+        ],
+    )
+    out = df.select(
+        "id",
+        F.levenshtein("a", "b").cast("long").alias("lev"),
+        F.upper("a").alias("up"),
+        F.lower("a").alias("lo"),
+        F.reverse("a").alias("rev"),
+        F.hex("n").alias("hx"),
+    )
+    _check(
+        "string_pack3",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               CAST(levenshtein(a, b) AS BIGINT) AS lev,
+               upper(a) AS up,
+               lower(a) AS lo,
+               reverse(a) AS rev,
+               hex(n) AS hx
+        FROM t
+        """,
+    )
+
+
+def test_unicode_string_divergence_pin(spark, fuzz_duck):
+    """Pin the non-ASCII string-function divergences (round-8 probes):
+
+    - levenshtein: Spark counts CODEPOINTS, DuckDB counts BYTES
+      ('café☃' vs 'cafe': 2 vs 5).
+    - upper: Spark maps ß -> SS (full case mapping), DuckDB -> ẞ.
+    - lower: Spark maps İ -> i + combining dot, DuckDB -> plain i.
+    - chr: Spark wraps into Latin-1 (chr(8364) = '¬'), DuckDB emits
+      the Unicode codepoint ('€').
+
+    Product text operators tokenize on whitespace and compare ASCII
+    features, so none of these reach a registered query's output —
+    documented boundary, not a defect."""
+    q = (
+        "SELECT levenshtein('café☃','cafe') lv, upper('straße') up, "
+        "lower('İ') lo, chr(8364) ch"
+    )
+    sp = spark.sql(q).collect()[0]
+    assert (sp.lv, sp.up, sp.lo, sp.ch) == (2, "STRASSE", "i̇", "¬")
+    dk = fuzz_duck.execute(q).fetchone()
+    assert dk == (5, "STRAẞE", "i", "€")
