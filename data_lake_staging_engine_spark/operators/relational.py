@@ -1052,13 +1052,26 @@ def b38_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
             GROUP BY c.c_custkey, c.c_nationkey
         ),
-        rounded AS (
-            SELECT c_custkey, c_nationkey,
-                   CASE WHEN spend_raw < 0
-                        THEN -(CAST(FLOOR(ABS(spend_raw * 100.0) + 0.5) AS DOUBLE) / 100.0)
-                        ELSE CAST(FLOOR(ABS(spend_raw * 100.0) + 0.5) AS DOUBLE) / 100.0
-                   END AS spend
+        scaled AS (
+            SELECT c_custkey, c_nationkey, spend_raw,
+                   ABS(spend_raw * 100.0) AS y
             FROM cust_spend
+        ),
+        rounded AS (
+            -- exact std::round mirror (see functions.determinism.duck_round):
+            -- split the integer part BEFORE the fraction compare — the old
+            -- FLOOR(y + 0.5) form rounds up one ulp below a half-integer —
+            -- and return the input itself at zero so the sign of -0.0
+            -- survives (round-9 sweep of the round-8 fix into SQL text)
+            SELECT c_custkey, c_nationkey,
+                   CASE WHEN spend_raw = 0 THEN spend_raw
+                        WHEN spend_raw < 0
+                        THEN -((FLOOR(y) + (CASE WHEN y - FLOOR(y) >= 0.5
+                                            THEN 1 ELSE 0 END)) / 100.0)
+                        ELSE (FLOOR(y) + (CASE WHEN y - FLOOR(y) >= 0.5
+                                          THEN 1 ELSE 0 END)) / 100.0
+                   END AS spend
+            FROM scaled
         ),
         nation_top AS (
             SELECT n.n_regionkey, cs.c_custkey, cs.spend,

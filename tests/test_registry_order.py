@@ -1,17 +1,23 @@
 """Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r07 greens into
-``LAST_VERIFIED`` (all 159 names driver-evidenced; the r07 window
-closed the 13-member changed band and the r02-era tail), the entries
-whose evidence does not describe their CURRENT text are the round-8
-edits — dominated by the duck_round std::round fix (42 plan-visible
-users + f02/f03 UDF internals), plus the a27 ``F.get`` hardening and
-the g26/g28 checkpoint-release change: 47 names, all re-proven
-value-identical locally on all three fixture SFs (see
-driver_evidence.py).  These tests pin the r08 window shape: that
-47-member changed band first, then the 3 stalest r03 entries filling
-the remaining slots.
+``queries()`` in insertion order.  After folding the r08 greens into
+``LAST_VERIFIED`` (all 159 names driver-evidenced; the r08 window
+closed the 47-member round-8 changed band plus f04/f05/f06), the
+entries whose evidence does not describe their CURRENT text are:
+
+- the nine round-8 duck_round users the r08 hand-list missed
+  (ADVICE r08) — a20, c01, e01-e04, e09, e11, g13;
+- three inline round-to-cents sites (e06, e10_batch_twin, f10) the
+  mechanical derivation (``driver_evidence.round_mirror_users``)
+  surfaced beyond even ADVICE's list — formula unchanged but
+  re-proven once under the conservative policy;
+- ``b38_sql_cte_chain``, whose inline SQL got the round-9 sweep of the
+  exact std::round mirror.
+
+These tests pin the r09 window shape: that 13-member changed band
+first, then the 6 stalest r03 entries and the r05 band filling the
+remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -24,34 +30,25 @@ from data_lake_staging_engine_spark.driver_evidence import (
     CHANGED_IN,
     DRIVER_VERIFIED,
     LAST_VERIFIED,
+    ROUND_MIRROR_CHANGED,
     changed_since_verified,
+    round_mirror_users,
     sweep_rank,
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 8 (see driver_evidence.py)
+# Text newer than driver evidence as of round 9 (see driver_evidence.py)
 # — an independent mirror of CHANGED_IN so a drive-by edit to either
-# side fails loudly. 42 duck_round plan users + f02/f03 (UDF-internal
-# duck_round twins) + a27 (F.get) + g26/g28 (checkpoint release).
+# side fails loudly.  9 duck_round users the r08 window missed + b38's
+# round-9 SQL-mirror sweep.
 # fmt: off
 CHANGED_BAND = {
-    "a15_bucketed_join", "a18_python_datasource", "a27_scan_text",
-    "b01_project_arith", "b15_join_broadcast", "b20_agg_groupby",
-    "b25_agg_cube", "b27_agg_stats", "b28_agg_percentile",
-    "b31_agg_salted_skew", "b35_join_salted_skew", "b38_sql_cte_chain",
-    "c03_win_running_sum", "c04_win_moving_rows",
-    "c05_win_range_interval", "c08_win_forward_fill",
-    "c09_win_nth_trailing", "d03_fn_math", "d04_fn_cond",
-    "d05_fn_array", "d12_fn_trig", "f02_pandas_udf_scalar",
-    "f03_pandas_udf_grouped_agg", "g02_dedup_near", "g02b_dedup_lsh",
-    "g02d_dedup_ngram", "g02e_dedup_lsh_shingle", "g03_simsearch_topk",
-    "g03b_simsearch_knn", "g03c_simsearch_lsh", "g03d_embed_neardup",
-    "g03e_simsearch_ivf", "g04_centroids", "g07_text_tfidf",
-    "g08_text_stats", "g08b_text_quality", "g11_events_user_join",
-    "g12_contamination", "g16_event_funnel", "g18_embed_quantize",
-    "g20_unigram_logprob", "g21_dedup_agreement", "g23_text_repetition",
-    "g26_dedup_clusters", "g28_semantic_dedup", "g29_quality_gate",
-    "g30_dedup_incremental",
+    "a20_observed_metrics", "b38_sql_cte_chain", "c01_win_ranking",
+    "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
+    "e04_stream_watermark", "e06_stream_stateful",
+    "e09_stream_static_join", "e10_batch_twin",
+    "e11_stream_dedup_then_window", "f10_cogroup_in_pandas",
+    "g13_kmeans_iterations",
 }
 # fmt: on
 
@@ -74,36 +71,66 @@ def test_changed_band_heads_the_window():
     assert set(CHANGED_IN) <= DRIVER_VERIFIED
 
 
+def test_round_mirror_users_all_marked_or_reproven():
+    """ADVICE r08: the round-8 changed band was hand-listed and missed
+    nine duck_round users.  Derive the user set mechanically (static
+    call-graph + inline-source scan, no Spark needed) and require every
+    member to be either driver-verified on post-change text or carry a
+    CHANGED_IN marker at least as new as the change.  When duck_round
+    changes again, bumping ROUND_MIRROR_CHANGED makes this test force
+    the re-marking."""
+    reg = registry()
+    users = round_mirror_users({n: rq.fn for n, rq in reg.items()})
+    # Sanity floor: the derivation sees the known big users; an
+    # accidentally-empty scan must not pass vacuously.
+    assert {"b20_agg_groupby", "c03_win_running_sum", "e01_stream_tumbling",
+            "f02_pandas_udf_scalar", "b38_sql_cte_chain"} <= users
+    stale = {
+        n
+        for n in users
+        if LAST_VERIFIED.get(n, 0) < ROUND_MIRROR_CHANGED
+        and CHANGED_IN.get(n, 0) < ROUND_MIRROR_CHANGED
+        and n not in ENV_GATED
+    }
+    assert not stale, f"round-mirror users with pre-change evidence and no marker: {sorted(stale)}"
+
+
 def test_window_fills_with_stalest_evidence():
     reg = registry()
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # No r02-era evidence is left (the r07 window re-proved b25..b34);
-    # the r03 pandas-UDF/text tail is now the stalest band.
+    # The stalest band-1 evidence is the 7-member r03 pandas-UDF/text
+    # tail, then the r05 band (g13 is lifted out of it into band 0).
     assert not any(r <= 2 for r in LAST_VERIFIED.values())
     stale_r03 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 3 and n not in CHANGED_IN
+        n for n, r in LAST_VERIFIED.items() if r == 3 and not changed_since_verified(n)
     )
-    assert len(stale_r03) == 10
+    assert len(stale_r03) == 6  # the 7-member r03 tail minus f10 (band 0)
     stale_r05 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 5 and n not in CHANGED_IN
+        n for n, r in LAST_VERIFIED.items() if r == 5 and not changed_since_verified(n)
     )
-    assert window == (head + stale_r03 + stale_r05)[:50]
+    stale_r06 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 6 and not changed_since_verified(n)
+    )
+    # 13 changed + 6 r03 + 27 r05 = 46; the 4 spare slots fall to the
+    # oldest r06 prefix.
+    assert window == (head + stale_r03 + stale_r05 + stale_r06)[:50]
     # Everything past the window is ordered by non-decreasing evidence
-    # round (r05 remainder <= r06 <= r07).
+    # round (r05 remainder <= r06 <= r07 <= r08).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    assert sweep_rank("a27_scan_text", True)[0] == 0
-    assert sweep_rank("g26_dedup_clusters", True)[0] == 0
-    r03 = sweep_rank("f04_apply_in_pandas", True)
+    assert sweep_rank("b38_sql_cte_chain", True)[0] == 0
+    assert sweep_rank("g13_kmeans_iterations", True)[0] == 0
+    r03 = sweep_rank("f07_arrow_udf", True)
     r05 = sweep_rank("b56_join_lateral", True)
     r06 = sweep_rank("a01_scan_parquet", True)
     r07 = sweep_rank("b26_agg_grouping_sets", True)
-    assert r03 < r05 < r06 < r07
+    r08 = sweep_rank("b20_agg_groupby", True)
+    assert r03 < r05 < r06 < r07 < r08
     assert r03[0] == 1  # verified, just stale — band 1
 
 
