@@ -178,6 +178,10 @@ CHANGED_IN: dict[str, int] = {
     # round-9 sweep of the exact std::round mirror into b38's inline
     # SQL text (was the pre-fix FLOOR(y + 0.5) form).
     "b38_sql_cte_chain": 9,
+    # round-9 idiom normalization: d07's MapType access moved from
+    # .getItem("k") to try_element_at (same NULL-on-missing value, new
+    # plan text — VERDICT r08 demerit #2).
+    "d07_fn_json": 9,
 }
 # fmt: on
 

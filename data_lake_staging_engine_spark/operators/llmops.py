@@ -2197,8 +2197,27 @@ def _min_label_components(pairs: DataFrame, max_rounds: int = 64) -> DataFrame:
     return labels
 
 
+# Broadcast the delta-iteration frontier when it has at most this many
+# entries (16 B/entry => ~16 MB at the cap, well under the executor
+# budget); above it, fall back to the shuffle join.  Module-level so
+# tests can pin both sides of the switch.
+_FRONTIER_BROADCAST_CAP = 1_000_000
+
+
+def _local_ckpt_rdd_id(df: DataFrame) -> int | None:
+    """RDD id behind a localCheckpoint-ed frame (None when the frame is
+    not a checkpoint) — observation seam for the posture tests."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            return plan.rdd().id()
+    except Exception:
+        pass
+    return None
+
+
 def _min_label_components_rounds(
-    pairs: DataFrame, max_rounds: int = 64
+    pairs: DataFrame, max_rounds: int = 64, round_log: list | None = None
 ) -> tuple[DataFrame, int]:
     """Min-label connected components with pointer doubling; returns
     (labels, rounds-to-converge).
@@ -2260,11 +2279,8 @@ def _min_label_components_rounds(
         frontier = labels
         frontier_size = labels.count()
         for rounds in range(1, max_rounds + 1):
-            src = (
-                F.broadcast(frontier)
-                if frontier_size <= 1_000_000
-                else frontier
-            )
+            will_broadcast = frontier_size <= _FRONTIER_BROADCAST_CAP
+            src = F.broadcast(frontier) if will_broadcast else frontier
             neigh = (
                 edges.join(src, edges["d2"] == src["node"])
                 .groupBy("d1")
@@ -2305,6 +2321,22 @@ def _min_label_components_rounds(
                 new_labels.filter(F.col("label") != F.col("olabel"))
                 .select("node", "label")
             )
+            if round_log is not None:
+                # Observation seam for tests/test_strategies.py's posture
+                # pins — zero work in production (round_log=None).
+                round_log.append(
+                    {
+                        "round": rounds,
+                        "frontier_size_entering": frontier_size,
+                        "broadcast": will_broadcast,
+                        "plan_broadcast": "BroadcastHashJoin"
+                        in neigh._jdf.queryExecution().executedPlan().toString(),
+                        "ckpt_rdd_id": _local_ckpt_rdd_id(new_labels),
+                        "released_rdd_id": _local_ckpt_rdd_id(prev_ckpt),
+                        "frontier_checkpointed": _local_ckpt_rdd_id(frontier)
+                        is not None,
+                    }
+                )
             frontier_size = frontier.count()
             labels = new_labels.select("node", "label")
             # The previous round's checkpoint can never be read again

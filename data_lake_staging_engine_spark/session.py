@@ -145,10 +145,13 @@ def release_local_checkpoint(df) -> None:
     DataFrame once nothing will read it again.
 
     ``Dataset.unpersist()`` is a NO-OP for checkpoints — they never
-    register with the CacheManager — so iterative operators that
-    checkpoint per round (g26/g28 components, g13 k-means) would
-    otherwise hold every superseded round's blocks until session end
-    (ADVICE r07). The checkpointed RDD lives inside the analyzed plan's
+    register with the CacheManager — so the one operator family that
+    checkpoints per round (the g26/g28 components delta-iteration)
+    would otherwise hold every superseded round's blocks until session
+    end (ADVICE r07).  The other iterative operators (g13 k-means,
+    g03e's IVF build) re-derive their loop state lazily and take a
+    SINGLE final checkpoint that the caller still needs — nothing to
+    release there (ADVICE r08 premise probed round 9). The checkpointed RDD lives inside the analyzed plan's
     ``LogicalRDD``; unpersisting THAT rdd releases the blocks (verified
     against ``sc.getRDDStorageInfo`` on pyspark 4.1.2).
 

@@ -15,7 +15,7 @@ entries whose evidence does not describe their CURRENT text are:
 - ``b38_sql_cte_chain``, whose inline SQL got the round-9 sweep of the
   exact std::round mirror.
 
-These tests pin the r09 window shape: that 13-member changed band
+These tests pin the r09 window shape: that 14-member changed band
 first, then the 6 stalest r03 entries and the r05 band filling the
 remaining slots.
 
@@ -39,13 +39,14 @@ from data_lake_staging_engine_spark.registry import registry
 
 # Text newer than driver evidence as of round 9 (see driver_evidence.py)
 # — an independent mirror of CHANGED_IN so a drive-by edit to either
-# side fails loudly.  9 duck_round users the r08 window missed + b38's
-# round-9 SQL-mirror sweep.
+# side fails loudly.  9 duck_round users the r08 window missed + 3
+# derivation-surfaced cents sites + b38's round-9 SQL-mirror sweep +
+# d07's try_element_at normalization.
 # fmt: off
 CHANGED_BAND = {
     "a20_observed_metrics", "b38_sql_cte_chain", "c01_win_ranking",
     "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
-    "e04_stream_watermark", "e06_stream_stateful",
+    "d07_fn_json", "e04_stream_watermark", "e06_stream_stateful",
     "e09_stream_static_join", "e10_batch_twin",
     "e11_stream_dedup_then_window", "f10_cogroup_in_pandas",
     "g13_kmeans_iterations",
@@ -113,7 +114,7 @@ def test_window_fills_with_stalest_evidence():
     stale_r06 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 6 and not changed_since_verified(n)
     )
-    # 13 changed + 6 r03 + 27 r05 = 46; the 4 spare slots fall to the
+    # 14 changed + 6 r03 + 27 r05 = 47; the 3 spare slots fall to the
     # oldest r06 prefix.
     assert window == (head + stale_r03 + stale_r05 + stale_r06)[:50]
     # Everything past the window is ordered by non-decreasing evidence

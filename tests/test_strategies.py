@@ -240,6 +240,21 @@ def test_min_label_pointer_doubling_round_count(spark):
     assert got == {i: 0 for i in range(n)}
 
 
+def _wait_storage_count(jsc, want: int, timeout_s: float = 10.0) -> int:
+    """Poll getRDDStorageInfo until the count drops to ``want`` (or the
+    timeout passes) — rdd.unpersist(False) and Dataset.unpersist() are
+    NON-blocking, so asserting the count on the first read races the
+    async block removal (ADVICE r08)."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    n = len(jsc.getRDDStorageInfo())
+    while n > want and time.monotonic() < deadline:
+        time.sleep(0.1)
+        n = len(jsc.getRDDStorageInfo())
+    return n
+
+
 def test_min_label_components_releases_checkpoints(spark):
     """ADVICE r07: the per-round localCheckpoints must not accumulate —
     each superseded round's blocks are released and the frontier is
@@ -258,10 +273,55 @@ def test_min_label_components_releases_checkpoints(spark):
     before = len(jsc.getRDDStorageInfo())
     labels, rounds = _min_label_components_rounds(pairs)
     assert rounds >= 3  # multi-round, or the test proves nothing
-    after = len(jsc.getRDDStorageInfo())
+    after = _wait_storage_count(jsc, before + 1)
     assert after - before <= 1, (before, after, rounds)
     # the surviving checkpoint is the one the caller still needs
     assert labels.count() == 256
+
+
+def test_min_label_delta_iteration_posture(spark, monkeypatch):
+    """VERDICT r08 #2: pin g26's delta-iteration EXECUTION posture, not
+    just its fixpoint — (a) every round whose entering frontier fits
+    the cap joins a broadcast frontier and the physical plan really
+    contains a BroadcastHashJoin; (b) each round releases exactly the
+    previous round's superseded checkpoint; (c) the frontier is a
+    derived filter, never re-checkpointed.  Then flip the cap to 0 and
+    pin the shuffle fallback wiring (same fixpoint, broadcast hint
+    off)."""
+    import data_lake_staging_engine_spark.operators.llmops as llmops
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "d1 long, d2 long"
+    )
+    log: list = []
+    labels, rounds = llmops._min_label_components_rounds(pairs, round_log=log)
+    assert rounds >= 3 and len(log) == rounds
+    for entry in log:
+        # (a) 256 nodes is far under the 1M cap in every round
+        assert entry["broadcast"] is True, entry
+        assert entry["plan_broadcast"] is True, entry
+        # (c) the frontier must stay a derivation of the round's
+        # checkpoint, not a second checkpoint
+        assert entry["frontier_checkpointed"] is False, entry
+        assert entry["ckpt_rdd_id"] is not None
+    # (b) round N releases round N-1's checkpoint, no skips
+    for prev, cur in zip(log, log[1:]):
+        assert cur["released_rdd_id"] == prev["ckpt_rdd_id"], (prev, cur)
+    # none of the superseded checkpoints survive in storage
+    jsc = spark.sparkContext._jsc.sc()
+    _wait_storage_count(jsc, 0)  # settle async removals from this run
+    live = {info.id() for info in jsc.getRDDStorageInfo()}
+    superseded = {e["ckpt_rdd_id"] for e in log[:-1]}
+    assert not (live & superseded), (live, superseded)
+
+    # fallback wiring: cap 0 => no broadcast hint, identical fixpoint
+    monkeypatch.setattr(llmops, "_FRONTIER_BROADCAST_CAP", 0)
+    log2: list = []
+    labels2, rounds2 = llmops._min_label_components_rounds(pairs, round_log=log2)
+    assert all(e["broadcast"] is False for e in log2)
+    assert {r.node: r.label for r in labels2.collect()} == {
+        r.node: r.label for r in labels.collect()
+    }
 
 
 def test_a27_text_roundtrip_preserves_payload_tabs(spark):
@@ -328,7 +388,8 @@ def test_release_local_checkpoint_frees_blocks(spark):
     ck.unpersist(blocking=True)  # documented no-op for checkpoints
     assert len(jsc.getRDDStorageInfo()) == before + 1
     release_local_checkpoint(ck)
-    assert len(jsc.getRDDStorageInfo()) == before
+    # the helper's rdd().unpersist(False) is async — poll (ADVICE r08)
+    assert _wait_storage_count(jsc, before) == before
     # non-checkpointed frame: must be a silent no-op
     release_local_checkpoint(spark.range(5))
-    assert len(jsc.getRDDStorageInfo()) == before
+    assert _wait_storage_count(jsc, before) == before
