@@ -1062,14 +1062,21 @@ def b38_sql_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             -- split the integer part BEFORE the fraction compare — the old
             -- FLOOR(y + 0.5) form rounds up one ulp below a half-integer —
             -- and return the input itself at zero so the sign of -0.0
-            -- survives (round-9 sweep of the round-8 fix into SQL text)
+            -- survives (round-9 sweep of the round-8 fix into SQL text).
+            -- The CAST AS DOUBLE before /100.0 is load-bearing: a SQL
+            -- 100.0 literal is DECIMAL, and decimal division would both
+            -- drop -0.0 and leave the division outside double semantics
+            -- (tests/test_fuzz_parity.py::test_sql_text_round_mirror_
+            -- boundary_pin caught exactly that).
             SELECT c_custkey, c_nationkey,
                    CASE WHEN spend_raw = 0 THEN spend_raw
                         WHEN spend_raw < 0
-                        THEN -((FLOOR(y) + (CASE WHEN y - FLOOR(y) >= 0.5
-                                            THEN 1 ELSE 0 END)) / 100.0)
-                        ELSE (FLOOR(y) + (CASE WHEN y - FLOOR(y) >= 0.5
-                                          THEN 1 ELSE 0 END)) / 100.0
+                        THEN -(CAST(FLOOR(y) + (CASE WHEN y - FLOOR(y) >= 0.5
+                                                THEN 1 ELSE 0 END) AS DOUBLE)
+                               / 100.0)
+                        ELSE CAST(FLOOR(y) + (CASE WHEN y - FLOOR(y) >= 0.5
+                                              THEN 1 ELSE 0 END) AS DOUBLE)
+                             / 100.0
                    END AS spend
             FROM scaled
         ),

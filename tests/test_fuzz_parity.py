@@ -1067,6 +1067,51 @@ def test_fuzz_duck_round(spark, fuzz_duck, vals, n):
     )
 
 
+def test_sql_text_round_mirror_boundary_pin(spark, fuzz_duck):
+    """The SQL-TEXT form of the exact std::round mirror (b38's inline
+    CTE — round 9 swept the round-8 duck_round fix into it) must equal
+    DuckDB ROUND on the known one-ulp-below-half boundary values and
+    preserve the sign of zero.  test_fuzz_duck_round proves the Column
+    API; this pins the independently-written SQL string, which the old
+    FLOOR(y + 0.5) text got wrong on every value below."""
+    vals = [
+        0.004999999999999999,   # scaled = 0.49999999999999994 -> 0.0
+        -0.004999999999999999,  # -> -0.0 (sign survives)
+        0.005, -0.005,          # scaled product IS exactly 0.5 -> ±0.01
+        101112.72499999999,     # docstring case: scaled lands on .5
+        2.675, 1.005, -1.005,   # classic shortest-repr traps
+        0.0, -0.0, None,
+    ]
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), list(range(len(vals)))),
+            ("x", pa.float64(), T.DoubleType(), vals),
+        ],
+    )
+    df.createOrReplaceTempView("t_round_mirror")
+    out = spark.sql(
+        """
+        SELECT id,
+               CASE WHEN x = 0 THEN x
+                    WHEN x < 0
+                    THEN -(CAST(FLOOR(y) + (CASE WHEN y - FLOOR(y) >= 0.5
+                                            THEN 1 ELSE 0 END) AS DOUBLE) / 100.0)
+                    ELSE CAST(FLOOR(y) + (CASE WHEN y - FLOOR(y) >= 0.5
+                                          THEN 1 ELSE 0 END) AS DOUBLE) / 100.0
+               END AS r
+        FROM (SELECT id, x, ABS(x * 100.0) AS y FROM t_round_mirror)
+        """
+    )
+    _check(
+        "sql_text_round_mirror",
+        out,
+        fuzz_duck,
+        "SELECT id, ROUND(x, 2) AS r FROM t",
+    )
+
+
 # --------------------------------------------------------------------------
 # 16. Decimal arithmetic (d10 class) — portable domain + downcast pin
 # --------------------------------------------------------------------------
