@@ -937,6 +937,9 @@ def test_fuzz_map_pack(spark, fuzz_duck, maps):
         F.size(m).cast("long").alias("n"),
         F.sort_array(F.map_keys(m)).alias("sk"),
         m.getItem("k0").alias("v0"),
+        # d07's round-9 idiom: try_element_at must be value-identical to
+        # getItem on maps (both NULL-on-missing) — fuzz both in one pass
+        F.try_element_at(m, F.lit("k1")).alias("v1"),
         F.when(F.size(m) > 0, fold).alias("vsum"),
     )
     _check(
@@ -949,6 +952,7 @@ def test_fuzz_map_pack(spark, fuzz_duck, maps):
                CAST(cardinality(m) AS BIGINT) AS n,
                list_sort(map_keys(m)) AS sk,
                (m['k0'])[1] AS v0,
+               (m['k1'])[1] AS v1,
                CASE WHEN cardinality(m) > 0
                     THEN list_aggregate(map_values(m), 'sum') END AS vsum
         FROM b
