@@ -553,7 +553,13 @@ def b27_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b28_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation — same definition as
     DuckDB quantile_cont). At 100 TB prefer approx_percentile; the exact
-    form is the correctness anchor."""
+    form is the correctness anchor.
+
+    Pairing fuzzed in tests/test_fuzz_parity.py (round 9): identical on
+    arbitrary finite doubles EXCEPT mixed-zero multisets {0.0, -0.0},
+    where Spark emits -0.0 and DuckDB +0.0 — a pinned divergence
+    (test_percentile_mixed_zero_divergence_pin); no fixture column
+    carries -0.0."""
     e = load(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         duck_round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
