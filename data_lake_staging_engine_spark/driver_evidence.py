@@ -182,6 +182,10 @@ CHANGED_IN: dict[str, int] = {
     # .getItem("k") to try_element_at (same NULL-on-missing value, new
     # plan text — VERDICT r08 demerit #2).
     "d07_fn_json": 9,
+    # round-9 fuzz find: b27's corr hardened to safe_corr (plain F.corr
+    # throws DIVIDE_BY_ZERO under ANSI on zero-variance groups; twin
+    # marginals masked to the pairwise-complete row set).
+    "b27_agg_stats": 9,
 }
 # fmt: on
 

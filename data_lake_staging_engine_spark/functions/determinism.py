@@ -85,6 +85,33 @@ def dec_sum_expr(expr: Column, scale: int = 4, round_to: int = 2) -> Column:
     )
 
 
+def safe_corr(x: Column | str, y: Column | str) -> Column:
+    """ANSI-safe Pearson correlation aligned with DuckDB's corr.
+
+    Two traps, both found by the round-9 contract-domain fuzz
+    (tests/test_fuzz_parity.py::test_fuzz_stats_contract_domain):
+
+    1. ``F.corr`` THROWS DIVIDE_BY_ZERO under ANSI mode (the Spark 4
+       default) whenever a group's variance is zero — constant column,
+       n >= 2 — where DuckDB returns NULL.  The try_divide form
+       returns NULL in exactly DuckDB's NULL cases (probed: n=1, zero
+       variance, all-pairs-incomplete).
+    2. corr is PAIRWISE-complete (a row counts only when both inputs
+       are non-null), but the naive twin covar/(sd(x)*sd(y)) computes
+       the marginal stddevs with UNIVARIATE null-deletion — over a
+       different row set when nulls are one-sided, which even produced
+       |corr| > 1.  Masking each marginal by the other column's
+       non-nullness restores the pairwise row set exactly.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    xp = F.when(yc.isNotNull(), xc)
+    yp = F.when(xc.isNotNull(), yc)
+    return F.try_divide(
+        F.covar_samp(xp, yp), F.stddev_samp(xp) * F.stddev_samp(yp)
+    )
+
+
 def as_long(col: Column) -> Column:
     """Cast to long — DuckDB emits BIGINT for row_number/ntile/year/
     grouping/levenshtein etc. where Spark emits int; align schemas."""

@@ -25,6 +25,7 @@ from data_lake_staging_engine_spark.functions.determinism import (
     dec_sum,
     dec_sum_expr,
     duck_round,
+    safe_corr,
 )
 from data_lake_staging_engine_spark.registry import query
 from data_lake_staging_engine_spark.sources import load, register_views
@@ -532,11 +533,25 @@ def b26_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b27_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degenerate-group hardening (round-9 fuzz find): under ANSI mode
+    (the Spark 4 default, so also the driver's vanilla session)
+    ``F.corr`` THROWS DIVIDE_BY_ZERO whenever a group's variance is
+    zero (constant column, n >= 2), where DuckDB's corr returns NULL.
+    The fixture groups are large and non-constant, so this was latent —
+    but a 100 TB engine cannot throw on a degenerate group.
+    ``safe_corr`` (functions.determinism) is the NULL- and ANSI-aligned
+    twin: try_divide for DuckDB's NULL cases, marginals masked to the
+    pairwise-complete row set.  stddev/var need no guard (NULL at n=1
+    both engines).  Fuzzed on the contract-shaped domain incl. constant
+    columns and one-sided nulls by
+    tests/test_fuzz_parity.py::test_fuzz_stats_contract_domain."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         duck_round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         duck_round(F.var_samp("l_quantity"), 4).alias("var_qty"),
-        duck_round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        duck_round(
+            safe_corr("l_quantity", "l_extendedprice"), 6
+        ).alias("corr_qty_price"),
     )
 
 

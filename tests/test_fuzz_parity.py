@@ -1710,3 +1710,70 @@ def test_percentile_mixed_zero_divergence_pin(spark, fuzz_duck):
         "FROM (SELECT UNNEST([CAST(0.0 AS DOUBLE), CAST(-0.0 AS DOUBLE)]) AS v)"
     ).fetchone()
     assert [repr(x) for x in dk] == ["0.0", "0.0", "0.0"]
+
+
+# --------------------------------------------------------------------------
+# 23. Moment aggregates on the contract-shaped domain (b27 class)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(-1, 1),                                   # group
+            st.one_of(st.none(), st.integers(1, 50)),             # qty
+            st.one_of(st.none(), st.integers(0, 10**7)),          # cents
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_fuzz_stats_contract_domain(spark, fuzz_duck, rows):
+    """b27's pairing: stddev_samp / var_samp to 4 decimals and corr to
+    6 decimals must agree across engines on the CONTRACT-shaped domain
+    (lineitem-like small-int quantities, exact-cents prices) — the
+    engines' moment accumulations are order-dependent floats, so this
+    is a rounding-margin claim, not an exactness claim, and the fuzz
+    keeps it honest on arbitrary group sizes including n=1 (NULL
+    stddev/corr both sides) and constant columns (corr NULL/NaN
+    divergence would surface here)."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("g", pa.int64(), T.LongType(), [r[0] for r in rows]),
+            ("q", pa.int64(), T.LongType(), [r[1] for r in rows]),
+            (
+                "p",
+                pa.float64(),
+                T.DoubleType(),
+                [None if r[2] is None else r[2] / 100.0 for r in rows],
+            ),
+        ],
+    )
+    from data_lake_staging_engine_spark.functions.determinism import duck_round
+
+    from data_lake_staging_engine_spark.functions.determinism import safe_corr
+
+    out = df.groupBy("g").agg(
+        duck_round(F.stddev_samp("q"), 4).alias("sd_q"),
+        duck_round(F.var_samp("q"), 4).alias("var_q"),
+        # b27's hardened corr twin — plain F.corr THROWS under ANSI on
+        # zero-variance groups, and the naive covar/(sd*sd) form uses
+        # univariate null-deletion (both findings of this domain)
+        duck_round(safe_corr("q", "p"), 6).alias("corr_qp"),
+    )
+    _check(
+        "stats_contract_domain",
+        out,
+        fuzz_duck,
+        """
+        SELECT g,
+               ROUND(stddev_samp(q), 4) AS sd_q,
+               ROUND(var_samp(q), 4) AS var_q,
+               ROUND(corr(q, p), 6) AS corr_qp
+        FROM t GROUP BY g
+        """,
+    )
