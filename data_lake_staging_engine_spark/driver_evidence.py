@@ -186,6 +186,11 @@ CHANGED_IN: dict[str, int] = {
     # throws DIVIDE_BY_ZERO under ANSI on zero-variance groups; twin
     # marginals masked to the pairwise-complete row set).
     "b27_agg_stats": 9,
+    # round-9 degenerate-data division sweep (the b27 find generalized;
+    # tests/test_degenerate_groups.py): g16's conversion try_divide,
+    # f04's z-score n=1/sd=0 NULL guard, b36's hi==lo bucket-0 CASE on
+    # both engines.
+    "g16_event_funnel": 9, "f04_apply_in_pandas": 9, "b36_histogram": 9,
 }
 # fmt: on
 

@@ -1682,10 +1682,16 @@ def g16_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_user.groupBy("c_mktsegment").agg(
         F.sum(signed.cast("long")).alias("n_signup_users"),
         F.sum(converted.cast("long")).alias("n_converted"),
+        # try_divide (round-9 degenerate-group sweep): a segment with
+        # ZERO signed-up users makes the plain `/` THROW under ANSI
+        # (the Spark 4 / driver default) where the DuckDB oracle emits
+        # NULL — same class as b27's safe_corr; fixture-latent (every
+        # fixture segment has signups).
         duck_round(
-            F.sum(converted.cast("long"))
-            * F.lit(1.0)
-            / F.sum(signed.cast("long")),
+            F.try_divide(
+                F.sum(converted.cast("long")) * F.lit(1.0),
+                F.sum(signed.cast("long")),
+            ),
             4,
         ).alias("conversion"),
     )

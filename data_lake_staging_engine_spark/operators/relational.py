@@ -962,8 +962,9 @@ def b55_subquery_corr_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
                FROM orders)
-    SELECT CAST(LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19)
-                AS BIGINT) AS bucket,
+    SELECT CAST(CASE WHEN hi = lo THEN 0
+                     ELSE LEAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)), 19)
+                END AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders, b
     GROUP BY 1
@@ -976,14 +977,23 @@ def b36_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical IEEE expression. The min/max bounds are one tiny
     aggregate broadcast into the bucketing scan — two passes total,
     both full-scan-shaped, no row-level shuffle beyond the 20-group
-    aggregation."""
+    aggregation.
+
+    Degenerate-range guard (round-9 sweep): a constant column makes
+    hi == lo, where the unguarded divide THROWS under ANSI on the Spark
+    side and the engines disagree on the fallthrough (DuckDB NULL/0 ->
+    NULL bucket, Spark least(NULL, 19) -> 19) — the same CASE lands all
+    rows in bucket 0 on BOTH engines, matching g18's quantizer
+    precedent."""
     o = load(spark, sf_dir, "orders")
     bounds = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(20)
-    bucket = F.least(
-        F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / width), F.lit(19)
+        )
     )
     return (
         o.crossJoin(F.broadcast(bounds))

@@ -212,7 +212,21 @@ def f04_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = pdf["value"].to_numpy()
         # match SQL AVG / STDDEV_SAMP definitions explicitly
         m = float(np.sum(v)) / len(v)
-        sd = math.sqrt(float(np.sum((v - m) ** 2)) / (len(v) - 1))
+        # degenerate groups (round-9 sweep): n=1 would ZeroDivisionError
+        # here and a constant group would divide by sd=0 below; the SQL
+        # oracle emits NULL in both (stddev_samp NULL at n=1; x/0 NULL
+        # in DuckDB) — mirror that instead of crashing the task.
+        den = len(v) - 1
+        sd = math.sqrt(float(np.sum((v - m) ** 2)) / den) if den else 0.0
+        if sd == 0.0:
+            return pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "event_type": pdf["event_type"],
+                    # object dtype so Arrow emits real NULLs, not NaN
+                    "z": pd.Series([None] * len(v), dtype=object),
+                }
+            )
         z = (v - m) / sd
         zr = np.floor(np.abs(z) * 1000.0 + 0.5) / 1000.0 * np.sign(z)
         return pd.DataFrame(

@@ -16,9 +16,13 @@ entries whose evidence does not describe their CURRENT text are:
   exact std::round mirror;
 - ``d07_fn_json`` (try_element_at normalization) and
   ``b27_agg_stats`` (safe_corr hardening — the round-9 fuzz find),
-  both changed in round 9.
+  both changed in round 9;
+- the round-9 degenerate-data division sweep: ``g16_event_funnel``
+  (try_divide conversion), ``f04_apply_in_pandas`` (z-score NULL
+  guard), ``b36_histogram`` (hi = lo bucket-0 CASE) — see
+  tests/test_degenerate_groups.py.
 
-These tests pin the r09 window shape: that 15-member changed band
+These tests pin the r09 window shape: that 18-member changed band
 first, then the 6 stalest r03 entries and the r05 band filling the
 remaining slots.
 
@@ -47,12 +51,14 @@ from data_lake_staging_engine_spark.registry import registry
 # d07's try_element_at normalization.
 # fmt: off
 CHANGED_BAND = {
-    "a20_observed_metrics", "b27_agg_stats", "b38_sql_cte_chain",
-    "c01_win_ranking", "d07_fn_json", "e01_stream_tumbling",
-    "e02_stream_sliding", "e03_stream_session", "e04_stream_watermark",
-    "e06_stream_stateful", "e09_stream_static_join", "e10_batch_twin",
-    "e11_stream_dedup_then_window", "f10_cogroup_in_pandas",
-    "g13_kmeans_iterations",
+    "a20_observed_metrics", "b27_agg_stats", "b36_histogram",
+    "b38_sql_cte_chain", "c01_win_ranking", "d07_fn_json",
+    "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
+    "e04_stream_watermark", "e06_stream_stateful",
+    "e09_stream_static_join", "e10_batch_twin",
+    "e11_stream_dedup_then_window", "f04_apply_in_pandas",
+    "f10_cogroup_in_pandas", "g13_kmeans_iterations",
+    "g16_event_funnel",
 }
 # fmt: on
 
@@ -117,8 +123,8 @@ def test_window_fills_with_stalest_evidence():
     stale_r06 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 6 and not changed_since_verified(n)
     )
-    # 15 changed + 6 r03 + 27 r05 = 48; the 2 spare slots fall to the
-    # oldest r06 prefix.
+    # 18 changed + 6 r03 + 26 r05 = 50 exactly — no spare slots; the
+    # r06 band starts past the window.
     assert window == (head + stale_r03 + stale_r05 + stale_r06)[:50]
     # Everything past the window is ordered by non-decreasing evidence
     # round (r05 remainder <= r06 <= r07 <= r08).
