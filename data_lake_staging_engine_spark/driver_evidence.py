@@ -191,6 +191,17 @@ CHANGED_IN: dict[str, int] = {
     # f04's z-score n=1/sd=0 NULL guard, b36's hi==lo bucket-0 CASE on
     # both engines.
     "g16_event_funnel": 9, "f04_apply_in_pandas": 9, "b36_histogram": 9,
+    # round-9 empty-input audit (tests/test_empty_input.py): explicit-
+    # schema read-back after partitioned writes (a09 a16 a17 + the
+    # StagingPipeline sync behind a13) and the _doc_bitmaps vocab==0
+    # floor (the 8 bitmap-dedup users, derived by the same static
+    # reachability scan as round_mirror_users).
+    "a09_sink_parquet_partitioned": 9, "a13_stream_ingest_foreachbatch": 9,
+    "a16_partition_pruned_scan": 9, "a17_dynamic_partition_overwrite": 9,
+    "g02_dedup_near": 9, "g02b_dedup_lsh": 9, "g02d_dedup_ngram": 9,
+    "g02e_dedup_lsh_shingle": 9, "g12_contamination": 9,
+    "g21_dedup_agreement": 9, "g26_dedup_clusters": 9,
+    "g30_dedup_incremental": 9,
 }
 # fmt: on
 

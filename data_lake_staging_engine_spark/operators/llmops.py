@@ -253,7 +253,13 @@ def _doc_bitmaps(
             f"bitmap strategy requires vocab <= {_BITMAP_MAX_VOCAB}, got {vocab_n}; "
             "route through _bitmap_vocab / the token-join path"
         )
-    n_words = (vocab_n + 63) // 64
+    # max(1, ...): an EMPTY corpus has vocab_n == 0, which would build
+    # zero bitmap columns and hit Spark's "exprs should not be empty"
+    # assert in agg() (round-9 empty-input audit — 8 dedup queries
+    # crashed).  One all-zero word column is inert: the vocab join
+    # yields no rows, so masks/pairs are empty frames with the right
+    # schema and every downstream stage no-ops.
+    n_words = max(1, (vocab_n + 63) // 64)
     if vocab is None:
         vocab = toks.select("tok").distinct()
     vocab = vocab.withColumn(

@@ -221,7 +221,9 @@ def a09_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("year", "month", "day")
         .parquet(staged)
     )
-    back = spark.read.parquet(staged)
+    # explicit schema: a zero-row write leaves no files to infer from
+    # (empty landing partition — round-9 empty-input audit)
+    back = spark.read.schema(e.schema).parquet(staged)
     return back.groupBy(
         as_long(F.col("year")).alias("year"),
         as_long(F.col("month")).alias("month"),
@@ -395,7 +397,8 @@ def a16_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("year", "month", "day")
         .parquet(staged)
     )
-    back = spark.read.parquet(staged)
+    # explicit schema: zero-row write => no files => inference throws
+    back = spark.read.schema(e.schema).parquet(staged)
     return (
         back.filter(F.col("day") <= 7)
         .groupBy(as_long(F.col("day")).alias("day"))
@@ -433,7 +436,8 @@ def a17_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         .partitionBy("year", "month", "day")
         .parquet(staged)
     )
-    back = spark.read.parquet(staged)
+    # explicit schema: zero-row write => no files => inference throws
+    back = spark.read.schema(e.schema).parquet(staged)
     return back.groupBy(as_long(F.col("day")).alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )

@@ -111,8 +111,20 @@ class StagingPipeline:
         catalog entry."""
         return self._writer().start()
 
+    def staged_schema(self) -> StructType:
+        """Schema of the staged table, derived by running the transform
+        over an empty frame of the landing schema.  Read-back must NOT
+        rely on inference: a zero-row drain (empty landing partition —
+        routine at scale) writes no parquet files, and inference over
+        the file-less staged dir throws UNABLE_TO_INFER_SCHEMA
+        (round-9 empty-input audit)."""
+        empty = self.spark.createDataFrame([], self.schema)
+        return self.transform(empty).schema
+
     def sync(self) -> DataFrame:
-        staged = self.spark.read.parquet(self.staged_dir)
+        staged = self.spark.read.schema(self.staged_schema()).parquet(
+            self.staged_dir
+        )
         self.catalog.sync_table(staged, self.table, list(self.partition_cols))
         return self.catalog.read_table(self.spark, self.table)
 

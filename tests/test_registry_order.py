@@ -20,9 +20,12 @@ entries whose evidence does not describe their CURRENT text are:
 - the round-9 degenerate-data division sweep: ``g16_event_funnel``
   (try_divide conversion), ``f04_apply_in_pandas`` (z-score NULL
   guard), ``b36_histogram`` (hi = lo bucket-0 CASE) — see
-  tests/test_degenerate_groups.py.
+  tests/test_degenerate_groups.py;
+- the round-9 empty-input audit: explicit-schema read-back in
+  a09/a13/a16/a17 and the _doc_bitmaps vocab==0 floor in the 8
+  bitmap-dedup users — see tests/test_empty_input.py.
 
-These tests pin the r09 window shape: that 18-member changed band
+These tests pin the r09 window shape: that 30-member changed band
 first, then the 6 stalest r03 entries and the r05 band filling the
 remaining slots.
 
@@ -51,14 +54,18 @@ from data_lake_staging_engine_spark.registry import registry
 # d07's try_element_at normalization.
 # fmt: off
 CHANGED_BAND = {
+    "a09_sink_parquet_partitioned", "a13_stream_ingest_foreachbatch",
+    "a16_partition_pruned_scan", "a17_dynamic_partition_overwrite",
     "a20_observed_metrics", "b27_agg_stats", "b36_histogram",
     "b38_sql_cte_chain", "c01_win_ranking", "d07_fn_json",
     "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
     "e04_stream_watermark", "e06_stream_stateful",
     "e09_stream_static_join", "e10_batch_twin",
     "e11_stream_dedup_then_window", "f04_apply_in_pandas",
-    "f10_cogroup_in_pandas", "g13_kmeans_iterations",
-    "g16_event_funnel",
+    "f10_cogroup_in_pandas", "g02_dedup_near", "g02b_dedup_lsh",
+    "g02d_dedup_ngram", "g02e_dedup_lsh_shingle", "g12_contamination",
+    "g13_kmeans_iterations", "g16_event_funnel", "g21_dedup_agreement",
+    "g26_dedup_clusters", "g30_dedup_incremental",
 }
 # fmt: on
 
@@ -123,8 +130,8 @@ def test_window_fills_with_stalest_evidence():
     stale_r06 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 6 and not changed_since_verified(n)
     )
-    # 18 changed + 6 r03 + 26 r05 = 50 exactly — no spare slots; the
-    # r06 band starts past the window.
+    # 30 changed + 6 r03 fill the head; the first 14 r05 entries complete
+    # the 50; the r05 remainder and r06+ bands start past the window.
     assert window == (head + stale_r03 + stale_r05 + stale_r06)[:50]
     # Everything past the window is ordered by non-decreasing evidence
     # round (r05 remainder <= r06 <= r07 <= r08).
