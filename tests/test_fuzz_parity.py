@@ -18,7 +18,7 @@ round-trip, so int64 nullability and NULL-vs-NaN survive), runs the
 paired engine expression / oracle SQL, and compares with the strict
 driver-replica `compare()` (multiset of canonicalized rows).
 
-Runtime budget: ~25 examples x 21 Spark-bound properties ~= 2.5-4 min
+Runtime budget: ~25 examples x 27 Spark-bound properties ~= 3-5 min
 on the session fixture. Domains are chosen to be DEFINED-BEHAVIOR on
 both engines (e.g. shift widths bounded, sums bounded away from int64
 overflow, timestamps inside year [1000, 9999]); a failure here is a
@@ -1777,3 +1777,107 @@ def test_fuzz_stats_contract_domain(spark, fuzz_duck, rows):
         FROM t GROUP BY g
         """,
     )
+
+
+# --------------------------------------------------------------------------
+# 24. Set-operation bag semantics (b50/b51/b52 class)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),                                    # side
+            st.one_of(st.none(), st.integers(0, 3)),              # k
+            st.one_of(st.none(), st.sampled_from(["a", "b", ""])),
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+    op=st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL",
+         "EXCEPT", "EXCEPT ALL"]
+    ),
+)
+def test_fuzz_set_ops(spark, fuzz_duck, rows, op):
+    """b50/b51/b52's pairing leans on the engines agreeing about set
+    operations in BOTH variants — distinct (NULL keys collapse as
+    equal, per SQL set-op identity rules) and ALL (bag semantics:
+    INTERSECT ALL keeps min(n1,n2) copies, EXCEPT ALL keeps
+    max(n1-n2,0)). The fixture tables have unique keys, so the
+    duplicate-multiplicity arithmetic and NULL-row identity are
+    exactly what they never exercise: this property attacks both with
+    a collision-heavy 4-value key domain plus NULLs on each column,
+    split into the two operands by a generated side tag."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("side", pa.int64(), T.LongType(), [r[0] for r in rows]),
+            ("k", pa.int64(), T.LongType(), [r[1] for r in rows]),
+            ("s", pa.string(), T.StringType(), [r[2] for r in rows]),
+        ],
+    )
+    df.createOrReplaceTempView("t_fuzz_setop")
+    sql = (
+        "SELECT k, s FROM {table} WHERE side = 1 "
+        f"{op} "
+        "SELECT k, s FROM {table} WHERE side = 2"
+    )
+    out = spark.sql(sql.format(table="t_fuzz_setop"))
+    _check("set_ops", out, fuzz_duck, sql.format(table="t"))
+
+
+# --------------------------------------------------------------------------
+# 25. Conditional pack on a NULL-heavy domain (d04 class)
+# --------------------------------------------------------------------------
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-3, 3)),             # x
+            st.one_of(st.none(), st.integers(-3, 3)),             # y
+            st.one_of(st.none(), st.sampled_from(["x", "y", ""])),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_fuzz_conditional_pack(spark, fuzz_duck, rows):
+    """d04's conditional grammar on the domain the fixture never
+    hits: NULL on either or both comparison operands, NULLIF
+    hitting its equal case, COALESCE falling all the way through,
+    empty-string-vs-NULL distinction, and three-valued CASE
+    comparison chains landing in the ELSE branch only via unknown
+    (not false) predicates. The 7-value operand domain makes every
+    branch dense; IS [NOT] DISTINCT FROM is the null-safe join
+    idiom a19/a29/g30 build their upsert keys on."""
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            ("x", pa.int64(), T.LongType(), [r[0] for r in rows]),
+            ("y", pa.int64(), T.LongType(), [r[1] for r in rows]),
+            ("s", pa.string(), T.StringType(), [r[2] for r in rows]),
+        ],
+    )
+    df.createOrReplaceTempView("t_fuzz_cond")
+    sql = """
+        SELECT id,
+               NULLIF(x, y) AS nz,
+               COALESCE(x, y, 0) AS co,
+               x IS DISTINCT FROM y AS dist,
+               x IS NOT DISTINCT FROM y AS ndist,
+               CASE WHEN x > y THEN 'gt' WHEN x = y THEN 'eq'
+                    WHEN x < y THEN 'lt' ELSE 'null-cmp' END AS band,
+               IFNULL(s, '(null)') AS s_filled,
+               NULLIF(s, '') AS s_nonempty
+        FROM {table}
+    """
+    out = spark.sql(sql.format(table="t_fuzz_cond"))
+    _check("conditional_pack", out, fuzz_duck, sql.format(table="t"))
