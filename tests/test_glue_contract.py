@@ -191,13 +191,18 @@ def test_glue_sync_failure_after_write_leaves_consistent_state(spark, sf_dir, tm
     assert ("lake", "events_glue_fail") not in fake.tables
     assert [c[0] for c in fake.calls] == ["get_table"]
 
-    # 4. retry converges: create succeeds, entry matches the staged data
+    # 4. retry converges: create succeeds, entry matches the staged data.
+    # Partition keys are BIGINT, not int: since the round-9 empty-input
+    # hardening, sync() reads the staged dir with the transform's
+    # DECLARED schema (derive_date_partitions casts year/month/day via
+    # as_long) instead of directory-name inference, so the catalog
+    # entry is inference-independent and stable on zero-row drains.
     back = pipe.sync()
     ti = fake.tables[("lake", "events_glue_fail")]
     assert ti["PartitionKeys"] == [
-        {"Name": "year", "Type": "int"},
-        {"Name": "month", "Type": "int"},
-        {"Name": "day", "Type": "int"},
+        {"Name": "year", "Type": "bigint"},
+        {"Name": "month", "Type": "bigint"},
+        {"Name": "day", "Type": "bigint"},
     ]
     assert back.count() == expected
     # a second healthy sync is an update, never a duplicate create
