@@ -173,8 +173,8 @@ CHANGED_IN: dict[str, int] = {
     # ulp of an integer, never near a half), same as f03's r08-green
     # cents step — but the policy re-proves every derived user on
     # post-change evidence once rather than hand-excluding them.
-    "e06_stream_stateful": 8, "e10_batch_twin": 8,
-    "f10_cogroup_in_pandas": 8,
+    # (e06/e10_batch_twin/f10 were 8 here; re-marked 9 below by the
+    # adversarial audit's NULL-skipping cents fold.)
     # round-9 sweep of the exact std::round mirror into b38's inline
     # SQL text (was the pre-fix FLOOR(y + 0.5) form).
     "b38_sql_cte_chain": 9,
@@ -202,6 +202,21 @@ CHANGED_IN: dict[str, int] = {
     "g02e_dedup_lsh_shingle": 9, "g12_contamination": 9,
     "g21_dedup_agreement": 9, "g26_dedup_clusters": 9,
     "g30_dedup_incremental": 9,
+    # round-9 ADVERSARIAL-corpus audit (scripts/make_adversarial_corpus
+    # + tests/test_adversarial_corpus.py): zero-norm cosine try_divide /
+    # exclusion across the similarity family (g03*, g21, g28),
+    # NULL-skipping SQL-SUM semantics in the pandas/state folds (e06,
+    # e10_batch_twin, f03, f10), NULL-text guards in the UDTF and
+    # multimodal encoders (f06, f08), f04's NULL-aware z-score moments,
+    # try_parse_json in d09, and the NULL-/malformed-JSON-faithful
+    # oracles of d07/d08/d09.
+    "d08_fn_struct": 9, "d09_fn_variant": 9,
+    "e06_stream_stateful": 9, "e10_batch_twin": 9,
+    "f03_pandas_udf_grouped_agg": 9, "f06_udtf": 9,
+    "f08_multimodal_decode": 9, "f10_cogroup_in_pandas": 9,
+    "g03_simsearch_topk": 9, "g03b_simsearch_knn": 9,
+    "g03c_simsearch_lsh": 9, "g03d_embed_neardup": 9,
+    "g03e_simsearch_ivf": 9, "g28_semantic_dedup": 9,
 }
 # fmt: on
 

@@ -204,14 +204,22 @@ def d06_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d07_fn_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_get,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_map
+           CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END,
+                                    '$.k') AS BIGINT) AS k_get,
+           CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END,
+                                    '$.k') AS BIGINT) AS k_map
     FROM events
     """,
 )
 def d07_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction two ways: get_json_object path and from_json to a
-    typed MapType (the engine's JSON-column decode path)."""
+    typed MapType (the engine's JSON-column decode path).
+
+    Malformed-input contract (round-9 adversarial audit): Spark's
+    get_json_object and permissive from_json both yield NULL on a
+    non-JSON string, but DuckDB's json_extract_string THROWS — the
+    oracle needs the json_valid guard to express the same
+    NULL-on-malformed surface."""
     e = load(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return e.select(
@@ -230,13 +238,20 @@ def d07_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d08_fn_struct",
     oracle="""
     SELECT doc_id, lang AS s_lang, n_chars AS s_nchars,
-           concat(lang, ':', CAST(n_chars AS VARCHAR)) AS s_tag
+           lang || ':' || CAST(n_chars AS VARCHAR) AS s_tag
     FROM documents
     """,
 )
 def d08_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct build + field projection round-trip (flattened output per
-    §5.4 item 7)."""
+    §5.4 item 7).
+
+    Oracle uses `||`, not concat(): Spark's F.concat is
+    NULL-propagating (any NULL argument => NULL result) while DuckDB's
+    concat() SKIPS NULL arguments ('en' || ':' || NULL is NULL but
+    concat('en', ':', NULL) is 'en:') — a genuine cross-engine
+    divergence surfaced by the round-9 adversarial audit's NULL
+    n_chars rows and pinned in tests/test_fuzz_parity.py."""
     d = load(spark, sf_dir, "documents")
     s = F.struct(
         F.col("doc_id").alias("id"),
@@ -258,8 +273,10 @@ def d08_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d09_fn_variant",
     oracle="""
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
-           json_extract_string(props, '$.k') AS k_string
+           CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END,
+                                    '$.k') AS BIGINT) AS k_variant,
+           json_extract_string(CASE WHEN json_valid(props) THEN props END,
+                               '$.k') AS k_string
     FROM events
     """,
 )
@@ -267,9 +284,15 @@ def d09_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT type: parse_json into the binary semi-structured
     encoding, then typed path extraction with variant_get — the
     shred-on-read JSON path a lakehouse staging layer uses when the
-    payload schema is open-ended (vs d07's schema-ful from_json)."""
+    payload schema is open-ended (vs d07's schema-ful from_json).
+
+    try_parse_json, not parse_json: a malformed props string must
+    shred to a NULL variant (NULL k_*), not throw
+    MALFORMED_RECORD_IN_PARSING — an ingest pipeline cannot crash on
+    one bad payload (round-9 adversarial audit); the oracle's
+    json_valid guard expresses the same NULL-on-malformed surface."""
     e = load(spark, sf_dir, "events")
-    v = F.parse_json("props")
+    v = F.try_parse_json("props")
     return e.select(
         "event_id",
         F.variant_get(v, "$.k", "bigint").alias("k_variant"),

@@ -694,7 +694,11 @@ def _with_cosine(q: DataFrame, c: DataFrame) -> DataFrame:
     return (
         qn.crossJoin(cn)
         .withColumn("dot", _dot(F.col("qe"), F.col("ce")))
-        .withColumn("cos", F.col("dot") / (F.col("qn") * F.col("cn")))
+        # try_divide: a zero-norm vector (failed encoder batch — routine
+        # in a 100 TB corpus; round-9 adversarial audit) has UNDEFINED
+        # cosine => NULL, matching the DuckDB oracle's x/0 => NULL,
+        # instead of the ANSI DIVIDE_BY_ZERO throw.
+        .withColumn("cos", F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")))
     )
 
 
@@ -740,12 +744,18 @@ def g03_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT qid, cid, ROUND(cos, 4) AS cos_sim,
            row_number() OVER (PARTITION BY qid ORDER BY ROUND(cos, 6) DESC, cid) AS rk
     FROM ({_COS_ORACLE_CORE})
+    WHERE cos IS NOT NULL
     QUALIFY rk <= 5
     """,
 )
 def g03b_simsearch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact k-NN (k=5) per query vector; rank on rounded cosine with
-    cid tie-break so cross-engine ulp noise can't reorder."""
+    cid tie-break so cross-engine ulp noise can't reorder.
+
+    Zero-norm vectors have undefined (NULL) cosine and are NOT
+    neighbors: both sides exclude NULL-cos pairs before ranking, so a
+    zero-norm query returns no rows rather than a tie-broken list of
+    meaningless matches (round-9 adversarial audit)."""
     e = load(spark, sf_dir, "embeddings")
     q = F.broadcast(
         e.filter(F.col("vec_id") < 10).select(
@@ -753,7 +763,11 @@ def g03b_simsearch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     c = e.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
-    scored = _with_cosine(q, c).filter(F.col("qid") != F.col("cid"))
+    scored = (
+        _with_cosine(q, c)
+        .filter(F.col("qid") != F.col("cid"))
+        .filter(F.col("cos").isNotNull())
+    )
     w = Window.partitionBy("qid").orderBy(F.desc(duck_round("cos", 6)), F.asc("cid"))
     return (
         scored.withColumn("rk", as_long(F.row_number().over(w)))
@@ -880,7 +894,8 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.join(q, "qid")
         .join(c, "cid")
         .withColumn("dot", _dot(F.col("qe"), F.col("ce")))
-        .withColumn("cos", F.col("dot") / (F.col("qn") * F.col("cn")))
+        # zero-norm => NULL cosine (dropped by the threshold filter)
+        .withColumn("cos", F.try_divide(F.col("dot"), F.col("qn") * F.col("cn")))
     )
     return scored.filter(F.col("cos") >= 0.2).select(
         "qid", "cid", duck_round("cos", 4).alias("cos_sim")
@@ -966,7 +981,9 @@ def g03d_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_anchor = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 2) < "1a"
     a, b = v.filter(in_anchor).alias("a"), v.alias("b")
     _g03d_guard_anchor_count(a)
-    cos = F.col("dot") / (F.col("a.norm") * F.col("b.norm"))
+    # try_divide: zero-norm vectors have NULL cosine — dropped by the
+    # threshold filter on both engines (DuckDB x/0 is NULL).
+    cos = F.try_divide(F.col("dot"), F.col("a.norm") * F.col("b.norm"))
     # Broadcast the anchor side. NOTE: the anchor is ~10% of ALL
     # vectors — an O(N) broadcast scoring O(N^2/10) pairs — so this is
     # only valid at anchor/fixture scale, where it exists to measure
@@ -1017,13 +1034,18 @@ def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint here truncates the Lloyd lineage so the search
     plan is scan + broadcast joins)."""
     e = load(spark, sf_dir, "embeddings")
-    vn = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
-    ).select(
-        "vec_id",
-        F.transform(
-            F.col("ve"), lambda x: x / F.sqrt(_dot(F.col("ve"), F.col("ve")))
-        ).alias("u"),
+    # Zero-norm vectors are unindexable (undefined direction — no unit
+    # normalization exists): exclude them up front instead of throwing
+    # DIVIDE_BY_ZERO mid-normalize (round-9 adversarial audit). The
+    # norm is computed once, not per element.
+    vn = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("ve"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("ve"), F.col("ve"))))
+        .filter(F.col("nrm") > 0.0)
+        .select(
+            "vec_id",
+            F.transform(F.col("ve"), lambda x: x / F.col("nrm")).alias("u"),
+        )
     )
 
     # --- build: digest-seeded codebook + Lloyd iterations ------------
@@ -1929,7 +1951,9 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = e.select(
         F.col("vec_id").alias("d2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
     )
-    cos = F.col("dot") / (F.col("n1") * F.col("n2"))
+    # try_divide: a zero-norm embedding aligned to a text-flagged pair
+    # must yield NULL cosine (agreement impossible), not an ANSI throw.
+    cos = F.try_divide(F.col("dot"), F.col("n1") * F.col("n2"))
     return (
         text_pairs.join(e1, "d1")
         .join(e2, "d2")
@@ -2455,13 +2479,17 @@ def g28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     posture; components run on the edge set only (pairs, not corpus),
     and the codebook is a broadcast k x 64 artifact."""
     e = load(spark, sf_dir, "embeddings")
-    vn = e.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
-    ).select(
-        "vec_id",
-        F.transform(
-            F.col("ve"), lambda x: x / F.sqrt(_dot(F.col("ve"), F.col("ve")))
-        ).alias("u"),
+    # Zero-norm vectors are unindexable and have undefined cosine to
+    # everything — they can never be semantic duplicates; exclude them
+    # up front (round-9 adversarial audit; same rule as g03e).
+    vn = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("ve"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("ve"), F.col("ve"))))
+        .filter(F.col("nrm") > 0.0)
+        .select(
+            "vec_id",
+            F.transform(F.col("ve"), lambda x: x / F.col("nrm")).alias("u"),
+        )
     )
     k = 16
     seeds = (

@@ -138,24 +138,33 @@ def f02_pandas_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, value,
                row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
-        FROM events)
-    SELECT event_type,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                 / COUNT(*), 4) AS trimmed_mean
-    FROM ranked
-    WHERE rn > n // 10 AND rn <= n - n // 10
-    GROUP BY event_type
+        FROM events WHERE value IS NOT NULL)
+    SELECT t.event_type,
+           ROUND(CAST(SUM(CAST(r.value AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(r.value), 4) AS trimmed_mean
+    FROM (SELECT DISTINCT event_type FROM events) t
+    LEFT JOIN ranked r
+      ON r.event_type = t.event_type
+     AND r.rn > r.n // 10 AND r.rn <= r.n - r.n // 10
+    GROUP BY t.event_type
     """,
 )
 def f03_pandas_udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDF: 10%-trimmed mean of value per
     event_type. Exactness: the trimmed slice is summed in integer cents
     (values are exact 2-decimal doubles), mirroring the oracle's
-    decimal-sum — no float accumulation anywhere."""
+    decimal-sum — no float accumulation anywhere.
+
+    NULL handling (round-9 adversarial audit): the trim ranks and sums
+    NON-NULL values only — SQL aggregate semantics — instead of
+    crashing on int(NaN); an all-NULL group emits a NULL mean (the
+    oracle's LEFT JOIN from the distinct-type spine yields the same)."""
     import pandas as pd
 
     def _trimmed_mean(v):
-        vals = v.sort_values().to_numpy()
+        vals = v.dropna().sort_values().to_numpy()
+        if len(vals) == 0:
+            return None
         k = len(vals) // 10
         mid = vals[k : len(vals) - k]
         # sign-preserving round-to-cents (mirrors _pyduck_round)
@@ -210,14 +219,22 @@ def f04_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         v = pdf["value"].to_numpy()
-        # match SQL AVG / STDDEV_SAMP definitions explicitly
-        m = float(np.sum(v)) / len(v)
+        # SQL AVG / STDDEV_SAMP ignore NULLs: compute the moments over
+        # the non-null values only (round-9 adversarial audit — a NaN
+        # in the column otherwise poisons every row's z, where the
+        # oracle NULLs only the NULL rows).
+        mask = ~np.isnan(v)
+        nn = v[mask]
         # degenerate groups (round-9 sweep): n=1 would ZeroDivisionError
         # here and a constant group would divide by sd=0 below; the SQL
         # oracle emits NULL in both (stddev_samp NULL at n=1; x/0 NULL
         # in DuckDB) — mirror that instead of crashing the task.
-        den = len(v) - 1
-        sd = math.sqrt(float(np.sum((v - m) ** 2)) / den) if den else 0.0
+        den = len(nn) - 1
+        if den > 0:
+            m = float(np.sum(nn)) / len(nn)
+            sd = math.sqrt(float(np.sum((nn - m) ** 2)) / den)
+        else:
+            sd = 0.0
         if sd == 0.0:
             return pd.DataFrame(
                 {
@@ -229,8 +246,15 @@ def f04_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         z = (v - m) / sd
         zr = np.floor(np.abs(z) * 1000.0 + 0.5) / 1000.0 * np.sign(z)
+        # NULL-value rows keep a NULL z (not NaN — the H-tier NaN ban)
         return pd.DataFrame(
-            {"event_id": pdf["event_id"], "event_type": pdf["event_type"], "z": zr}
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "z": pd.Series(zr, dtype=object, index=pdf.index).where(
+                    pd.Series(mask, index=pdf.index), None
+                ),
+            }
         )
 
     e = load(spark, sf_dir, "events")
@@ -282,6 +306,11 @@ def f06_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="token string, pos bigint")
     class Tokenize:
         def eval(self, text: str):
+            if text is None:
+                # NULL text tokenizes to nothing: the lateral join drops
+                # the row, exactly as the oracle's unnest over a NULL
+                # list yields zero rows (round-9 adversarial audit).
+                return
             for pos, token in enumerate(text.split(" ")):
                 yield token, pos
 
@@ -411,7 +440,9 @@ def make_encoder():
             return "image", header + dib + bytes(px)
         if m == 1:
             return "audio", wav_bytes(doc_id)
-        return "text", text.encode("utf-8")
+        # NULL text => NULL payload (the oracle's strlen(NULL) is NULL);
+        # image/audio payloads are doc_id-synthesized and unaffected.
+        return "text", None if text is None else text.encode("utf-8")
 
     return encode_payload
 
@@ -528,7 +559,12 @@ def f08_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {
                 "doc_id": pdf["doc_id"],
                 "modality": pdf["modality"],
-                "payload_bytes": [len(p) for p in pdf["payload"]],
+                # NULL payload (NULL-text document) => NULL size, not a
+                # len(None) crash (round-9 adversarial audit)
+                "payload_bytes": pd.array(
+                    [None if p is None else len(p) for p in pdf["payload"]],
+                    dtype="Int64",
+                ),
             }
             for field in (
                 "width", "height", "channels", "sample_rate", "n_samples"
@@ -661,12 +697,18 @@ def f10_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             return pd.DataFrame(
                 columns=["user_id", "c_mktsegment", "n_events", "total_value"]
             )
+        # Skip NULL values in the cents fold (round-9 adversarial
+        # audit — int(NaN) crashed the task). The query's contract is
+        # the oracle's COALESCE: a user with no events AND a user whose
+        # events are all NULL-valued both total 0.0 (unlike e06/e10,
+        # whose un-COALESCEd SUM oracles emit NULL for the latter).
         cents = int(
             sum(
                 -_m.floor(abs(v) * 100.0 + 0.5)
                 if v < 0
                 else _m.floor(abs(v) * 100.0 + 0.5)
                 for v in events_pdf["value"]
+                if pd.notna(v)
             )
         )
         return pd.DataFrame(

@@ -258,30 +258,41 @@ def e06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     state_schema = StructType(
-        [StructField("n", LongType()), StructField("cents", LongType())]
+        [
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+            # non-null count: distinguishes an exactly-zero spend from
+            # an all-NULL-valued user (SQL SUM is NULL for the latter)
+            StructField("m", LongType()),
+        ]
     )
 
     def track_user(key, pdf_iter, state: GroupState):
-        n, cents = state.get if state.exists else (0, 0)
-        for pdf in pdf_iter:
-            n += len(pdf)
-            # duck_round-to-cents per row (sign-preserving, mirrors
-            # _pyduck_round), then exact integer accumulation
-            import math
+        import math
 
-            cents += int(
-                sum(
-                    -math.floor(abs(v) * 100.0 + 0.5)
-                    if v < 0
-                    else math.floor(abs(v) * 100.0 + 0.5)
-                    for v in pdf["value"]
-                )
-            )
-        state.update((n, cents))
         import pandas as pd
 
+        n, cents, m = state.get if state.exists else (0, 0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # duck_round-to-cents per NON-NULL row (sign-preserving,
+            # mirrors _pyduck_round; SQL SUM skips NULLs — round-9
+            # adversarial audit), then exact integer accumulation
+            for v in pdf["value"]:
+                if not pd.notna(v):
+                    continue
+                m += 1
+                c = math.floor(abs(v) * 100.0 + 0.5)
+                cents += -c if v < 0 else c
+        state.update((n, cents, m))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_spend": [cents / 100.0]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_spend": pd.Series(
+                    [cents / 100.0 if m else None], dtype=object
+                ),
+            }
         )
 
     s = _events_stream(spark, sf_dir, n_files=1)
@@ -485,26 +496,33 @@ def _e10_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     class SpendTracker(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("spend", "n BIGINT, cents BIGINT")
+            self._state = handle.getValueState(
+                "spend", "n BIGINT, cents BIGINT, m BIGINT"
+            )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, cents = self._state.get() if self._state.exists() else (0, 0)
+            # identical fold to e06's track_user: n counts all rows,
+            # cents/m accumulate NON-NULL values only (SQL SUM skips
+            # NULLs), and an all-NULL user emits a NULL total
+            n, cents, m = (
+                self._state.get() if self._state.exists() else (0, 0, 0)
+            )
             for pdf in rows:
                 n += len(pdf)
-                cents += int(
-                    sum(
-                        -math.floor(abs(v) * 100.0 + 0.5)
-                        if v < 0
-                        else math.floor(abs(v) * 100.0 + 0.5)
-                        for v in pdf["value"]
-                    )
-                )
-            self._state.update((n, cents))
+                for v in pdf["value"]:
+                    if not pd.notna(v):
+                        continue
+                    m += 1
+                    c = math.floor(abs(v) * 100.0 + 0.5)
+                    cents += -c if v < 0 else c
+            self._state.update((n, cents, m))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_spend": [cents / 100.0],
+                    "total_spend": pd.Series(
+                        [cents / 100.0 if m else None], dtype=object
+                    ),
                 }
             )
 
@@ -562,13 +580,23 @@ def e10_batch_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_lake_staging_engine_spark.sources import load
 
     def fold(key, pdf):
-        n, cents = 0, 0  # the ValueState init
+        n, cents, m = 0, 0, 0  # the ValueState init
         n += len(pdf)
         for v in pdf["value"]:
+            # SQL SUM skips NULLs; all-NULL user => NULL total
+            if not pd.notna(v):
+                continue
+            m += 1
             c = math.floor(abs(v) * 100.0 + 0.5)
             cents += -c if v < 0 else c
         return pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_spend": [cents / 100.0]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_spend": pd.Series(
+                    [cents / 100.0 if m else None], dtype=object
+                ),
+            }
         )
 
     e = load(spark, sf_dir, "events").select("user_id", "value")

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Build the ADVERSARIAL corpus: the skew/duplicate/degenerate sibling
+of the round-9 empty-corpus audit (tests/test_empty_input.py).
+
+A 100 TB corpus is never as polite as the synthetic fixture: real data
+has a hot key that owns 80% of a day's events, a crawler bug that
+ingested the same boilerplate page 300 times, zero-norm embeddings
+from a failed encoder batch, empty and whitespace-only documents,
+100%-discount line items, and timestamp tie storms from a
+second-granularity upstream clock. This script derives exactly that
+shape from sf0.001 by DETERMINISTIC key-driven rewrites (pure
+functions of the row keys — no RNG, so the corpus is reproducible
+byte-for-byte) and writes single-file parquet tables with the exact
+fixture schemas, so ``scripts/parity_sweep.py <out_dir>`` runs the
+full 159-query registry with DuckDB oracles over it unchanged.
+
+Injected shapes, per table:
+
+- documents: ~60% one duplicated text (DUP_A), ~20% a near-duplicate
+  of it (DUP_B, 2 words edited => token-Jaccard ~0.9 — crosses every
+  near-dup threshold, so the dedup family faces ONE giant cluster);
+  plus empty-string, whitespace-only, single-repeated-char, and NULL
+  texts; lang/source skewed to one value; n_chars kept consistent
+  with the rewritten text.
+- embeddings: every 25th vector all-zero (zero norm — cosine's
+  division hazard), 40% one identical constant vector (exact-dup
+  storm), labels skewed to one class.
+- events: 80% of rows on one hot user, 70% one event_type, 30%
+  identical timestamp (tie storm for windows/asof/sessionize), 20%
+  NULL value, some 0.0 values, a malformed-JSON and an empty-JSON
+  props row class, and ONE user (3 — also a customer key) whose
+  every event is NULL-valued (the SQL-SUM-is-NULL shape).
+- orders: 80% on one hot customer, 50% identical order date, some
+  0.0 and some 1e9 total prices.
+- lineitem: 60% on one hot order key (join fan-out skew), zero
+  quantities/prices, 0%- and 100%-discount rows, 50% identical
+  shipdate.
+- customer: 80% one market segment, zero and negative balances.
+- region/nation/supplier/part: copied unchanged (small dims).
+
+Usage:  python scripts/make_adversarial_corpus.py [out_dir] [src_dir]
+        (defaults: /tmp/adversarial_sf  /root/testdata/sf0.001)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+DUP_A = (
+    "the quick data pipeline scans every parquet table and merges the "
+    "sorted batches into one clean partition for the downstream join"
+)
+# Two words edited vs DUP_A -> token Jaccard ~0.9: a NEAR duplicate.
+DUP_B = (
+    "the quick data pipeline scans every parquet table and merges the "
+    "sorted batches into one tidy bucket for the downstream join"
+)
+# Deterministic non-trivial 64-dim constant vector (exact-dup storm).
+CONST_VEC = [round(((i * 7) % 13) / 13.0 - 0.3, 6) for i in range(64)]
+
+TRANSFORMS = {
+    "documents": f"""
+        WITH rewritten AS (
+          SELECT doc_id,
+            CASE
+              WHEN doc_id % 50 = 49 THEN NULL
+              WHEN doc_id % 10 <= 5 THEN '{DUP_A}'
+              WHEN doc_id % 10 IN (6, 7) THEN '{DUP_B}'
+              WHEN doc_id % 30 = 8 THEN ''
+              WHEN doc_id % 30 = 18 THEN '     '
+              WHEN doc_id % 30 = 28 THEN repeat('a', 40)
+              ELSE text
+            END AS text,
+            CASE WHEN doc_id % 25 = 0 THEN lang ELSE 'en' END AS lang,
+            CASE WHEN doc_id % 10 < 8 THEN 'src0' ELSE source END AS source
+          FROM src
+        )
+        SELECT doc_id, text, lang, source,
+               length(text)::BIGINT AS n_chars
+        FROM rewritten
+    """,
+    "embeddings": f"""
+        SELECT vec_id,
+          CASE
+            WHEN vec_id % 25 = 0
+              THEN list_transform(embedding, x -> 0.0::FLOAT)
+            WHEN vec_id % 10 BETWEEN 1 AND 4
+              THEN {CONST_VEC}::FLOAT[]
+            ELSE embedding
+          END AS embedding,
+          CASE WHEN vec_id % 10 < 8 THEN 3::INTEGER ELSE label END AS label
+        FROM src
+    """,
+    "events": """
+        SELECT event_id,
+          CASE WHEN event_id % 10 < 3
+               THEN TIMESTAMP '2024-01-15 12:00:00' ELSE ts END AS ts,
+          CASE WHEN event_id % 10 < 8 THEN 7::BIGINT ELSE user_id
+               END AS user_id,
+          CASE WHEN event_id % 10 < 7 THEN 'click' ELSE event_type
+               END AS event_type,
+          CASE WHEN event_id % 10 >= 8 AND user_id = 3 THEN NULL
+               WHEN event_id % 5 = 0 THEN NULL
+               WHEN event_id % 17 = 1 THEN 0.0
+               ELSE value END AS value,
+          CASE WHEN event_id % 40 = 13 THEN 'not json'
+               WHEN event_id % 40 = 27 THEN '{}'
+               ELSE props END AS props
+        FROM src
+    """,
+    "orders": """
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 10 < 8 THEN 7::BIGINT ELSE o_custkey
+               END AS o_custkey,
+          o_orderstatus,
+          CASE WHEN o_orderkey % 13 = 0 THEN 0.0
+               WHEN o_orderkey % 13 = 1 THEN 1000000000.0
+               ELSE o_totalprice END AS o_totalprice,
+          CASE WHEN o_orderkey % 10 < 5
+               THEN TIMESTAMP '1997-06-15' ELSE o_orderdate
+               END AS o_orderdate,
+          o_orderpriority
+        FROM src
+    """,
+    "lineitem": """
+        SELECT
+          CASE WHEN l_orderkey % 10 < 6 THEN 1::BIGINT ELSE l_orderkey
+               END AS l_orderkey,
+          l_partkey, l_suppkey, l_linenumber,
+          CASE WHEN (l_orderkey * 7 + l_linenumber) % 11 = 0 THEN 0.0
+               ELSE l_quantity END AS l_quantity,
+          CASE WHEN (l_orderkey + l_linenumber) % 23 = 0 THEN 0.0
+               ELSE l_extendedprice END AS l_extendedprice,
+          CASE WHEN (l_orderkey + l_linenumber) % 9 = 0 THEN 0.0
+               WHEN (l_orderkey + l_linenumber) % 9 = 1 THEN 1.0
+               ELSE l_discount END AS l_discount,
+          l_tax, l_returnflag, l_linestatus,
+          CASE WHEN (l_orderkey + l_linenumber) % 2 = 0
+               THEN TIMESTAMP '1997-09-01' ELSE l_shipdate
+               END AS l_shipdate
+        FROM src
+    """,
+    "customer": """
+        SELECT c_custkey, c_name, c_nationkey,
+          CASE WHEN c_custkey % 7 = 0 THEN 0.0
+               WHEN c_custkey % 7 = 1 THEN -999.99
+               ELSE c_acctbal END AS c_acctbal,
+          CASE WHEN c_custkey % 10 < 8 THEN 'BUILDING'
+               ELSE c_mktsegment END AS c_mktsegment
+        FROM src
+    """,
+}
+
+COPY_AS_IS = ("region", "nation", "supplier", "part")
+
+
+def build(out_dir: str, src_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for table in COPY_AS_IS + tuple(TRANSFORMS):
+        src = os.path.join(src_dir, f"{table}.parquet")
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        con.execute(f"CREATE OR REPLACE VIEW src AS FROM read_parquet('{src}')")
+        sel = TRANSFORMS.get(table, "SELECT * FROM src")
+        con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT parquet)")
+        # Schema fidelity gate: the rewritten table must describe
+        # identically to the source, or downstream queries would be
+        # exercising a different surface than the fixture contract.
+        src_schema = con.execute(f"DESCRIBE FROM read_parquet('{src}')").fetchall()
+        dst_schema = con.execute(f"DESCRIBE FROM read_parquet('{dst}')").fetchall()
+        assert src_schema == dst_schema, (table, src_schema, dst_schema)
+        n_src = con.execute(f"SELECT count(*) FROM read_parquet('{src}')").fetchone()
+        n_dst = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()
+        assert n_src == n_dst, (table, n_src, n_dst)
+        print(f"{table}: {n_dst[0]} rows -> {dst}", flush=True)
+    con.close()
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/adversarial_sf"
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    build(out, src)

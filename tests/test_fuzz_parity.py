@@ -35,9 +35,10 @@ accepts 1e3/0x1A/underscores and rounds decimals; Spark nulls them),
 scale-reducing decimal casts (Spark HALF_UP, DuckDB truncates toward
 zero), substring start 0 (Spark treats it as 1; DuckDB's window covers
 one fewer char), array_distinct over NULLs (Spark keeps one null,
-DuckDB drops them), and non-ASCII string functions (codepoint- vs
+DuckDB drops them), non-ASCII string functions (codepoint- vs
 byte-counting levenshtein, full-vs-simple case mapping, Latin-1-
-wrapping chr).
+wrapping chr), and concat() over NULL arguments (Spark propagates,
+DuckDB skips).
 """
 
 from __future__ import annotations
@@ -1615,6 +1616,21 @@ def test_unicode_string_divergence_pin(spark, fuzz_duck):
     assert (sp.lv, sp.up, sp.lo, sp.ch) == (2, "STRASSE", "i̇", "¬")
     dk = fuzz_duck.execute(q).fetchone()
     assert dk == (5, "STRAẞE", "i", "€")
+
+
+def test_concat_null_divergence_pin(spark, fuzz_duck):
+    """Pin the concat() NULL-argument divergence (round-9 adversarial
+    audit, surfaced by d08's NULL n_chars rows): Spark's concat() is
+    NULL-propagating (any NULL argument nulls the result — SQL `||`
+    semantics) while DuckDB's concat() SKIPS NULL arguments
+    (concat('en', ':', NULL) = 'en:'). `||` is NULL-propagating on
+    BOTH engines — which is why d08's oracle spells its tag with `||`
+    rather than concat()."""
+    q = "SELECT concat('en', ':', NULL) AS c, 'en' || ':' || NULL AS p"
+    sp = spark.sql(q).collect()[0]
+    assert (sp.c, sp.p) == (None, None)
+    dk = fuzz_duck.execute(q).fetchone()
+    assert dk == ("en:", None)
 
 
 # --------------------------------------------------------------------------

@@ -23,11 +23,16 @@ entries whose evidence does not describe their CURRENT text are:
   tests/test_degenerate_groups.py;
 - the round-9 empty-input audit: explicit-schema read-back in
   a09/a13/a16/a17 and the _doc_bitmaps vocab==0 floor in the 8
-  bitmap-dedup users — see tests/test_empty_input.py.
+  bitmap-dedup users — see tests/test_empty_input.py;
+- the round-9 ADVERSARIAL-corpus audit (zero-norm embeddings, NULL
+  values/text, malformed JSON — tests/test_adversarial_corpus.py):
+  try_divide/zero-norm-exclusion cosine in g03/g03b/g03c/g03d/g03e/
+  g21/g28, NULL-skipping cents/moment folds in e06/e10_batch_twin/
+  f03/f04/f10, NULL-text guards in f06/f08, try_parse_json in d09,
+  and NULL-faithful oracles for d07/d08/d09.
 
-These tests pin the r09 window shape: that 30-member changed band
-first, then the 6 stalest r03 entries and the r05 band filling the
-remaining slots.
+These tests pin the r09 window shape: that 41-member changed band
+first, then the stalest r03/r05 entries filling the remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -58,14 +63,18 @@ CHANGED_BAND = {
     "a16_partition_pruned_scan", "a17_dynamic_partition_overwrite",
     "a20_observed_metrics", "b27_agg_stats", "b36_histogram",
     "b38_sql_cte_chain", "c01_win_ranking", "d07_fn_json",
+    "d08_fn_struct", "d09_fn_variant",
     "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
     "e04_stream_watermark", "e06_stream_stateful",
     "e09_stream_static_join", "e10_batch_twin",
-    "e11_stream_dedup_then_window", "f04_apply_in_pandas",
+    "e11_stream_dedup_then_window", "f03_pandas_udf_grouped_agg",
+    "f04_apply_in_pandas", "f06_udtf", "f08_multimodal_decode",
     "f10_cogroup_in_pandas", "g02_dedup_near", "g02b_dedup_lsh",
-    "g02d_dedup_ngram", "g02e_dedup_lsh_shingle", "g12_contamination",
+    "g02d_dedup_ngram", "g02e_dedup_lsh_shingle",
+    "g03_simsearch_topk", "g03b_simsearch_knn", "g03c_simsearch_lsh",
+    "g03d_embed_neardup", "g03e_simsearch_ivf", "g12_contamination",
     "g13_kmeans_iterations", "g16_event_funnel", "g21_dedup_agreement",
-    "g26_dedup_clusters", "g30_dedup_incremental",
+    "g26_dedup_clusters", "g28_semantic_dedup", "g30_dedup_incremental",
 }
 # fmt: on
 
