@@ -58,6 +58,14 @@ DUP_B = (
     "the quick data pipeline scans every parquet table and merges the "
     "sorted batches into one tidy bucket for the downstream join"
 )
+# Non-ASCII text: multi-byte UTF-8 (accents, CJK, an astral-plane
+# emoji), a double space, and a tab-adjacent token — chars != bytes,
+# so any byte-counting or ASCII-only assumption in the text ops (or
+# their oracles) mismatches here.
+UNICODE_DOC = (
+    "café straße über 中文 数据 管道 🎉 emoji  double space café naïve"
+)
+
 # Deterministic non-trivial 64-dim constant vector (exact-dup storm).
 CONST_VEC = [round(((i * 7) % 13) / 13.0 - 0.3, 6) for i in range(64)]
 
@@ -67,6 +75,7 @@ TRANSFORMS = {
           SELECT doc_id,
             CASE
               WHEN doc_id % 50 = 49 THEN NULL
+              WHEN doc_id % 50 = 24 THEN '{UNICODE_DOC}'
               WHEN doc_id % 10 <= 5 THEN '{DUP_A}'
               WHEN doc_id % 10 IN (6, 7) THEN '{DUP_B}'
               WHEN doc_id % 30 = 8 THEN ''

@@ -112,6 +112,11 @@ def test_corpus_is_adversarial(adv_duck):
         "FROM embeddings GROUP BY 1)"
     ) >= 100  # the constant-vector dup storm
     assert one("SELECT count(*) FROM documents WHERE text IS NULL") == 10
+    # non-ASCII class: chars != bytes on these rows, so byte-counting
+    # or ASCII-only assumptions in any text op (or oracle) mismatch
+    assert one(
+        "SELECT count(*) FROM documents WHERE length(text) <> strlen(text)"
+    ) == 10
     assert one("SELECT count(*) FROM documents WHERE text = ''") > 0
     assert one("SELECT count(*) FROM documents WHERE trim(text) = '' AND text <> ''") > 0
     assert one(

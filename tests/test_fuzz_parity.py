@@ -1897,3 +1897,89 @@ def test_fuzz_conditional_pack(spark, fuzz_duck, rows):
     """
     out = spark.sql(sql.format(table="t_fuzz_cond"))
     _check("conditional_pack", out, fuzz_duck, sql.format(table="t"))
+
+
+# --------------------------------------------------------------------------
+# 28. Vector math: the g03 cosine family's exact shared-semantics layer
+# --------------------------------------------------------------------------
+
+_VEC_DIM = 6
+_vec_strategy = st.one_of(
+    st.none(),
+    st.just([0.0] * _VEC_DIM),  # the zero-norm class (round-9 audit)
+    st.lists(
+        st.floats(
+            min_value=-1e100,
+            max_value=1e100,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=_VEC_DIM,
+        max_size=_VEC_DIM,
+    ),
+)
+
+
+@_FUZZ
+@given(
+    rows=st.lists(
+        st.tuples(_vec_strategy, _vec_strategy), min_size=0, max_size=20
+    )
+)
+def test_fuzz_vector_math(spark, fuzz_duck, rows):
+    """The dot/norm/cosine layer every similarity operator (g03 g03b
+    g03c g03d g03e g21 g28) is built on, on hostile vectors: zero-norm,
+    NULL, sign-flipped cancellation-heavy, 1e-100..1e100 magnitudes.
+
+    Compared EXACTLY (raw doubles, no rounding): the engine's `_dot`
+    is a sequential left-fold precisely so its IEEE op order equals
+    DuckDB's list_inner_product — this property is the randomized
+    proof of that identity (a 300-pair cancellation probe found 0
+    mismatches before pinning). Cosine pairs try_divide with DuckDB's
+    x/0 => NULL, the zero-norm contract of the round-9 adversarial
+    audit; the domain is bounded at 1e100 so no intermediate reaches
+    inf on either engine."""
+    from data_lake_staging_engine_spark.operators.llmops import _dot
+
+    ids = list(range(len(rows)))
+    df = _both_tables(
+        spark,
+        fuzz_duck,
+        [
+            ("id", pa.int64(), T.LongType(), ids),
+            (
+                "a",
+                pa.list_(pa.float64()),
+                T.ArrayType(T.DoubleType()),
+                [r[0] for r in rows],
+            ),
+            (
+                "b",
+                pa.list_(pa.float64()),
+                T.ArrayType(T.DoubleType()),
+                [r[1] for r in rows],
+            ),
+        ],
+    )
+    na = F.sqrt(_dot(F.col("a"), F.col("a")))
+    nb = F.sqrt(_dot(F.col("b"), F.col("b")))
+    out = df.select(
+        "id",
+        _dot(F.col("a"), F.col("b")).alias("dot"),
+        na.alias("norm_a"),
+        F.try_divide(_dot(F.col("a"), F.col("b")), na * nb).alias("cos"),
+    )
+    _check(
+        "vector_math",
+        out,
+        fuzz_duck,
+        """
+        SELECT id,
+               list_inner_product(a, b) AS dot,
+               sqrt(list_inner_product(a, a)) AS norm_a,
+               list_inner_product(a, b)
+                 / (sqrt(list_inner_product(a, a))
+                    * sqrt(list_inner_product(b, b))) AS cos
+        FROM t
+        """,
+    )
