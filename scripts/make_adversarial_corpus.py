@@ -166,15 +166,23 @@ TRANSFORMS = {
 COPY_AS_IS = ("region", "nation", "supplier", "part")
 
 
-def build(out_dir: str, src_dir: str) -> None:
+def build(out_dir: str, src_dir: str, skew_only: bool = False) -> None:
+    """skew_only=True applies only the RELATIONAL skew rewrites (hot
+    keys, tie storms, NULL values) and copies documents/embeddings
+    unchanged — the shape for up-scale skew BENCHMARKS, where the
+    duplicate-text cluster would (by design — documented quadratic
+    pair output) explode the dedup family's results at sf0.1."""
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    skip = {"documents", "embeddings"} if skew_only else set()
     for table in COPY_AS_IS + tuple(TRANSFORMS):
         src = os.path.join(src_dir, f"{table}.parquet")
         dst = os.path.join(out_dir, f"{table}.parquet")
         con.execute(f"CREATE OR REPLACE VIEW src AS FROM read_parquet('{src}')")
-        sel = TRANSFORMS.get(table, "SELECT * FROM src")
+        sel = "SELECT * FROM src" if table in skip else TRANSFORMS.get(
+            table, "SELECT * FROM src"
+        )
         con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT parquet)")
         # Schema fidelity gate: the rewritten table must describe
         # identically to the source, or downstream queries would be
@@ -190,6 +198,7 @@ def build(out_dir: str, src_dir: str) -> None:
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/adversarial_sf"
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
-    build(out, src)
+    args = [a for a in sys.argv[1:] if a != "--skew-only"]
+    out = args[0] if len(args) > 0 else "/tmp/adversarial_sf"
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
+    build(out, src, skew_only="--skew-only" in sys.argv)
