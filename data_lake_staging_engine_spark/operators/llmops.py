@@ -43,32 +43,66 @@ def _tokens_raw(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
 
 
+def _gram_arrays(df: DataFrame) -> DataFrame:
+    """(doc_id, grams): the char-3-gram array per document, LINEAR in
+    document length.
+
+    The text is split into a codepoint array ONCE per row (a projected
+    column, so the split cannot be re-evaluated inside the lambda);
+    each gram is then three O(1) element_at lookups + concat. The
+    direct ``transform(sequence(1, n-2), i -> substr(text, i, 3))``
+    alternative is QUADRATIC in document length — UTF8String.substring
+    seeks codepoints from the string start, measured at 494 s for ten
+    96k-char documents (round-9 giant-document audit) vs ~2 s for this
+    shape. Gram values are identical (both are codepoint-indexed,
+    multi-byte included)."""
+    with_chars = df.select("doc_id", F.split("text", "").alias("_chars"))
+    positions = F.when(
+        F.size("_chars") >= 3, F.sequence(F.lit(1), F.size("_chars") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat(
+        F.element_at(F.col("_chars"), i),
+        F.element_at(F.col("_chars"), i + 1),
+        F.element_at(F.col("_chars"), i + 2),
+    )
+    return with_chars.select(
+        "doc_id", F.transform(positions, gram).alias("grams")
+    )
+
+
+def _explode_grams(grams_df: DataFrame, col) -> DataFrame:
+    """explode_OUTER + isNotNull, deliberately NOT a plain explode:
+    Catalyst's InferFiltersFromGenerate would add a ``size(col) > 0``
+    filter below the gram projection, and predicate pushdown then
+    SUBSTITUTES the whole transform into that filter — with the
+    ``split(text, '')`` re-evaluated PER LAMBDA ELEMENT, turning the
+    filter alone into O(n^2) regex splits of the document (ten 96k-char
+    documents never finished; round-9 giant-document audit).
+    explode_outer is outside that rule's scope; the NULL row it emits
+    for an empty/NULL gram array is removed by a filter on the
+    GENERATE OUTPUT attribute, which cannot be pushed below it. Gram
+    elements are never NULL (concat of in-bounds element_at), so the
+    isNotNull filter removes exactly the empty-array marker rows."""
+    return grams_df.select(
+        "doc_id", F.explode_outer(col).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+
+
 def _shingles_raw(df: DataFrame) -> DataFrame:
     """(doc_id, tok) character 3-gram stream WITH duplicates — the
     cheap pre-distinct lineage for strategy probes (mirror of
     ``_tokens_raw`` for the shingler)."""
-    positions = F.when(
-        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    return df.select("doc_id", F.explode(positions).alias("i"), "text").select(
-        "doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok")
-    )
+    return _explode_grams(_gram_arrays(df), F.col("grams"))
 
 
 def _shingles(df: DataFrame) -> DataFrame:
     """(doc_id, tok) distinct per-doc character 3-gram sets.
 
-    Like ``_tokens``, dedup is per-doc inside the row (transform +
-    array_distinct, then explode) — zero exchange, versus the global
-    ``.distinct()`` shuffle of the full exploded shingle stream (~250
-    rows per doc) it replaces."""
-    positions = F.when(
-        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.array_distinct(
-        F.transform(positions, lambda i: F.col("text").substr(i, F.lit(3)))
-    )
-    return df.select("doc_id", F.explode(grams).alias("tok"))
+    Like ``_tokens``, dedup is per-doc inside the row (array_distinct,
+    then explode) — zero exchange, versus the global ``.distinct()``
+    shuffle of the full exploded shingle stream (~250 rows per doc) it
+    replaces."""
+    return _explode_grams(_gram_arrays(df), F.array_distinct("grams"))
 
 
 def _tokens(df: DataFrame) -> DataFrame:

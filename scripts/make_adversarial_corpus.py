@@ -19,9 +19,10 @@ Injected shapes, per table:
 - documents: ~60% one duplicated text (DUP_A), ~20% a near-duplicate
   of it (DUP_B, 2 words edited => token-Jaccard ~0.9 — crosses every
   near-dup threshold, so the dedup family faces ONE giant cluster);
-  plus empty-string, whitespace-only, single-repeated-char, and NULL
-  texts; lang/source skewed to one value; n_chars kept consistent
-  with the rewritten text.
+  plus empty-string, whitespace-only, single-repeated-char, NULL,
+  non-ASCII (multi-byte — chars != bytes), and ~96k-char/~15k-token
+  giant-document classes; lang/source skewed to one value; n_chars
+  kept consistent with the rewritten text.
 - embeddings: every 25th vector all-zero (zero norm — cosine's
   division hazard), 40% one identical constant vector (exact-dup
   storm), labels skewed to one class.
@@ -76,6 +77,8 @@ TRANSFORMS = {
             CASE
               WHEN doc_id % 50 = 49 THEN NULL
               WHEN doc_id % 50 = 24 THEN '{UNICODE_DOC}'
+              WHEN doc_id % 50 = 34
+                THEN rtrim(repeat('lorem data pipeline spark token ', 3000))
               WHEN doc_id % 10 <= 5 THEN '{DUP_A}'
               WHEN doc_id % 10 IN (6, 7) THEN '{DUP_B}'
               WHEN doc_id % 30 = 8 THEN ''

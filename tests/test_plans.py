@@ -448,6 +448,30 @@ def test_lsh_banding_single_corpus_pass(spark, sf_dir):
     assert plan_e.count("hashpartitioning(") <= 5, plan_e.count("hashpartitioning(")
 
 
+def test_shingle_lineage_has_no_inferred_transform_filter(spark, sf_dir):
+    """The shingle explode must stay LINEAR in document length
+    (round-9 giant-document audit): a plain explode over the gram
+    transform lets InferFiltersFromGenerate plant a ``size(transform(
+    ...)) > 0`` filter below the projection, where predicate pushdown
+    substitutes the char-array split INTO the lambda — re-splitting
+    the document once PER GRAM (O(n^2); ten 96k-char docs never
+    finished). The fixed shape (explode_outer + isNotNull above the
+    Generate) must keep every transform out of Filter nodes: the plan
+    may evaluate the gram transform exactly once, in a Project."""
+    from data_lake_staging_engine_spark.operators.llmops import (
+        _shingles,
+        _shingles_raw,
+    )
+    from data_lake_staging_engine_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    for lineage in (_shingles_raw(d), _shingles(d)):
+        plan = physical_plan(lineage)
+        assert "size(transform" not in plan, plan
+        # the document split happens once per row, never inside a lambda
+        assert plan.count("split(text") == 1, plan.count("split(text")
+
+
 def test_simsearch_lsh_signatures_materialized_once(spark, sf_dir):
     """g03c: the random-hyperplane signature table is computed ONCE
     (localCheckpoint) and reused by the probe and index branches — the
