@@ -163,3 +163,83 @@ def test_zero_norm_semantics(spark, adv_sf_dir):
     assert id_cols, g28.columns
     for c in id_cols:
         assert g28.filter(f"{c} % 25 = 0").count() == 0
+
+
+@pytest.fixture(scope="module")
+def nonfinite_dirs(adv_sf_dir, tmp_path_factory):
+    """(dirty_dir, clean_dir): the adversarial corpus with NaN/+Inf/-Inf
+    injected into events.value, and the same corpus after
+    quarantine_nonfinite — built here so the fixture also exercises
+    the guard's Spark-side filter through a real write/read cycle."""
+    dirty = str(tmp_path_factory.mktemp("nonfinite_dirty"))
+    clean = str(tmp_path_factory.mktemp("nonfinite_clean"))
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        for d in (dirty, clean):
+            if t != "events":
+                con.execute(
+                    f"COPY (SELECT * FROM read_parquet("
+                    f"'{adv_sf_dir}/{t}.parquet')) TO '{d}/{t}.parquet' "
+                    f"(FORMAT parquet)"
+                )
+    con.execute(
+        f"""COPY (
+          SELECT event_id, ts, user_id, event_type,
+            CASE WHEN event_id % 97 = 5 THEN 'NaN'::DOUBLE
+                 WHEN event_id % 97 = 11 THEN 'Infinity'::DOUBLE
+                 WHEN event_id % 97 = 17 THEN '-Infinity'::DOUBLE
+                 ELSE value END AS value,
+            props
+          FROM read_parquet('{adv_sf_dir}/events.parquet'))
+          TO '{dirty}/events.parquet' (FORMAT parquet)"""
+    )
+    con.close()
+    return dirty, clean
+
+
+def test_quarantine_nonfinite_restores_the_contract(
+    spark, nonfinite_dirs, adv_duck
+):
+    """The FINITE-MEASURE input contract, end to end (round-9
+    non-finite probe: 22/159 queries fail on NaN/Inf measures — both
+    engines throw on CAST(Inf AS DECIMAL), pandas conflates NaN with
+    NULL, NaN comparisons diverge pandas-vs-SQL). The documented
+    posture is quarantine at ingest: after
+    ``quarantine_nonfinite(events, "value")``, representative members
+    of every failure class hash-match their oracles again."""
+    import pyspark.sql.functions as F
+
+    from data_lake_staging_engine_spark.operators.staging import (
+        quarantine_nonfinite,
+    )
+
+    dirty, clean = nonfinite_dirs
+    e = spark.read.parquet(f"{dirty}/events.parquet")
+    ok, bad = quarantine_nonfinite(e, "value")
+    n_bad = bad.count()
+    assert n_bad > 0 and n_bad == 1000 - ok.count()
+    assert ok.filter(F.isnan("value")).count() == 0
+    assert ok.filter(F.col("value").isin(float("inf"), float("-inf"))).count() == 0
+    # NULLs are the contract's missing-value form — they stay CLEAN
+    assert ok.filter(F.col("value").isNull()).count() > 0
+    ok.coalesce(1).write.parquet(f"{clean}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{clean}/{t}.parquet{'/*.parquet' if t == 'events' else ''}')"
+        )
+    # one member per probe failure class: decimal-cents state fold
+    # (cast-throw class), running-sum window (oracle decimal cast),
+    # pandas trimmed mean (NaN/NULL conflation class)
+    for name in (
+        "e10_batch_twin",
+        "c03_win_running_sum",
+        "f03_pandas_udf_grouped_agg",
+    ):
+        rq = _REG[name]
+        res = compare(name, rq.fn(spark, clean), con, rq.oracle)
+        assert res.ok, f"{name}: {res.detail} {res.mismatches[:3]}"
+    con.close()
