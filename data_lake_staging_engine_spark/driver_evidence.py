@@ -162,9 +162,24 @@ CHANGED_IN: dict[str, int] = {
     # in round 8, evidence is r05-r07; see module docstring.
     "a20_observed_metrics": 8, "c01_win_ranking": 8,
     "e01_stream_tumbling": 8, "e02_stream_sliding": 8,
-    "e03_stream_session": 8, "e04_stream_watermark": 8,
+    "e04_stream_watermark": 8,
     "e09_stream_static_join": 8, "e11_stream_dedup_then_window": 8,
     "g13_kmeans_iterations": 8,
+    # round-9 TIME-HOSTILE corpus finds (scripts/make_adversarial_corpus
+    # --time-hostile + tests/test_time_hostile.py) — the two SURVEY §7
+    # hard-list risks that were in fact wrong, plus the pandas-boundary
+    # crash and the span-proportional grid:
+    # b18: strict `p.ts > e.ts` via RANGE -1µs frame (lag() matched the
+    # TIED row on (user_id, ts) duplicates — sweep read 172 vs 166);
+    # e03: oracle gap flag `>=` -> `>` (Spark session_window MERGES at
+    # exactly last+gap — sweep read 535 vs 634);
+    # e06: prune to (user_id, value) before applyInPandasWithState
+    # (its deserializer forces timestamp[ns]; year-1500 ts crashed the
+    # worker); c07/c08: distributed two-level year->hour grid, no
+    # grid-side broadcast (grid is SPAN-proportional — 6.7M hours on
+    # the hostile corpus hung the single-task sequence + broadcast).
+    "b18_join_asof": 9, "e03_stream_session": 9, "c07_gapfill": 9,
+    "c08_win_forward_fill": 9,
     # Inline round-to-cents sites surfaced by the round-9 MECHANICAL
     # derivation (round_mirror_users) that even ADVICE r08 missed.
     # Their formula did NOT change in round 8 — audited this round:
@@ -317,9 +332,11 @@ def sweep_rank(name: str, has_oracle: bool) -> tuple[int, int, str]:
 
     Band 0: evidence does not describe the current text — either never
             driver-verified (none today) or changed-since-verified
-            (``CHANGED_IN`` newer than ``LAST_VERIFIED``: the nine
-            round-8 duck_round users the r08 window missed, plus the
-            b38 round-9 SQL-mirror sweep).  Alphabetical.
+            (``CHANGED_IN`` newer than ``LAST_VERIFIED``: the round-8
+            duck_round users the r08 window missed, plus the round-9
+            hardening sweeps — SQL-mirror, degenerate-division,
+            empty-input, adversarial-corpus, time-hostile).
+            Alphabetical.
     Band 1: verified on current text — ordered by last-verified round
             ASCENDING (stalest evidence first), then name.  The r03
             pandas-UDF/text tail re-enters ahead of the r05 mass,

@@ -294,25 +294,38 @@ def b18_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (no native Spark support — SURVEY.md §2 b18).
 
     Technique: because the probe side ('purchase' rows) is a subset of
-    the build side (all events), a single window pass per user ordered by
-    ts gives each row its immediate predecessor — exactly DuckDB's
-    ``ASOF JOIN ... ON p.ts > e.ts`` match (strict inequality; fixtures
-    have no (user_id, ts) duplicates [FIXTURES.md]).
+    the build side (all events), a single window pass per user gives
+    each row its latest STRICTLY-earlier predecessor — exactly DuckDB's
+    ``ASOF JOIN ... ON p.ts > e.ts`` match. The frame is RANGE over
+    ``unix_micros(ts)`` ending at -1 µs, NOT ``lag()`` over a row
+    ordering: on a (user_id, ts) duplicate, lag returns the tied row and
+    silently violates the strict inequality — the exact defect SURVEY §7
+    hard-list #2 warned about, surfaced by the round-9 time-hostile
+    corpus (spark=172 vs oracle=166 on injected purchase/click ties) and
+    pinned in tests/test_negative_values.py. Among several strictly-
+    earlier rows tied at the match timestamp the pick follows the
+    engine's partition-internal order (DuckDB's ASOF pick on tied build
+    rows is equally unspecified); both fixtures and the hostile corpus
+    keep the matched timestamp a singleton.
 
     Scale: one shuffle on user_id, sequential scan per partition — the
     same cost profile as a sort-merge as-of join; no cross product. For
     a general as-of (probe table disjoint from build table), union the
-    two tagged inputs and apply ``last(build_col, ignoreNulls) OVER
-    (ORDER BY ts ROWS UNBOUNDED PRECEDING)`` per key — same plan shape.
+    two tagged inputs and apply the same ``last(build_col) OVER (RANGE
+    ... -1 µs)`` per key — same plan shape.
     """
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
     with_prev = e.select(
         "event_id",
         "user_id",
         "event_type",
-        F.lag("event_id").over(w).alias("prev_id"),
-        F.lag("event_type").over(w).alias("prev_type"),
+        F.last("event_id").over(w).alias("prev_id"),
+        F.last("event_type").over(w).alias("prev_type"),
     )
     return (
         with_prev.filter(

@@ -183,6 +183,55 @@ def c06_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+def _dense_hour_grid(e: DataFrame) -> DataFrame:
+    """Dense hourly timestamp grid over the hour-truncated global
+    [min, max] span of ``e.ts`` — DISTRIBUTED generation.
+
+    The naive shape (one ``sequence(lo, hi, 1 hour)`` on the bounds row,
+    exploded) materializes the whole grid as ONE array in ONE task —
+    grid size is proportional to the DATA'S TIME SPAN, not to the row
+    count, so a single out-of-range timestamp blows it up: the round-9
+    time-hostile corpus (events from 1500 to 2260) turns the grid into
+    a 6.7M-element single-task array, and the downstream
+    ``F.broadcast(grid)`` into a ~40M-row broadcast. That is exactly
+    the kind of hidden driver/SPOF dependence that dies at 100 TB.
+
+    This helper generates the same set of hours in two explode levels:
+    year sequence (≤ 10 000 elements — bounded by the timestamp type's
+    year domain, independent of data volume) exploded on the bounds
+    row, hash-repartitioned so each year lands on its own task, then a
+    per-year hour sequence (≤ 8 784 elements per task). Max per-task
+    array size is constant; generation parallelism scales with the
+    span. Callers join the grid to aggregated observations WITHOUT a
+    grid-side broadcast hint — AQE picks the strategy from runtime
+    sizes (at fixture scale it broadcasts the small agg side)."""
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    years = bounds.select(
+        "lo", "hi", F.explode(F.sequence(F.year("lo"), F.year("hi"))).alias("y")
+    ).repartition(F.col("y"))
+    zero = F.lit(0)
+    return years.select(
+        F.explode(
+            F.sequence(
+                F.greatest(
+                    F.make_timestamp(F.col("y"), F.lit(1), F.lit(1), zero, zero, zero),
+                    F.col("lo"),
+                ),
+                F.least(
+                    F.make_timestamp(
+                        F.col("y"), F.lit(12), F.lit(31), F.lit(23), zero, zero
+                    ),
+                    F.col("hi"),
+                ),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+
+
 @query(
     "c07_gapfill",
     oracle="""
@@ -205,26 +254,19 @@ def c07_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     resample step dashboards and training-data time features need,
     since a plain groupBy silently drops empty buckets.
 
-    Grid construction is sequence() over the global [min,max] hour
-    bounds (one tiny agg) cross-joined with the distinct keys, then a
-    left join back to the aggregated counts — grid side is broadcast;
-    the only big-data pass is the original aggregation."""
+    Grid construction is the distributed two-level explode of
+    ``_dense_hour_grid`` (span-proportional grids must not be a single
+    task or a broadcast — see the helper docstring) cross-joined with
+    the broadcast distinct keys, then a left join back to the
+    aggregated counts with the strategy left to AQE — the only
+    big-data pass is the original aggregation."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy(
         F.date_trunc("hour", "ts").alias("h"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n"))
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h")
-    )
     types = e.select("event_type").distinct()
-    grid = F.broadcast(hours.crossJoin(types))
+    grid = _dense_hour_grid(e).crossJoin(F.broadcast(types))
     return grid.join(agg, ["h", "event_type"], "left").select(
         "h", "event_type", F.coalesce(F.col("n"), F.lit(0)).alias("n")
     )
@@ -256,7 +298,10 @@ def c08_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULLS over an explicit running frame) — the fill step after c07's
     gap detection, and the standard treatment for sensor/metric series
     before feature extraction. Leading cells before any observation
-    stay NULL on both engines. One window shuffle on event_type."""
+    stay NULL on both engines. One window shuffle on event_type; grid
+    generation is the distributed two-level explode of
+    ``_dense_hour_grid`` (same span-proportionality reasoning as
+    c07)."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
@@ -265,15 +310,8 @@ def c08_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
         ).alias("hour_sum")
     )
-    bounds = e.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    hours = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
     types = e.select("event_type").distinct()
-    grid = F.broadcast(hours.crossJoin(types))
+    grid = _dense_hour_grid(e).crossJoin(F.broadcast(types))
     sparse = grid.join(agg, ["h", "event_type"], "left")
     w = (
         Window.partitionBy("event_type")

@@ -132,16 +132,17 @@ def e02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "e03_stream_session",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, value, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                     THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     sessions AS (
         SELECT user_id, ts, value,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     )
@@ -153,10 +154,17 @@ def e02_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e03_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute gap.
 
-    Spark semantics: a session extends [first_ts, last_ts + gap); an
-    event at exactly last_ts + 30min starts a NEW session (interval end
-    is exclusive) — hence the oracle's ``>=`` gap flag (gaps-and-islands
-    rewrite; SURVEY.md §7 hard-list #3 pins this boundary)."""
+    Spark semantics: a session extends to last_ts + gap and an event at
+    EXACTLY last_ts + 30min MERGES into it — the merge iterator treats
+    end == next start as overlap, even though the reported window end is
+    exclusive for membership of the aggregate. Empirically pinned round
+    9 (tests/test_time_hostile.py::test_session_window_exact_gap
+    _merges): events at t0 / t0+1800s / t0+3600s form ONE session;
+    t0+1800.000001s splits. Hence the oracle's STRICT ``>`` gap flag
+    (gaps-and-islands rewrite; SURVEY.md §7 hard-list #3 warned on this
+    boundary, and the round-9 time-hostile corpus caught the pre-fix
+    ``>=`` emitting 634 vs Spark's 535 sessions — same merge rule as
+    c10's `> 1800` sessionizer)."""
     s = _events_stream(spark, sf_dir)
     agg = s.groupBy(F.session_window("ts", "30 minutes"), "user_id").agg(
         duck_round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
@@ -296,6 +304,14 @@ def e06_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     s = _events_stream(spark, sf_dir, n_files=1)
+    # Prune to the two columns the fold reads BEFORE the pandas
+    # boundary: applyInPandasWithState's input deserializer still casts
+    # timestamps to Arrow timestamp[ns] (unlike the us-preserving batch
+    # pandas paths), so an out-of-ns-range ts (year 1500 / 9999 — the
+    # round-9 time-hostile corpus) would crash the worker even though
+    # the fold never touches ts. Column pruning is also simply the
+    # right 100 TB shape for a two-column aggregate.
+    s = s.select("user_id", "value")
     stateful = s.groupBy("user_id").applyInPandasWithState(
         track_user,
         outputStructType=out_schema,

@@ -168,22 +168,150 @@ TRANSFORMS = {
 
 COPY_AS_IS = ("region", "nation", "supplier", "part")
 
+# ---------------------------------------------------------------------------
+# TIME-HOSTILE mode (--time-hostile): rewrites ONLY the temporal columns
+# (events.ts, orders.o_orderdate, lineitem.l_shipdate) and copies every
+# other table/column unchanged.  A 100 TB lake's clock column is never
+# polite either: backfills carry pre-epoch and centuries-old timestamps,
+# upstream clocks emit exact bucket-boundary instants, and second- (or
+# microsecond-) granularity sources produce EXACT (key, ts) duplicates.
+# Injected classes:
+#
+# - events keyed by event_id % 20 (rows of chain users 9-13 excluded; chain ids chosen from the 0..14 user ids the sf0.001 fixture actually has):
+#   epoch-1us / epoch-0 / pre-epoch-fractional (the truncate-vs-floor
+#   inputs), exact-hour-boundary and 1us-before-hour (half-open window
+#   edges), ancient 1500-06-15 (pre-Gregorian-adoption; faithful
+#   proleptic read re-proven by the round-9 rebase probe), far-future
+#   2260 (watermark outlier; moves every cutoff-derived constant).
+# - per-user deterministic chains (row_number over event_id):
+#   user 13: consecutive gaps EXACTLY 1800 s  -> c10's `> 1800` keeps
+#            one session; e03's session_window `>=` splits every row.
+#   user 11: gaps exactly 1801 s -> both split (the flip pair for 13).
+#   user 12: period-3 pattern singleton-click / click+purchase TIE at
+#            identical (user_id, ts) -> b18's STRICT `p.ts > e.ts`
+#            as-of must skip the tied click and match the singleton
+#            (the shape the fixtures never had: FIXTURES.md notes no
+#            (user_id, ts) duplicates).  The matched ts is always a
+#            singleton, so DuckDB's ASOF pick stays deterministic.
+#   user 10: signup/follow alternating at EXACTLY 600 s spacing ->
+#            b17's `<= 10 MINUTE` inclusive edge keeps the pair.
+#   user  9: spacing 600.000001 s -> b17's edge excludes it.
+# - orders.o_orderdate % 15: month-end Jan-31 (+30d lands Mar-1/2),
+#   leap day 2000-02-29, century leap day 1600-02-29 (pre-1900),
+#   9999-09-30 (far future; every interval the packs add — up to
+#   d10's +90 days — stays in year 9999, since Python datetime caps
+#   at 9999 and the driver compare must collect the result), epoch-1us,
+#   just-post-cutover 1582-10-20, and a fractional midnight
+#   1999-12-31 23:59:59.5 (date-cast truncation).
+# - lineitem.l_shipdate % 12: pre-epoch, far-future, and the exact
+#   strict boundary of b36's `> TIMESTAMP '2000-06-01'` filter
+#   (boundary row excluded, +1us row included).
+# ---------------------------------------------------------------------------
 
-def build(out_dir: str, src_dir: str, skew_only: bool = False) -> None:
+TRANSFORMS_TIME = {
+    "events": f"""
+        WITH rn AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS rn
+          FROM src
+        )
+        SELECT event_id,
+          CASE
+            WHEN user_id = 13
+              THEN TIMESTAMP '2024-03-01 00:00:00'
+                   + to_microseconds(rn * 1800000000)
+            WHEN user_id = 11
+              THEN TIMESTAMP '2024-04-01 00:00:00'
+                   + to_microseconds(rn * 1801000000)
+            WHEN user_id = 12
+              THEN TIMESTAMP '2024-05-01 00:00:00'
+                   + to_microseconds(((rn + 2) // 3) * 3600000000
+                       + CASE WHEN rn % 3 = 1 THEN 0
+                              ELSE 1800000000 END)
+            WHEN user_id = 10
+              THEN TIMESTAMP '2024-06-01 00:00:00'
+                   + to_microseconds(rn * 600000000)
+            WHEN user_id = 9
+              THEN TIMESTAMP '2024-07-01 00:00:00'
+                   + to_microseconds(rn * 600000001)
+            WHEN event_id % 20 = 0 THEN TIMESTAMP '1969-12-31 23:59:59.999999'
+            WHEN event_id % 20 = 1 THEN TIMESTAMP '1970-01-01 00:00:00'
+            WHEN event_id % 20 = 2 THEN TIMESTAMP '1969-12-31 23:45:00.5'
+            WHEN event_id % 20 = 3 THEN TIMESTAMP '2024-01-15 13:00:00'
+            WHEN event_id % 20 = 4 THEN TIMESTAMP '2024-01-15 12:59:59.999999'
+            WHEN event_id % 20 = 5 THEN TIMESTAMP '1500-06-15 12:34:56.789'
+            WHEN event_id % 20 = 6 THEN TIMESTAMP '2260-01-01 00:00:00'
+            ELSE ts
+          END AS ts,
+          user_id,
+          CASE
+            WHEN user_id = 12
+              THEN CASE WHEN rn % 3 = 0 THEN 'purchase' ELSE 'click' END
+            WHEN user_id IN (10, 9)
+              THEN CASE WHEN rn % 2 = 1 THEN 'signup' ELSE 'follow' END
+            ELSE event_type
+          END AS event_type,
+          value, props
+        FROM rn
+    """,
+    "orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          CASE
+            WHEN o_orderkey % 15 = 0 THEN TIMESTAMP '1996-01-31 00:00:00'
+            WHEN o_orderkey % 15 = 1 THEN TIMESTAMP '2000-02-29 12:00:00'
+            WHEN o_orderkey % 15 = 2 THEN TIMESTAMP '1600-02-29 00:00:00'
+            WHEN o_orderkey % 15 = 3 THEN TIMESTAMP '9999-09-30 23:59:59.999999'
+            WHEN o_orderkey % 15 = 4 THEN TIMESTAMP '1969-12-31 23:59:59.999999'
+            WHEN o_orderkey % 15 = 5 THEN TIMESTAMP '1582-10-20 00:00:00'
+            WHEN o_orderkey % 15 = 6 THEN TIMESTAMP '1999-12-31 23:59:59.5'
+            ELSE o_orderdate
+          END AS o_orderdate,
+          o_orderpriority
+        FROM src
+    """,
+    "lineitem": """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          l_quantity, l_extendedprice, l_discount, l_tax,
+          l_returnflag, l_linestatus,
+          CASE
+            WHEN l_orderkey % 12 = 0 THEN TIMESTAMP '1969-06-01 00:00:00'
+            WHEN l_orderkey % 12 = 1 THEN TIMESTAMP '2260-01-01 00:00:00'
+            WHEN l_orderkey % 12 = 2 THEN TIMESTAMP '2000-06-01 00:00:00'
+            WHEN l_orderkey % 12 = 3 THEN TIMESTAMP '2000-06-01 00:00:00.000001'
+            ELSE l_shipdate
+          END AS l_shipdate
+        FROM src
+    """,
+}
+
+
+def build(
+    out_dir: str,
+    src_dir: str,
+    skew_only: bool = False,
+    time_hostile: bool = False,
+) -> None:
     """skew_only=True applies only the RELATIONAL skew rewrites (hot
     keys, tie storms, NULL values) and copies documents/embeddings
     unchanged — the shape for up-scale skew BENCHMARKS, where the
     duplicate-text cluster would (by design — documented quadratic
-    pair output) explode the dedup family's results at sf0.1."""
+    pair output) explode the dedup family's results at sf0.1.
+
+    time_hostile=True applies the TEMPORAL rewrites only (see the
+    TRANSFORMS_TIME comment block) and copies every other table
+    unchanged."""
+    assert not (skew_only and time_hostile), "pick one mode"
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     skip = {"documents", "embeddings"} if skew_only else set()
+    transforms = TRANSFORMS_TIME if time_hostile else TRANSFORMS
     for table in COPY_AS_IS + tuple(TRANSFORMS):
         src = os.path.join(src_dir, f"{table}.parquet")
         dst = os.path.join(out_dir, f"{table}.parquet")
         con.execute(f"CREATE OR REPLACE VIEW src AS FROM read_parquet('{src}')")
-        sel = "SELECT * FROM src" if table in skip else TRANSFORMS.get(
+        sel = "SELECT * FROM src" if table in skip else transforms.get(
             table, "SELECT * FROM src"
         )
         con.execute(f"COPY ({sel}) TO '{dst}' (FORMAT parquet)")
@@ -201,7 +329,12 @@ def build(out_dir: str, src_dir: str, skew_only: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--skew-only"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out = args[0] if len(args) > 0 else "/tmp/adversarial_sf"
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
-    build(out, src, skew_only="--skew-only" in sys.argv)
+    build(
+        out,
+        src,
+        skew_only="--skew-only" in sys.argv,
+        time_hostile="--time-hostile" in sys.argv,
+    )

@@ -409,14 +409,35 @@ def test_stratified_sample_prunes_text(spark, sf_dir):
     assert partial_aggregation(plan), plan
 
 
-def test_gapfill_grid_joins_broadcast(spark, sf_dir):
-    """c07/c08: the generated time grid joins back to observations via
-    broadcast only (grid size = buckets x keys, tiny by construction) —
-    no shuffle of the fact side, no cartesian."""
+def test_gapfill_grid_distributed_generation(spark, sf_dir):
+    """c07/c08: the time grid is span-proportional (hours x keys), NOT
+    row-count-proportional — a single hostile timestamp makes it huge
+    (the round-9 time-hostile corpus: 1500..2260 => 6.7M hours), so the
+    pre-fix single-task ``sequence(lo, hi)`` explode + grid-side
+    broadcast is a scale bug. Pin the fixed posture: (a) two Generate
+    levels (year explode, then per-year hour explode) with an Exchange
+    between them so generation parallelism scales with the span and
+    per-task array size is bounded by one year of hours; (b) the
+    grid-observations join carries no cartesian and no grid-side
+    broadcast HINT — strategy is left to AQE runtime sizes (an SMJ on
+    (h, event_type) is the correct 100 TB shape; at fixture scale AQE
+    broadcasts the small agg side)."""
+    import re
+
     for name in ("c07_gapfill", "c08_win_forward_fill"):
-        kinds = set(join_kinds(_plan(name, spark, sf_dir)))
-        assert "CartesianProduct" not in kinds, (name, kinds)
-        assert "SortMergeJoin" not in kinds, (name, kinds)
+        plan = _plan(name, spark, sf_dir)
+        assert "CartesianProduct" not in set(join_kinds(plan)), name
+        n_generate = len(re.findall(r"\bGenerate\b", plan))
+        assert n_generate >= 2, (name, n_generate, plan)
+        # the hour-level explode consumes a repartitioned year stream:
+        # an Exchange must sit between the two Generate nodes
+        first = plan.find("Generate")
+        second = plan.find("Generate", first + 1)
+        assert "Exchange" in plan[first:second], (name, plan[first:second])
+        assert re.search(r"hashpartitioning\(y#", plan), (
+            name,
+            "year repartition missing",
+        )
 
 
 def test_event_funnel_joins_broadcast(spark, sf_dir):

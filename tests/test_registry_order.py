@@ -61,8 +61,10 @@ from data_lake_staging_engine_spark.registry import registry
 CHANGED_BAND = {
     "a09_sink_parquet_partitioned", "a13_stream_ingest_foreachbatch",
     "a16_partition_pruned_scan", "a17_dynamic_partition_overwrite",
-    "a20_observed_metrics", "b27_agg_stats", "b36_histogram",
-    "b38_sql_cte_chain", "c01_win_ranking", "d07_fn_json",
+    "a20_observed_metrics", "b18_join_asof", "b27_agg_stats",
+    "b36_histogram",
+    "b38_sql_cte_chain", "c01_win_ranking", "c07_gapfill",
+    "c08_win_forward_fill", "d07_fn_json",
     "d08_fn_struct", "d09_fn_variant",
     "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
     "e04_stream_watermark", "e06_stream_stateful",
