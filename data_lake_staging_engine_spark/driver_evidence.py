@@ -180,6 +180,12 @@ CHANGED_IN: dict[str, int] = {
     # the hostile corpus hung the single-task sequence + broadcast).
     "b18_join_asof": 9, "e03_stream_session": 9, "c07_gapfill": 9,
     "c08_win_forward_fill": 9,
+    # e08/e12: event-time validity gate (epoch-adjacent rows are born
+    # late against the initial epoch-0 watermark; far-future clocks
+    # poison it) — gate + mirrored oracle predicates;
+    # f04's CHANGED_IN was already 9 (degenerate sweep) and its
+    # round-9 text additionally prunes ts before the pandas boundary.
+    "e08_stream_stream_join": 9, "e12_stream_outer_join": 9,
     # Inline round-to-cents sites surfaced by the round-9 MECHANICAL
     # derivation (round_mirror_users) that even ADVICE r08 missed.
     # Their formula did NOT change in round 8 — audited this round:

@@ -257,7 +257,14 @@ def f04_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = load(spark, sf_dir, "events")
+    # Prune to the three columns zscore reads BEFORE the pandas
+    # boundary: applyInPandas converts EVERY input column to pandas and
+    # its deserializer casts timestamps to Arrow timestamp[ns], so an
+    # out-of-ns-range ts (year 1500/9999 — the round-9 time-hostile
+    # corpus) crashes the worker on a column the UDF never touches.
+    # Pruning is also simply the right 100 TB shape (same class as
+    # e06's stateful fold; f05 already prunes).
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
     return e.groupBy("event_type").applyInPandas(zscore, schema)
 
 

@@ -44,6 +44,41 @@ def _state_parts(spark: SparkSession, sf_dir: str, n_files: int = 1, copies: int
 
 _DEC_SUM_ORACLE = "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)"
 
+# --------------------------------------------------------------------------
+# Event-time validity gate for the WATERMARK-CONSUMING stream-stream
+# joins (e08/e12). Two engine realities make an explicit validity
+# window part of the operator contract, not an optional cleanup:
+#
+# 1. Structured Streaming's watermark starts at epoch 0 and rows with
+#    event time at-or-before it are born late — the round-9 time-hostile
+#    sweep showed every epoch-adjacent pair silently missing from e08
+#    (spark=47 vs oracle=75; all 28 absent pairs carried a
+#    1969-12-31 23:59:59.999999 or 1970-01-01 00:00:00 timestamp).
+# 2. One corrupt far-future clock (a 2260 event) drags the watermark
+#    centuries ahead, so every subsequent sane row in a later
+#    micro-batch is dropped as late — the classic silent-kill of a
+#    100 TB streaming pipeline.
+#
+# The gate filters BELOW the watermark operator (declared before
+# ``withWatermark`` in the DataFrame chain, so EventTimeWatermark's
+# child only ever sees gated rows) and the identical predicate appears
+# in the DuckDB oracle. The batch aggregations (e01-e07, e09-e11) are
+# NOT gated: they run complete-mode over whatever arrives and drop
+# nothing, so a gate would change their answer for no robustness gain.
+_TS_VALID_LO = "2000-01-01 00:00:00"
+_TS_VALID_HI = "2100-01-01 00:00:00"
+_TS_VALID_ORACLE = (
+    f"ts >= TIMESTAMP '{_TS_VALID_LO}' AND ts < TIMESTAMP '{_TS_VALID_HI}'"
+)
+
+
+def _gate_event_time(df):
+    """Apply the event-time validity window (see _TS_VALID_LO above)."""
+    return df.filter(
+        (F.col("ts") >= F.lit(_TS_VALID_LO).cast("timestamp"))
+        & (F.col("ts") < F.lit(_TS_VALID_HI).cast("timestamp"))
+    )
+
 
 def _win_agg(stream):
     return (
@@ -393,10 +428,11 @@ def e07_stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "e08_stream_stream_join",
-    oracle="""
+    oracle=f"""
     SELECT e1.event_id AS signup_id, e1.user_id,
            e2.event_id AS follow_id, e2.event_type AS follow_type
-    FROM events e1 JOIN events e2
+    FROM (SELECT * FROM events WHERE {_TS_VALID_ORACLE}) e1
+    JOIN (SELECT * FROM events WHERE {_TS_VALID_ORACLE}) e2
       ON e1.user_id = e2.user_id
      AND e1.event_type = 'signup'
      AND e2.ts > e1.ts
@@ -414,10 +450,15 @@ def e08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     forever at scale. AvailableNow drain => equals the batch/oracle
     result. Both stream readers share one landing copy (two
     independent readStream sources over the same dir, as production
-    dual-readers of one bucket would)."""
+    dual-readers of one bucket would).
+
+    Both sides pass the event-time validity gate (_gate_event_time,
+    mirrored in the oracle) BEFORE the watermark: epoch-adjacent rows
+    are born late against the initial epoch-0 watermark and a corrupt
+    far-future clock would poison it — see the gate comment above."""
     landing, schema = landing_copy(spark, sf_dir, "events")
-    s1 = spark.readStream.schema(schema).parquet(landing)
-    s2 = spark.readStream.schema(schema).parquet(landing)
+    s1 = _gate_event_time(spark.readStream.schema(schema).parquet(landing))
+    s2 = _gate_event_time(spark.readStream.schema(schema).parquet(landing))
     e1 = (
         s1.filter(F.col("event_type") == "signup")
         .withWatermark("ts", "1 hour")
@@ -668,11 +709,11 @@ def e11_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "e12_stream_outer_join",
-    oracle="""
+    oracle=f"""
     SELECT e1.event_id AS signup_id, e1.user_id,
            e2.event_id AS follow_id, e2.event_type AS follow_type
-    FROM events e1
-    LEFT JOIN events e2
+    FROM (SELECT * FROM events WHERE {_TS_VALID_ORACLE}) e1
+    LEFT JOIN (SELECT * FROM events WHERE {_TS_VALID_ORACLE}) e2
       ON e1.user_id = e2.user_id
      AND e2.event_type = 'purchase'
      AND e2.ts > e1.ts
@@ -682,7 +723,7 @@ def e11_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                         max(ts) FILTER (WHERE event_type = 'signup'),
                         max(ts) FILTER (WHERE event_type = 'purchase'))
                       - INTERVAL 130 MINUTE
-                    FROM events)
+                    FROM events WHERE {_TS_VALID_ORACLE})
     """,
 )
 def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -721,11 +762,17 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     either ever changes timezone handling (ADVICE r06).
 
     State stays bounded exactly as in e08: watermark + range condition
-    => each side buffers at most watermark+10min per user."""
+    => each side buffers at most watermark+10min per user.
+
+    Both stream sides AND the cutoff pre-aggregate pass the event-time
+    validity gate (_gate_event_time, mirrored in the oracle's
+    subqueries) — epoch-adjacent rows are born late against the
+    initial epoch-0 watermark, and an ungated far-future row would
+    both poison the watermark and inflate the flushed-region cutoff
+    (see the gate comment above)."""
     landing, schema = landing_copy(spark, sf_dir, "events")
     cutoff_micros = (
-        spark.read.schema(schema)
-        .parquet(landing)
+        _gate_event_time(spark.read.schema(schema).parquet(landing))
         .agg(
             F.unix_micros(
                 F.least(
@@ -738,8 +785,8 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
         .c
     )
-    s1 = spark.readStream.schema(schema).parquet(landing)
-    s2 = spark.readStream.schema(schema).parquet(landing)
+    s1 = _gate_event_time(spark.readStream.schema(schema).parquet(landing))
+    s2 = _gate_event_time(spark.readStream.schema(schema).parquet(landing))
     # The global watermark is the min over every watermark node of
     # (max event time seen - delay). Declaration order relative to the
     # filters is COSMETIC: the optimizer pushes the event_type conjunct

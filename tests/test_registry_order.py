@@ -68,7 +68,9 @@ CHANGED_BAND = {
     "d08_fn_struct", "d09_fn_variant",
     "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
     "e04_stream_watermark", "e06_stream_stateful",
+    "e08_stream_stream_join",
     "e09_stream_static_join", "e10_batch_twin",
+    "e12_stream_outer_join",
     "e11_stream_dedup_then_window", "f03_pandas_udf_grouped_agg",
     "f04_apply_in_pandas", "f06_udtf", "f08_multimodal_decode",
     "f10_cogroup_in_pandas", "g02_dedup_near", "g02b_dedup_lsh",

@@ -13,10 +13,15 @@ explicitly ranked as risks:
    exactly last_ts + gap (the merge iterator treats end == next start
    as overlap); the oracle's ``>=`` split flag emitted 634 sessions vs
    Spark's 535. Fixed to a strict ``>`` flag.
-3. e06: ``applyInPandasWithState``'s input deserializer casts
+3. e06/f04: the applyInPandas(WithState) input deserializers cast
    timestamps to Arrow timestamp[ns]; a year-1500 event crashes the
-   worker even though the fold never reads ts. Fixed by pruning to
-   (user_id, value) before the pandas boundary.
+   worker even though neither fold reads ts. Fixed by pruning to the
+   columns actually read before the pandas boundary.
+4. e08/e12: Structured Streaming's watermark starts at epoch 0, so
+   epoch-adjacent rows are born late and their joined pairs silently
+   vanish (spark=47 vs oracle=75), and one far-future clock would drag
+   the watermark centuries ahead. Fixed with the event-time validity
+   gate (_gate_event_time), mirrored in the oracles.
 
 Plus the c07/c08 scale bug: the hour grid is SPAN-proportional, so one
 hostile timestamp (1500..2260 => 6.7M hours) blew up the single-task
@@ -83,6 +88,16 @@ def hostile_sf_dir(spark, tmp_path_factory):
         (701, dt.datetime(9999, 1, 1), 7, "purchase", 0.99, "{}"),
         (702, dt.datetime(2024, 1, 1), 7, "purchase", -5.5, "{}"),
     ]
+    # user 8: an epoch-adjacent signup/purchase pair (born late against
+    # Structured Streaming's initial epoch-0 watermark — the e08/e12
+    # silent-drop shape; the validity gate excludes it on BOTH engines)
+    # plus a sane in-window pair that must survive.
+    rows += [
+        (800, dt.datetime(1969, 12, 31, 23, 59, 59, 999999), 8, "signup", 1.0, "{}"),
+        (801, dt.datetime(1970, 1, 1, 0, 5, 0), 8, "purchase", 2.0, "{}"),
+        (802, dt.datetime(2024, 7, 1, 12, 0, 0), 8, "signup", 1.0, "{}"),
+        (803, dt.datetime(2024, 7, 1, 12, 5, 0), 8, "purchase", 2.0, "{}"),
+    ]
     spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, "
@@ -104,7 +119,22 @@ def hostile_duck(hostile_sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["b18_join_asof", "e03_stream_session", "e06_stream_stateful"]
+    "name",
+    [
+        "b18_join_asof",
+        "e03_stream_session",
+        "e06_stream_stateful",
+        # f04: applyInPandas converts every input column; pre-fix it
+        # shipped the unused ts through the ns-casting deserializer —
+        # the same crash class as e06, caught by the same corpus.
+        "f04_apply_in_pandas",
+        # e08/e12: epoch-adjacent rows are born late against the
+        # initial epoch-0 watermark (pre-gate: silently dropped pairs,
+        # spark=47 vs oracle=75 on the sweep corpus); the validity
+        # gate excludes them identically on both engines.
+        "e08_stream_stream_join",
+        "e12_stream_outer_join",
+    ],
 )
 def test_hostile_parity(name, spark, hostile_sf_dir, hostile_duck):
     rq = _REG[name]
