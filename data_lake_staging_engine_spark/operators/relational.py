@@ -315,6 +315,15 @@ def b18_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ... -1 µs)`` per key — same plan shape.
     """
     e = load(spark, sf_dir, "events")
+    # JOIN-key equality semantics, not window-grouping semantics: a
+    # NULL user_id matches NOTHING in DuckDB's ASOF equality, but
+    # window partitionBy would group all NULL keys into one ordinary
+    # partition and happily match them to each other — the round-9
+    # null-key corpus read spark=200 vs oracle=182 without this
+    # filter. Every window-emulated join must exclude NULL keys
+    # explicitly (tests/test_time_hostile.py pins it); the filter
+    # pushes to the scan.
+    e = e.filter(F.col("user_id").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.unix_micros("ts"))

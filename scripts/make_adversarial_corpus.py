@@ -286,11 +286,41 @@ TRANSFORMS_TIME = {
 }
 
 
+# ---------------------------------------------------------------------------
+# NULL-KEY mode (--null-keys): NULLs the JOIN/GROUPING keys themselves
+# (events.user_id, orders.o_custkey) on a deterministic 10% of rows and
+# copies everything else unchanged.  The sharp edge this probes: SQL
+# JOIN equality treats NULL as matching NOTHING, while window/groupBy
+# PARTITIONING treats NULL as one ordinary group — so any operator that
+# EMULATES a join with a window (b18's as-of) silently flips semantics
+# on NULL keys unless it excludes them explicitly.  At 100 TB a NULL
+# foreign key is not an anomaly, it is a Tuesday.
+# ---------------------------------------------------------------------------
+
+TRANSFORMS_NULL_KEYS = {
+    "events": """
+        SELECT event_id, ts,
+               CASE WHEN event_id % 10 = 7 THEN NULL ELSE user_id END
+                 AS user_id,
+               event_type, value, props
+        FROM src
+    """,
+    "orders": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 7 THEN NULL ELSE o_custkey END
+                 AS o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM src
+    """,
+}
+
+
 def build(
     out_dir: str,
     src_dir: str,
     skew_only: bool = False,
     time_hostile: bool = False,
+    null_keys: bool = False,
 ) -> None:
     """skew_only=True applies only the RELATIONAL skew rewrites (hot
     keys, tie storms, NULL values) and copies documents/embeddings
@@ -300,13 +330,21 @@ def build(
 
     time_hostile=True applies the TEMPORAL rewrites only (see the
     TRANSFORMS_TIME comment block) and copies every other table
+    unchanged.
+
+    null_keys=True applies the NULL-KEY rewrites only (see the
+    TRANSFORMS_NULL_KEYS comment block) and copies every other table
     unchanged."""
-    assert not (skew_only and time_hostile), "pick one mode"
+    assert skew_only + time_hostile + null_keys <= 1, "pick one mode"
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     skip = {"documents", "embeddings"} if skew_only else set()
-    transforms = TRANSFORMS_TIME if time_hostile else TRANSFORMS
+    transforms = (
+        TRANSFORMS_TIME
+        if time_hostile
+        else TRANSFORMS_NULL_KEYS if null_keys else TRANSFORMS
+    )
     for table in COPY_AS_IS + tuple(TRANSFORMS):
         src = os.path.join(src_dir, f"{table}.parquet")
         dst = os.path.join(out_dir, f"{table}.parquet")
@@ -337,4 +375,5 @@ if __name__ == "__main__":
         src,
         skew_only="--skew-only" in sys.argv,
         time_hostile="--time-hostile" in sys.argv,
+        null_keys="--null-keys" in sys.argv,
     )

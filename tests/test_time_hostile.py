@@ -88,6 +88,15 @@ def hostile_sf_dir(spark, tmp_path_factory):
         (701, dt.datetime(9999, 1, 1), 7, "purchase", 0.99, "{}"),
         (702, dt.datetime(2024, 1, 1), 7, "purchase", -5.5, "{}"),
     ]
+    # NULL join keys: a NULL-user click then a NULL-user purchase.
+    # JOIN equality matches NOTHING on NULL (the oracle's ASOF drops
+    # purchase 901), but window partitionBy groups all NULL keys into
+    # one partition and matches them to each other — the round-9
+    # null-key corpus caught b18 doing exactly that (200 vs 182 rows).
+    rows += [
+        (900, dt.datetime(2024, 8, 1, 12, 0, 0), None, "click", 1.0, "{}"),
+        (901, dt.datetime(2024, 8, 1, 12, 30, 0), None, "purchase", 2.0, "{}"),
+    ]
     # user 8: an epoch-adjacent signup/purchase pair (born late against
     # Structured Streaming's initial epoch-0 watermark — the e08/e12
     # silent-drop shape; the validity gate excludes it on BOTH engines)
@@ -152,6 +161,8 @@ def test_b18_strict_inequality_on_ties(spark, hostile_sf_dir):
     }
     assert out[1202] == 1200, out
     assert 1401 not in out, out
+    # NULL key = join semantics (matches nothing), not window-grouping
+    assert 901 not in out, out
 
 
 def test_session_window_exact_gap_merges(spark, hostile_sf_dir):
