@@ -258,7 +258,13 @@ def e05_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup: the landing dir carries every event TWICE
     (duplicate delivery — the at-least-once reality of event buses);
     ``dropDuplicates`` on the key emits each exactly once. Production
-    note: use dropDuplicatesWithinWatermark to bound state at 100 TB."""
+    note: use dropDuplicatesWithinWatermark to bound state at 100 TB.
+
+    Identity contract (round-9 duplicate-key probe): keyed dedup is
+    oracle-expressible only while duplicate ids carry IDENTICAL
+    payloads (redelivery). Duplicate ids with DIFFERING payloads make
+    the survivor arrival-order-dependent on any engine — that input is
+    an upstream defect to normalize with a07_dedup_keep_latest."""
     s = _events_stream(spark, sf_dir, n_files=2, copies=2)
     dedup = s.select("event_id", "user_id", "event_type", "value").dropDuplicates(
         ["event_id"]
@@ -690,7 +696,9 @@ def e11_stream_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ran. This is the at-least-once-source => exactly-once-sink shape of
     a production ingest topology; both stages keep per-key state, which
     is why dedup needs the key (and at scale a watermark via
-    dropDuplicatesWithinWatermark, exercised in e05) to stay bounded."""
+    dropDuplicatesWithinWatermark, exercised in e05) to stay bounded.
+    Same identity contract as e05: duplicate ids must carry identical
+    payloads (see e05's docstring / BASELINE.md duplicate-key probe)."""
     s = _events_stream(spark, sf_dir, n_files=2, copies=2)
     deduped = s.dropDuplicates(["event_id"])
     agg = deduped.groupBy(F.window("ts", "1 hour"), "event_type").agg(
