@@ -301,7 +301,16 @@ def c08_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay NULL on both engines. One window shuffle on event_type; grid
     generation is the distributed two-level explode of
     ``_dense_hour_grid`` (same span-proportionality reasoning as
-    c07)."""
+    c07).
+
+    Known residual (measured round 9): the fill window partitions by
+    event_type alone, so each type's dense series runs through ONE
+    window task — inherent to a global running forward-fill, cheap in
+    practice (2.6M cells across 2 types in 3.8 s), but for a 100 TB
+    deployment with few types and decade spans, segment time into
+    blocks and ffill via block-last + one small cross-block pass (the
+    standard two-phase scan decomposition) rather than widening this
+    operator."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
