@@ -157,7 +157,14 @@ LAST_VERIFIED: dict[str, int] = {
 # round-8/9 markers were satisfied by CORRECTNESS_r09 and dropped in
 # the round-10 fold; round-10 edits add their markers below as they
 # land.
-CHANGED_IN: dict[str, int] = {}
+CHANGED_IN: dict[str, int] = {
+    # b18's tie pick over the RANGE frame made deterministic (ADVICE
+    # r09: last() was engine-order-dependent on tied build timestamps)
+    # — max(struct(ts_micros, event_id, event_type)) now takes the
+    # greatest (ts, event_id); identical output on singleton matched
+    # timestamps (fixtures/corpora), re-proven under the policy.
+    "b18_join_asof": 10,
+}
 
 # Convenience view: every query with any first-party driver evidence.
 DRIVER_VERIFIED: frozenset[str] = frozenset(LAST_VERIFIED)

@@ -302,11 +302,16 @@ def b18_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently violates the strict inequality — the exact defect SURVEY §7
     hard-list #2 warned about, surfaced by the round-9 time-hostile
     corpus (spark=172 vs oracle=166 on injected purchase/click ties) and
-    pinned in tests/test_negative_values.py. Among several strictly-
-    earlier rows tied at the match timestamp the pick follows the
-    engine's partition-internal order (DuckDB's ASOF pick on tied build
-    rows is equally unspecified); both fixtures and the hostile corpus
-    keep the matched timestamp a singleton.
+    pinned in tests/test_time_hostile.py::
+    test_b18_strict_inequality_on_ties. Among several strictly-earlier
+    rows tied at the match timestamp the pick is DETERMINISTIC (ADVICE
+    r09): ``max(struct(ts_micros, event_id, event_type))`` over the
+    frame takes the greatest (ts, event_id) pair, so a hash-compare
+    sweep can never flake on engine partition order. DuckDB's ASOF pick
+    on tied build rows remains unspecified, so hash-tier parity still
+    relies on the fixtures'/corpora's singleton matched timestamp —
+    but with a deterministic Spark side, a future tied corpus fails
+    loudly and reproducibly instead of intermittently.
 
     Scale: one shuffle on user_id, sequential scan per partition — the
     same cost profile as a sort-merge as-of join; no cross product. For
@@ -329,12 +334,19 @@ def b18_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros("ts"))
         .rangeBetween(Window.unboundedPreceding, -1)
     )
+    prev = F.max(
+        F.struct(
+            F.unix_micros("ts").alias("m"),
+            F.col("event_id").alias("prev_id"),
+            F.col("event_type").alias("prev_type"),
+        )
+    ).over(w)
     with_prev = e.select(
         "event_id",
         "user_id",
         "event_type",
-        F.last("event_id").over(w).alias("prev_id"),
-        F.last("event_type").over(w).alias("prev_type"),
+        prev.getField("prev_id").alias("prev_id"),
+        prev.getField("prev_type").alias("prev_type"),
     )
     return (
         with_prev.filter(

@@ -35,7 +35,9 @@ from data_lake_staging_engine_spark.registry import registry
 # Text newer than driver evidence as of round 10 (see driver_evidence
 # CHANGED_IN) — the independent mirror.  Round-10 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
-CHANGED_BAND: set[str] = set()
+CHANGED_BAND: set[str] = {
+    "b18_join_asof",  # deterministic tie pick (ADVICE r09)
+}
 
 # Registered only when google.protobuf is available; never-verified by
 # construction wherever it registers.
