@@ -366,7 +366,19 @@ def build(
     con.close()
 
 
+_KNOWN_FLAGS = {"--skew-only", "--time-hostile", "--null-keys"}
+
 if __name__ == "__main__":
+    # A misspelled mode flag must fail loudly, not silently build the
+    # DEFAULT adversarial corpus that a sweep would then misattribute
+    # (ADVICE r09).
+    unknown = [
+        a for a in sys.argv[1:] if a.startswith("--") and a not in _KNOWN_FLAGS
+    ]
+    if unknown:
+        sys.exit(
+            f"unknown flag(s) {unknown}; known: {sorted(_KNOWN_FLAGS)}"
+        )
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out = args[0] if len(args) > 0 else "/tmp/adversarial_sf"
     src = args[1] if len(args) > 1 else "/root/testdata/sf0.001"
