@@ -164,6 +164,11 @@ CHANGED_IN: dict[str, int] = {
     # greatest (ts, event_id); identical output on singleton matched
     # timestamps (fixtures/corpora), re-proven under the policy.
     "b18_join_asof": 10,
+    # e08/e12's event-time validity gate moved to the packaged
+    # contracts module (same bounds, now module config) and gained an
+    # observe() metrics node counting gated rows per micro-batch
+    # (ADVICE r09) — plan gains a CollectMetrics operator, so re-prove.
+    "e08_stream_stream_join": 10, "e12_stream_outer_join": 10,
 }
 
 # Convenience view: every query with any first-party driver evidence.

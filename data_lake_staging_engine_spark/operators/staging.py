@@ -76,38 +76,12 @@ def derive_date_partitions(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
 
 
-def quarantine_nonfinite(
-    df: DataFrame, *cols: str
-) -> tuple[DataFrame, DataFrame]:
-    """(clean, quarantined) split on non-finite doubles — the ingest
-    guard behind the engine's FINITE-MEASURE input contract.
-
-    Measure columns that feed decimal money sums, pandas folds, or
-    cross-engine hash oracles must be finite: CAST(Infinity AS
-    DECIMAL) THROWS on both Spark (ANSI) and DuckDB, pandas CONFLATES
-    NaN with NULL inside every pandas-UDF query (dropna() removes
-    both, so NaN silently becomes "missing" on one engine only), and
-    NaN comparison semantics differ between pandas (NaN > x is false)
-    and both SQL engines (NaN sorts greatest) — a round-9 non-finite
-    probe measured 22 of 159 queries failing in exactly these three
-    classes. A NULL is the portable representation of "missing"; NaN
-    and +/-Inf are not.
-
-    The split is one narrow codegen filter per side (a row lands in
-    ``quarantined`` if ANY listed column is non-finite; NULLs are
-    clean — they are the contract's missing-value form). Quarantined
-    rows keep all columns for the a14-style audit sink. At 100 TB
-    both sides stay partition-parallel projections of the scan."""
-    checks = [
-        F.isnan(F.col(c)) | F.col(c).isin(float("inf"), float("-inf"))
-        for c in cols
-    ]
-    bad = checks[0]
-    for c in checks[1:]:
-        bad = bad | c
-    # NULL-safe: isnan(NULL)/IN over NULL yield NULL => treat as clean
-    bad = F.coalesce(bad, F.lit(False))
-    return df.filter(~bad), df.filter(bad)
+# Finite-measure ingest guard — now packaged with the other three
+# input contracts in contracts.py (VERDICT r09 #3); re-exported here
+# for the existing operator/test call sites.
+from data_lake_staging_engine_spark.contracts import (  # noqa: E402,F401
+    quarantine_nonfinite,
+)
 
 
 @query("a01_scan_parquet", oracle="SELECT * FROM lineitem")

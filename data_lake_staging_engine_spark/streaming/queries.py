@@ -65,19 +65,25 @@ _DEC_SUM_ORACLE = "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)"
 # in the DuckDB oracle. The batch aggregations (e01-e07, e09-e11) are
 # NOT gated: they run complete-mode over whatever arrives and drop
 # nothing, so a gate would change their answer for no robustness gain.
-_TS_VALID_LO = "2000-01-01 00:00:00"
-_TS_VALID_HI = "2100-01-01 00:00:00"
-_TS_VALID_ORACLE = (
-    f"ts >= TIMESTAMP '{_TS_VALID_LO}' AND ts < TIMESTAMP '{_TS_VALID_HI}'"
+#
+# Round 10 (ADVICE r09): the bounds are module-level configuration in
+# contracts.py (EVENT_TIME_VALID_LO/HI) shared with the packaged
+# validate_ingest checkpoint, the Spark predicate and the DuckDB
+# oracle text derive from the SAME constants, and the gate attaches an
+# observe() metrics node so gated-out rows are counted per micro-batch
+# (StreamingQueryProgress.observedMetrics["<query>_gate"]) instead of
+# silently discarded.
+from data_lake_staging_engine_spark.contracts import (  # noqa: E402
+    event_time_validity_sql,
+    gate_event_time,
 )
 
+_TS_VALID_ORACLE = event_time_validity_sql("ts")
 
-def _gate_event_time(df):
-    """Apply the event-time validity window (see _TS_VALID_LO above)."""
-    return df.filter(
-        (F.col("ts") >= F.lit(_TS_VALID_LO).cast("timestamp"))
-        & (F.col("ts") < F.lit(_TS_VALID_HI).cast("timestamp"))
-    )
+
+def _gate_event_time(df, observe_name=None):
+    """Apply the event-time validity window (contracts.py bounds)."""
+    return gate_event_time(df, "ts", observe_name=observe_name)
 
 
 def _win_agg(stream):
@@ -463,8 +469,12 @@ def e08_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     are born late against the initial epoch-0 watermark and a corrupt
     far-future clock would poison it — see the gate comment above."""
     landing, schema = landing_copy(spark, sf_dir, "events")
-    s1 = _gate_event_time(spark.readStream.schema(schema).parquet(landing))
-    s2 = _gate_event_time(spark.readStream.schema(schema).parquet(landing))
+    s1 = _gate_event_time(
+        spark.readStream.schema(schema).parquet(landing), "e08_gate_left"
+    )
+    s2 = _gate_event_time(
+        spark.readStream.schema(schema).parquet(landing), "e08_gate_right"
+    )
     e1 = (
         s1.filter(F.col("event_type") == "signup")
         .withWatermark("ts", "1 hour")
@@ -793,8 +803,12 @@ def e12_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
         .c
     )
-    s1 = _gate_event_time(spark.readStream.schema(schema).parquet(landing))
-    s2 = _gate_event_time(spark.readStream.schema(schema).parquet(landing))
+    s1 = _gate_event_time(
+        spark.readStream.schema(schema).parquet(landing), "e12_gate_left"
+    )
+    s2 = _gate_event_time(
+        spark.readStream.schema(schema).parquet(landing), "e12_gate_right"
+    )
     # The global watermark is the min over every watermark node of
     # (max event time seen - delay). Declaration order relative to the
     # filters is COSMETIC: the optimizer pushes the event_type conjunct

@@ -37,6 +37,9 @@ from data_lake_staging_engine_spark.registry import registry
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
     "b18_join_asof",  # deterministic tie pick (ADVICE r09)
+    # validity gate -> contracts module config + observe() metrics
+    "e08_stream_stream_join",
+    "e12_stream_outer_join",
 }
 
 # Registered only when google.protobuf is available; never-verified by
