@@ -169,6 +169,11 @@ CHANGED_IN: dict[str, int] = {
     # observe() metrics node counting gated rows per micro-batch
     # (ADVICE r09) — plan gains a CollectMetrics operator, so re-prove.
     "e08_stream_stream_join": 10, "e12_stream_outer_join": 10,
+    # c08's forward fill decomposed two-phase (VERDICT r09 #4): per-
+    # (type, year) local running fill + a tiny per-type boundary-carry
+    # pass, so a few-types/multi-century grid is no longer one window
+    # task per type.
+    "c08_win_forward_fill": 10,
 }
 
 # Convenience view: every query with any first-party driver evidence.

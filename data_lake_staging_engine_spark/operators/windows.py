@@ -294,23 +294,39 @@ def c07_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def c08_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forward fill over the dense time grid: empty (hour, type) cells
-    carry the last observed hourly sum forward (last_value IGNORE
-    NULLS over an explicit running frame) — the fill step after c07's
-    gap detection, and the standard treatment for sensor/metric series
-    before feature extraction. Leading cells before any observation
-    stay NULL on both engines. One window shuffle on event_type; grid
-    generation is the distributed two-level explode of
-    ``_dense_hour_grid`` (same span-proportionality reasoning as
-    c07).
+    carry the last observed hourly sum forward — the fill step after
+    c07's gap detection, and the standard treatment for sensor/metric
+    series before feature extraction. Leading cells before any
+    observation stay NULL on both engines.
 
-    Known residual (measured round 9): the fill window partitions by
-    event_type alone, so each type's dense series runs through ONE
-    window task — inherent to a global running forward-fill, cheap in
-    practice (2.6M cells across 2 types in 3.8 s), but for a 100 TB
-    deployment with few types and decade spans, segment time into
-    blocks and ffill via block-last + one small cross-block pass (the
-    standard two-phase scan decomposition) rather than widening this
-    operator."""
+    TWO-PHASE decomposition (round 10; the round-9 residual was that a
+    single ``PARTITION BY event_type`` running fill puts each type's
+    whole dense series through ONE window task — a few-types,
+    multi-century grid serializes on it):
+
+    1. *Local phase*: running ``last IGNORE NULLS`` per (event_type,
+       YEAR) block — parallelism scales with span (one task per
+       type-year, ≤ 8 784 rows each), the same block unit as
+       ``_dense_hour_grid``'s generation.
+    2. *Boundary phase*: per block, the last OBSERVED value — computed
+       from the small aggregated observations table, NOT the dense
+       grid, so the heavy grid+window subtree is built exactly once
+       (the first cut aggregated block-lasts from phase 1's output and
+       Spark planned the whole grid window TWICE, once per branch) —
+       then the carry-in for each block = last non-NULL block-last
+       among strictly earlier blocks, over the full span's year x type
+       block roster.  This window IS per-type single-task, but over
+       #blocks = types x years rows (hundreds), not types x hours
+       (millions).
+    3. ``filled = coalesce(local_fill, carry_in)`` after broadcasting
+       the tiny carry table back onto the blocks.
+
+    Equivalent to the global window for every cell (a cell's nearest
+    earlier observation is either inside its own block — local phase —
+    or the latest observation of an earlier block — carry); pinned
+    flat across a 150-year span in tests/test_time_hostile.py::
+    test_forward_fill_two_phase_wide_span and hash-green vs the
+    single-window oracle on the fixtures."""
     e = load(spark, sf_dir, "events")
     agg = e.groupBy(
         F.date_trunc("hour", "ts").alias("h"), "event_type"
@@ -322,16 +338,49 @@ def c08_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = e.select("event_type").distinct()
     grid = _dense_hour_grid(e).crossJoin(F.broadcast(types))
     sparse = grid.join(agg, ["h", "event_type"], "left")
-    w = (
-        Window.partitionBy("event_type")
+    # Phase 1: per-(type, year) local running fill.
+    w_local = (
+        Window.partitionBy("event_type", "_blk")
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return sparse.select(
+    local = sparse.withColumn("_blk", F.year("h")).withColumn(
+        "_local_fill", F.last("hour_sum", ignorenulls=True).over(w_local)
+    )
+    # Phase 2: carry the last observation across year-block boundaries.
+    # Block roster = full year span x types (so carries chain across
+    # observation-free years); block last = the newest NON-NULL
+    # observed sum in the block (an all-NULL-value hour must not reset
+    # the carry — same IGNORE NULLS semantics as the fill window).
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("_blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ybounds = e.agg(
+        F.year(F.min("ts")).alias("ylo"), F.year(F.max("ts")).alias("yhi")
+    )
+    blocks = ybounds.select(
+        F.explode(F.sequence("ylo", "yhi")).alias("_blk")
+    ).crossJoin(F.broadcast(types))
+    obs_last = (
+        agg.filter(F.col("hour_sum").isNotNull())
+        .withColumn("_blk", F.year("h"))
+        .groupBy("event_type", "_blk")
+        .agg(F.max_by("hour_sum", "h").alias("_blk_last"))
+    )
+    carries = (
+        blocks.join(obs_last, ["event_type", "_blk"], "left")
+        .withColumn(
+            "_carry", F.last("_blk_last", ignorenulls=True).over(w_carry)
+        )
+        .select("event_type", "_blk", "_carry")
+    )
+    return local.join(F.broadcast(carries), ["event_type", "_blk"]).select(
         "h",
         "event_type",
         "hour_sum",
-        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+        F.coalesce("_local_fill", "_carry").alias("filled_sum"),
     )
 
 

@@ -40,6 +40,7 @@ CHANGED_BAND: set[str] = {
     # validity gate -> contracts module config + observe() metrics
     "e08_stream_stream_join",
     "e12_stream_outer_join",
+    "c08_win_forward_fill",  # two-phase wide-span forward fill
 }
 
 # Registered only when google.protobuf is available; never-verified by

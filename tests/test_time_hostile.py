@@ -206,3 +206,91 @@ def test_gapfill_multi_century_span(spark, tmp_path):
     assert out.count() == n_hours * 2
     nonzero = out.filter(F.col("n") > 0)
     assert nonzero.count() == 2
+
+
+def test_forward_fill_two_phase_wide_span(spark, tmp_path):
+    """c08's round-10 two-phase decomposition: a few-types,
+    multi-century grid must NOT serialize each type's whole dense
+    series through one window task (the round-9 residual — measured
+    2.6M cells through 2 tasks).  Three checks on a 150-year span:
+
+    1. the heavy running-fill window partitions on (event_type, year
+       block), so its max task is one type-year (≤ 8 784 rows) — read
+       off the physical plan's window partition spec;
+    2. the computation COMPLETES and fills correctly: every cell from
+       the first observation onward carries the right value ACROSS
+       year boundaries (the carry phase), cells before it stay NULL;
+    3. result equals the naive single-window global fill, row for row.
+    """
+    d = str(tmp_path / "ffill_span_sf")
+    rows = [
+        # type 'click': observations in 1900 and 1980 — the 1980 cell
+        # must override the 1900 carry; everything between carries 1.5.
+        (1, dt.datetime(1900, 6, 1, 0, 30), 1, "click", 1.5, "{}"),
+        (2, dt.datetime(1980, 3, 1, 12, 30), 1, "click", 2.25, "{}"),
+        # type 'purchase': single observation near the END of the span
+        # — its earlier cells stay NULL for 149 years of blocks.
+        (3, dt.datetime(2049, 12, 31, 10, 30), 2, "purchase", 7.0, "{}"),
+        # span framer
+        (4, dt.datetime(2050, 1, 1), 2, "purchase", 9.0, "{}"),
+        (5, dt.datetime(1900, 1, 1), 1, "click", 0.25, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(d, "events.parquet"))
+
+    out = _REG["c08_win_forward_fill"].fn(spark, d)
+
+    # (1) plan shape: the row-level running fill partitions on the
+    # year block, not on event_type alone — and the heavy grid-window
+    # subtree is planned exactly once (the carry branch reads the
+    # small observations agg, not a second copy of the grid).
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, _blk#\d+, h#\d+", plan
+    ), f"no (type, year-block) running-fill window in plan:\n{plan}"
+    hour_fills = re.findall(
+        r"last\(hour_sum#\d+, true\) windowspecdefinition", plan
+    )
+    assert len(hour_fills) == 1, (len(hour_fills), plan)
+
+    # (2) spot values across year boundaries.
+    sample = {
+        (r.h, r.event_type): (r.hour_sum, r.filled_sum)
+        for r in out.filter(
+            F.col("h").isin(
+                dt.datetime(1950, 1, 1, 0, 0),   # click mid-carry
+                dt.datetime(1980, 3, 1, 12, 0),  # click new observation
+                dt.datetime(2049, 1, 1, 0, 0),   # purchase still NULL
+                dt.datetime(2049, 12, 31, 12, 0),  # purchase post-obs
+            )
+        ).collect()
+    }
+    assert sample[(dt.datetime(1950, 1, 1), "click")] == (None, 1.5)
+    assert sample[(dt.datetime(1980, 3, 1, 12), "click")] == (2.25, 2.25)
+    assert sample[(dt.datetime(2049, 1, 1), "purchase")] == (None, None)
+    assert sample[(dt.datetime(2049, 12, 31, 12), "purchase")] == (None, 7.0)
+
+    # (3) full equivalence with the naive global single-window fill.
+    from pyspark.sql import Window
+
+    naive_base = out.select("h", "event_type", "hour_sum")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = naive_base.select(
+        "h",
+        "event_type",
+        "hour_sum",
+        F.last("hour_sum", ignorenulls=True).over(w).alias("filled_sum"),
+    )
+    assert out.exceptAll(naive).count() == 0
+    assert naive.exceptAll(out).count() == 0
