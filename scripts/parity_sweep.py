@@ -56,6 +56,14 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("--skip", nargs="*", default=[])
+    ap.add_argument(
+        "--only",
+        nargs="*",
+        default=None,
+        help="sweep only these queries — the touched-axes re-run shape "
+        "(VERDICT r08 #6: on an operator edit, re-run the invariance "
+        "axes for the touched queries instead of the full 159)",
+    )
     ap.add_argument("--resume-from", default=None)
     ap.add_argument(
         "--oracle-sf-dir",
@@ -125,6 +133,12 @@ def main() -> int:
         spark = get_spark(max_partition_bytes=fixture_split_bytes())
     con = duck_connection(args.oracle_sf_dir or args.sf_dir)
     reg = registry()
+
+    if args.only is not None:
+        unknown = set(args.only) - set(reg)
+        if unknown:
+            sys.exit(f"--only names not in registry: {sorted(unknown)}")
+        reg = {n: rq for n, rq in reg.items() if n in args.only}
 
     results: dict[str, dict] = {}
     n_fail = 0
