@@ -174,6 +174,10 @@ CHANGED_IN: dict[str, int] = {
     # pass, so a few-types/multi-century grid is no longer one window
     # task per type.
     "c08_win_forward_fill": 10,
+    # StagingPipeline._stage_batch gained the optional per-batch
+    # contract checkpoint (untaken branch on a13's default path —
+    # re-proven once under the conservative policy).
+    "a13_stream_ingest_foreachbatch": 10,
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 from data_lake_staging_engine_spark.catalog import CatalogSync, SessionCatalogSync
+from data_lake_staging_engine_spark.contracts import validate_ingest
 from data_lake_staging_engine_spark.operators.staging import (
     derive_date_partitions,
     normalize_columns,
@@ -54,6 +55,8 @@ class StagingPipeline:
         partition_cols: tuple[str, ...] = ("year", "month", "day"),
         transform: Callable[[DataFrame], DataFrame] | None = None,
         catalog: CatalogSync | None = None,
+        contracts: dict | None = None,
+        rejects_dir: str | None = None,
     ) -> None:
         self.spark = spark
         self.landing_dir = landing_dir
@@ -66,6 +69,19 @@ class StagingPipeline:
         self.partition_cols = partition_cols
         self.transform = transform or self._default_transform
         self.catalog = catalog or SessionCatalogSync()
+        # Input-contract checkpoint (contracts.validate_ingest kwargs,
+        # e.g. {"finite_measures": ("value",), "event_time_col": "ts"}).
+        # Applied per micro-batch BEFORE the transform; rejected rows
+        # append to <rejects_dir>/<reason>/ tagged with the batch id —
+        # the a14-style audit sink, so contract violations are
+        # preserved and attributable, never silently dropped.
+        self.contracts = contracts or {}
+        self.rejects_dir = rejects_dir
+        if self.contracts and not rejects_dir:
+            raise ValueError(
+                "contracts require a rejects_dir — rejected rows must "
+                "land in an audit sink, not vanish"
+            )
 
     def _default_transform(self, df: DataFrame) -> DataFrame:
         return derive_date_partitions(normalize_columns(df), self.ts_col)
@@ -81,6 +97,17 @@ class StagingPipeline:
         raise ValueError(f"unsupported landing format {self.fmt!r}")
 
     def _stage_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self.contracts:
+            from pyspark.sql import functions as F
+
+            rep = validate_ingest(batch_df, **self.contracts)
+            for reason, frame in rep.rejects().items():
+                (
+                    frame.withColumn("_batch_id", F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(f"{self.rejects_dir}/{reason}")
+                )
+            batch_df = rep.clean
         out = self.transform(batch_df)
         # one task per output partition dir => one file per partition per
         # micro-batch, not tasks x dirs (the small-files guard)

@@ -219,6 +219,69 @@ def test_downstream_hash_green_on_clean(name, spark, cleaned_sf_dir, cleaned_duc
     assert res.ok, f"{name} on contract-clean corpus: {res.detail}"
 
 
+def test_staging_pipeline_applies_contracts(spark, hostile_df, tmp_path):
+    """The consumer-facing wiring: StagingPipeline(contracts=...) runs
+    the checkpoint per micro-batch, stages only clean rows, and appends
+    every rejected row to the per-reason audit sink tagged with its
+    batch id — contract violations are preserved, never dropped."""
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+
+    landing = str(tmp_path / "landing")
+    hostile_df.coalesce(1).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+
+    with pytest.raises(ValueError, match="rejects_dir"):
+        StagingPipeline(
+            spark,
+            landing,
+            str(tmp_path / "nostage"),
+            str(tmp_path / "nockpt"),
+            "events_nosink",
+            schema,
+            contracts={"join_keys": ("user_id",)},
+        )
+
+    rejects = str(tmp_path / "rejects")
+    pipe = StagingPipeline(
+        spark,
+        landing,
+        str(tmp_path / "staged"),
+        str(tmp_path / "ckpt"),
+        "events_contract_staged",
+        schema,
+        contracts={
+            "finite_measures": ("value",),
+            "event_time_col": "ts",
+            "join_keys": ("user_id",),
+            "identity_keys": ("event_id",),
+            "identity_order": ("ts", "event_id"),
+        },
+        rejects_dir=rejects,
+    )
+    staged = pipe.run_available_now()
+    assert sorted(r.event_id for r in staged.select("event_id").collect()) == [
+        100, 101, 102, 103, 500, 501,
+    ]
+    audited = {
+        reason: sorted(
+            r.event_id
+            for r in spark.read.parquet(f"{rejects}/{reason}").collect()
+        )
+        for reason in ("nonfinite", "out_of_time", "null_keys", "superseded")
+    }
+    assert audited == {
+        "nonfinite": [200, 201, 202],
+        "out_of_time": [300, 301, 302, 303],
+        "null_keys": [400, 401],
+        "superseded": [500],
+    }
+    batch_ids = {
+        r._batch_id
+        for r in spark.read.parquet(f"{rejects}/nonfinite").collect()
+    }
+    assert batch_ids == {0}
+
+
 def test_gate_observe_metrics_streaming(spark, hostile_df, tmp_path_factory):
     """The gate's CollectMetrics node surfaces per-micro-batch drop
     counts in StreamingQueryProgress.observedMetrics — drops are

@@ -41,6 +41,7 @@ CHANGED_BAND: set[str] = {
     "e08_stream_stream_join",
     "e12_stream_outer_join",
     "c08_win_forward_fill",  # two-phase wide-span forward fill
+    "a13_stream_ingest_foreachbatch",  # pipeline contract-checkpoint hook
 }
 
 # Registered only when google.protobuf is available; never-verified by
