@@ -178,6 +178,14 @@ CHANGED_IN: dict[str, int] = {
     # contract checkpoint (untaken branch on a13's default path —
     # re-proven once under the conservative policy).
     "a13_stream_ingest_foreachbatch": 10,
+    # _g02_bitmask's expansion joins repacked onto ONE struct key (the
+    # round-10 text-hostile corpus OOMed the driver via Catalyst's
+    # exponential constraint propagation over k per-word-column join
+    # equalities at k=12) — the six reachers of _g02_bitmask, derived
+    # by the same static scan as round_mirror_users.
+    "g02_dedup_near": 10, "g02d_dedup_ngram": 10, "g12_contamination": 10,
+    "g21_dedup_agreement": 10, "g26_dedup_clusters": 10,
+    "g30_dedup_incremental": 10,
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -357,32 +357,35 @@ def _g02_bitmask(
         F.lit(0),
     )
     # Ordered mask pairs (both directions + self-pairs): a qualifying doc
-    # pair (d1 < d2) then matches exactly one ordered mask pair.
+    # pair (d1 < d2) then matches exactly one ordered mask pair.  The
+    # expansion joins key on ONE packed struct, NOT one equality per
+    # word column: Catalyst's constraint propagation is exponential in
+    # the number of conjunct equalities across a join (k word-column
+    # equalities on both expansion sides OOMed the DRIVER during
+    # analysis at k=12 — vocab 710, round-10 text-hostile corpus —
+    # while k=7 fixture plans survived; a plan-ANALYSIS cost that
+    # scales with data vocabulary is a 100 TB killer).  A single
+    # struct equality carries one constraint; the struct is a zero-cost
+    # projection and the join stays a broadcast hash join on the packed
+    # key.  Pinned by tests/test_text_hostile.py.
     mask_pairs = m1.join(
         F.broadcast(m2), shared * F.lit(1.0) / union >= threshold
     ).select(
-        *[F.col(f"m1.{c}").alias(f"a_{c}") for c in wcols],
-        *[F.col(f"m2.{c}").alias(f"b_{c}") for c in wcols],
+        F.struct(*[F.col(f"m1.{c}").alias(c) for c in wcols]).alias("a_key"),
+        F.struct(*[F.col(f"m2.{c}").alias(c) for c in wcols]).alias("b_key"),
         duck_round(shared * F.lit(1.0) / union, 6).alias("jaccard"),
     )
-    a = masks.alias("a")
-    b = masks.alias("b")
-    join_a = [F.col(f"a.{c}") == F.col(f"a_{c}") for c in wcols]
-    join_b = [F.col(f"b.{c}") == F.col(f"b_{c}") for c in wcols]
-    cond_a = join_a[0]
-    for x in join_a[1:]:
-        cond_a = cond_a & x
-    cond_b = join_b[0]
-    for x in join_b[1:]:
-        cond_b = cond_b & x
+    a = masks.select(
+        F.col("doc_id").alias("d1"), F.struct(*wcols).alias("a_key")
+    )
+    b = masks.select(
+        F.col("doc_id").alias("d2"), F.struct(*wcols).alias("b_key")
+    )
     return (
-        a.join(F.broadcast(mask_pairs), cond_a)
-        .join(b, cond_b & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            "jaccard",
-        )
+        a.join(F.broadcast(mask_pairs), "a_key")
+        .join(b, "b_key")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "jaccard")
     )
 
 

@@ -314,6 +314,91 @@ TRANSFORMS_NULL_KEYS = {
     """,
 }
 
+# ---------------------------------------------------------------------------
+# TEXT-HOSTILE corpus (round 10): the fifth hostile axis — the four
+# round-9 corpora attacked keys, clocks, measures, and identities, but
+# never the TEXT surface the §2.G family and its Java-regex/RE2 oracle
+# pairs process.  Real web corpora are Unicode-hostile: astral-plane
+# emoji (UTF-16 surrogate pairs on the JVM), combining marks vs their
+# precomposed forms, case foldings that change length (ß→SS) or are
+# locale-trapped (Turkish I), CJK with no word boundaries, RTL scripts,
+# zero-width joiners INSIDE tokens, U+2028/U+2029 (which Java regex '.'
+# treats as line terminators but RE2 matches), exotic whitespace that
+# \s does NOT match on either engine (NBSP, ideographic, thin), regex
+# metacharacters as literal text, PII embedded in non-ASCII context,
+# an unbroken 10k-char token (shingler/tokenizer stress), mixed-script
+# words, full-width ASCII, and quote/backslash storms.  Each class is
+# keyed to doc_id % 16 (deterministic, ~31 docs per class at sf0.001);
+# lang/source stay untouched so this axis isolates TEXT handling.
+TEXT_PALETTE = (
+    # 0: astral emoji, a ZWJ family sequence, a regional-indicator flag
+    "data \U0001f4a1 pipeline \U0001f468\u200d\U0001f469\u200d"
+    "\U0001f467 emoji \U0001f1fa\U0001f1f8 flag data",
+    # 1: combining marks (e + U+0301, i + U+0308), NOT precomposed
+    "cafe\u0301 re\u0301sume\u0301 nai\u0308ve combining data",
+    # 2: the precomposed forms of the same words (NFC vs NFD pair)
+    "caf\u00e9 r\u00e9sum\u00e9 na\u00efve precomposed data",
+    # 3: length-changing (\u00df -> SS) and locale-trapped (Turkish
+    # \u0131/\u0130) case foldings
+    "stra\u00dfe STRASSE gro\u00df Istanbul I\u0131 \u0130i data",
+    # 4: CJK, no word boundaries at all
+    "\u6570\u636e\u7ba1\u9053\u626b\u63cf\u6bcf\u4e2a\u8868"
+    "\u5e76\u5408\u5e76\u6279\u6b21\u6d41\u5904\u7406",
+    # 5: RTL Arabic mixed with LTR ASCII
+    "\u0628\u064a\u0627\u0646\u0627\u062a \u062e\u0637 data "
+    "\u0645\u062e\u062a\u0644\u0637",
+    # 6: zero-width space/joiner INSIDE tokens
+    "data\u200bpipe\u200dline zero\u200bwidth token data",
+    # 7: U+2028/U+2029 — Java regex '.' treats them as line
+    # terminators; RE2's '.' matches them
+    "line one\u2028line two\u2029paragraph data",
+    # 8: whitespace that regex \\s does NOT match on either engine:
+    # NBSP, ideographic space, thin space — token-gluing probe
+    "a\u00a0b\u3000c\u2009d nbsp ideographic thin data",
+    # 9: regex metacharacters as literal text
+    "a.b (c) [d] {e} f* g+ h? i| ^j k$ l\\ data",
+    # 10: PII embedded in non-ASCII context
+    "contact \u00b5s.ers@ex\u00e4mple.com or +1-555-0100 data now",
+    None,  # 11: unbroken 10k-char token built via repeat() in SQL
+    # 12: one token mixing three scripts
+    "data\u0434\u0430\u043d\u043d\u044b\u0435\u6570\u636e"
+    " mixed token",
+    # 13: full-width ASCII letters, ideographic space, full-width digits
+    "\uff44\uff41\uff54\uff41\u3000\uff50\uff49\uff50\uff45 "
+    "\uff11\uff12\uff13",
+    # 14: quote/backslash storm (SQL-escaping stress for the oracles)
+    "it's a \"quoted\" text with \\n literal and '' doubled data",
+)
+
+
+def _text_hostile_sql() -> str:
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    n = len(TEXT_PALETTE) + 1  # one residue keeps the original text
+    cases = []
+    for i, s in enumerate(TEXT_PALETTE):
+        expr = "repeat('x', 10000)" if s is None else q(s)
+        cases.append(f"WHEN doc_id % {n} = {i} THEN {expr}")
+    case_sql = "\n              ".join(cases)
+    return f"""
+        WITH rewritten AS (
+          SELECT doc_id,
+            CASE
+              {case_sql}
+              ELSE text
+            END AS text,
+            lang, source
+          FROM src
+        )
+        SELECT doc_id, text, lang, source,
+               length(text)::BIGINT AS n_chars
+        FROM rewritten
+    """
+
+
+TRANSFORMS_TEXT = {"documents": _text_hostile_sql()}
+
 
 def build(
     out_dir: str,
@@ -321,6 +406,7 @@ def build(
     skew_only: bool = False,
     time_hostile: bool = False,
     null_keys: bool = False,
+    text_hostile: bool = False,
 ) -> None:
     """skew_only=True applies only the RELATIONAL skew rewrites (hot
     keys, tie storms, NULL values) and copies documents/embeddings
@@ -334,8 +420,14 @@ def build(
 
     null_keys=True applies the NULL-KEY rewrites only (see the
     TRANSFORMS_NULL_KEYS comment block) and copies every other table
-    unchanged."""
-    assert skew_only + time_hostile + null_keys <= 1, "pick one mode"
+    unchanged.
+
+    text_hostile=True applies the Unicode TEXT rewrites to documents
+    only (see the TEXT_PALETTE comment block) and copies every other
+    table unchanged."""
+    assert skew_only + time_hostile + null_keys + text_hostile <= 1, (
+        "pick one mode"
+    )
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -343,7 +435,11 @@ def build(
     transforms = (
         TRANSFORMS_TIME
         if time_hostile
-        else TRANSFORMS_NULL_KEYS if null_keys else TRANSFORMS
+        else TRANSFORMS_NULL_KEYS
+        if null_keys
+        else TRANSFORMS_TEXT
+        if text_hostile
+        else TRANSFORMS
     )
     for table in COPY_AS_IS + tuple(TRANSFORMS):
         src = os.path.join(src_dir, f"{table}.parquet")
@@ -366,7 +462,7 @@ def build(
     con.close()
 
 
-_KNOWN_FLAGS = {"--skew-only", "--time-hostile", "--null-keys"}
+_KNOWN_FLAGS = {"--skew-only", "--time-hostile", "--null-keys", "--text-hostile"}
 
 if __name__ == "__main__":
     # A misspelled mode flag must fail loudly, not silently build the

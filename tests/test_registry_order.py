@@ -42,6 +42,13 @@ CHANGED_BAND: set[str] = {
     "e12_stream_outer_join",
     "c08_win_forward_fill",  # two-phase wide-span forward fill
     "a13_stream_ingest_foreachbatch",  # pipeline contract-checkpoint hook
+    # _g02_bitmask struct-key expansion join (text-hostile OOM fix)
+    "g02_dedup_near",
+    "g02d_dedup_ngram",
+    "g12_contamination",
+    "g21_dedup_agreement",
+    "g26_dedup_clusters",
+    "g30_dedup_incremental",
 }
 
 # Registered only when google.protobuf is available; never-verified by
