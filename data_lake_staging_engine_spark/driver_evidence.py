@@ -186,6 +186,11 @@ CHANGED_IN: dict[str, int] = {
     "g02_dedup_near": 10, "g02d_dedup_ngram": 10, "g12_contamination": 10,
     "g21_dedup_agreement": 10, "g26_dedup_clusters": 10,
     "g30_dedup_incremental": 10,
+    # Round-10 json-hostile probe: d07's extracted-text cast -> try_cast
+    # (ANSI crash on non-numeric $.k) with an exact-leniency oracle
+    # mirror; d09's variant_get -> try_variant_get (INVALID_VARIANT_CAST
+    # on non-castable variants). tests/test_json_hostile.py pins both.
+    "d07_fn_json": 10, "d09_fn_variant": 10,
 }
 
 # Convenience view: every query with any first-party driver evidence.

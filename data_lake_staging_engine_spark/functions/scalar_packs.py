@@ -203,12 +203,18 @@ def d06_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "d07_fn_json",
     oracle="""
+    WITH j AS (SELECT event_id,
+                      CASE WHEN json_valid(props) THEN props END AS p
+               FROM events)
     SELECT event_id,
-           CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END,
-                                    '$.k') AS BIGINT) AS k_get,
-           CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END,
-                                    '$.k') AS BIGINT) AS k_map
-    FROM events
+           CASE WHEN regexp_matches(trim(json_extract_string(p, '$.k')),
+                                    '^[+-]?[0-9]+$')
+                THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)
+           END AS k_get,
+           CASE WHEN json_type(p, '$.k') IN ('BIGINT', 'UBIGINT')
+                THEN TRY_CAST(json_extract_string(p, '$.k') AS BIGINT)
+           END AS k_map
+    FROM j
     """,
 )
 def d07_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,12 +225,26 @@ def d07_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     get_json_object and permissive from_json both yield NULL on a
     non-JSON string, but DuckDB's json_extract_string THROWS — the
     oracle needs the json_valid guard to express the same
-    NULL-on-malformed surface."""
+    NULL-on-malformed surface.
+
+    Hostile-VALUE contract (round-10 json-hostile probe): $.k in a real
+    corpus can hold anything — ``.cast("long")`` on the extracted text
+    THROWS under ANSI the moment $.k is an object/array/float (a
+    fixture-latent crash; the fixture only ever stores integers), so
+    the extraction is ``try_cast``: junk is NULL, never a crash.  The
+    two idioms then differ BY DESIGN on leniency and the oracle
+    mirrors each exactly: k_get accepts any INTEGRAL text (a quoted
+    "12" extracts and parses; 1.9/1e3/true do not — Spark's
+    string->long try_cast rejects non-integral forms where DuckDB's
+    TRY_CAST would round, hence the regexp guard), while k_map's typed
+    from_json accepts only UNQUOTED in-range JSON integers (hence the
+    json_type guard).  Divergence classes pinned engine-side in
+    tests/test_json_hostile.py."""
     e = load(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return e.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k_get"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_get"),
         # try_element_at: explicitly NULL-on-missing in both ANSI modes.
         # .getItem was already NULL-safe on MapType (verified by the
         # ANSI-off matrix row + map-pack fuzz), but it is the last
@@ -290,13 +310,24 @@ def d09_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     shred to a NULL variant (NULL k_*), not throw
     MALFORMED_RECORD_IN_PARSING — an ingest pipeline cannot crash on
     one bad payload (round-9 adversarial audit); the oracle's
-    json_valid guard expresses the same NULL-on-malformed surface."""
+    json_valid guard expresses the same NULL-on-malformed surface.
+
+    try_variant_get, not variant_get, for the same reason one level
+    down (round-10 json-hostile probe): a WELL-FORMED payload whose
+    $.k holds an object/array throws INVALID_VARIANT_CAST through
+    variant_get("bigint") — a fixture-latent crash, since the fixture
+    only ever stores integers at $.k.  try_variant_get coerces what it
+    can (probed and pinned in tests/test_json_hostile.py: strings
+    parse, doubles truncate, booleans map to 1/0) and yields NULL for
+    the rest.  Note VARIANT's own strictness remains: try_parse_json
+    shreds a duplicate-key payload to a NULL variant, where the d07
+    idioms and DuckDB all take the FIRST binding — also pinned."""
     e = load(spark, sf_dir, "events")
     v = F.try_parse_json("props")
     return e.select(
         "event_id",
-        F.variant_get(v, "$.k", "bigint").alias("k_variant"),
-        F.variant_get(v, "$.k", "string").alias("k_string"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k_variant"),
+        F.try_variant_get(v, "$.k", "string").alias("k_string"),
     )
 
 

@@ -49,6 +49,9 @@ CHANGED_BAND: set[str] = {
     "g21_dedup_agreement",
     "g26_dedup_clusters",
     "g30_dedup_incremental",
+    # json-hostile probe fixes (try_cast / try_variant_get)
+    "d07_fn_json",
+    "d09_fn_variant",
 }
 
 # Registered only when google.protobuf is available; never-verified by
