@@ -167,6 +167,36 @@ def quarantine_nonfinite(
     return df.filter(~bad), df.filter(bad)
 
 
+def quarantine_nonfinite_vectors(
+    df: DataFrame, *cols: str
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) split on non-finite VECTOR components —
+    the array-column form of :func:`quarantine_nonfinite`.
+
+    A failed encoder batch emits zero-norm vectors (round-9 finding,
+    handled in-operator by the similarity family's try_divide /
+    unindexable-exclusion) but also NaN/Inf COMPONENTS — and those are
+    not handled in-operator: the round-10 probe crashed g13 (k-means)
+    with ARITHMETIC_OVERFLOW, because a non-finite coordinate turns
+    the inertia sum non-finite and the cross-engine cents rounding's
+    double->long conversion throws under ANSI.  The similarity
+    queries survive execution but their NaN cosines poison rankings
+    silently, which is worse.  A NULL vector (missing embedding) is
+    CLEAN — it is the contract's missing-value form, excluded by each
+    consumer's isNotNull guard.
+
+    One codegen EXISTS probe per listed array column; map-only at any
+    scale."""
+    bad = F.lit(False)
+    for c in cols:
+        nonfinite = F.exists(
+            F.col(c),
+            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        )
+        bad = bad | F.coalesce(nonfinite, F.lit(False))
+    return df.filter(~bad), df.filter(bad)
+
+
 # --------------------------------------------------------------------------
 # Contract 3: non-NULL join keys.
 
@@ -237,6 +267,7 @@ class IngestReport:
 
     clean: DataFrame
     nonfinite: DataFrame | None = None
+    nonfinite_vector: DataFrame | None = None
     out_of_time: DataFrame | None = None
     null_keys: DataFrame | None = None
     superseded: DataFrame | None = None
@@ -244,7 +275,13 @@ class IngestReport:
 
     def rejects(self) -> dict[str, DataFrame]:
         out = {}
-        for reason in ("nonfinite", "out_of_time", "null_keys", "superseded"):
+        for reason in (
+            "nonfinite",
+            "nonfinite_vector",
+            "out_of_time",
+            "null_keys",
+            "superseded",
+        ):
             frame = getattr(self, reason)
             if frame is not None:
                 out[reason] = frame
@@ -260,6 +297,7 @@ def validate_ingest(
     df: DataFrame,
     *,
     finite_measures: Sequence[str] = (),
+    finite_vectors: Sequence[str] = (),
     event_time_col: str | None = None,
     valid_lo: str | None = None,
     valid_hi: str | None = None,
@@ -271,6 +309,8 @@ def validate_ingest(
 
     Each check is individually togglable by its parameter: pass
     ``finite_measures`` to quarantine non-finite measures,
+    ``finite_vectors`` to quarantine non-finite VECTOR components
+    (array columns — the g13-crash class),
     ``event_time_col`` to gate the validity window (bounds default to
     the module config), ``join_keys`` to reject NULL join keys, and
     ``identity_keys`` + ``identity_order`` to keep-latest-normalize
@@ -284,11 +324,17 @@ def validate_ingest(
     """
     enabled: list[str] = []
     clean = df
-    nonfinite = out_of_time = null_keys = superseded = None
+    nonfinite = nonfinite_vector = None
+    out_of_time = null_keys = superseded = None
 
     if finite_measures:
         clean, nonfinite = quarantine_nonfinite(clean, *finite_measures)
         enabled.append("nonfinite")
+    if finite_vectors:
+        clean, nonfinite_vector = quarantine_nonfinite_vectors(
+            clean, *finite_vectors
+        )
+        enabled.append("nonfinite_vector")
     if event_time_col is not None:
         clean, out_of_time = split_event_time(
             clean, event_time_col, valid_lo, valid_hi
@@ -311,6 +357,7 @@ def validate_ingest(
     return IngestReport(
         clean=clean,
         nonfinite=nonfinite,
+        nonfinite_vector=nonfinite_vector,
         out_of_time=out_of_time,
         null_keys=null_keys,
         superseded=superseded,

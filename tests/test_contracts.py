@@ -282,6 +282,56 @@ def test_staging_pipeline_applies_contracts(spark, hostile_df, tmp_path):
     assert batch_ids == {0}
 
 
+def test_finite_vector_contract(spark, tmp_path):
+    """Round-10 extension: the finite-measure contract for ARRAY
+    columns.  A NaN/Inf embedding COMPONENT crashes g13 (k-means) with
+    ARITHMETIC_OVERFLOW — the non-finite inertia hits the cents
+    rounding's double->long conversion under ANSI — and silently
+    poisons similarity rankings elsewhere.  Pin the motivating crash
+    and that the quarantined corpus runs clean."""
+    import pyspark.errors
+
+    from data_lake_staging_engine_spark.contracts import (
+        quarantine_nonfinite_vectors,
+        validate_ingest,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(src.first().embedding)
+    poisoned = src.union(
+        spark.createDataFrame(
+            [
+                (9001, [float("nan")] + [0.1] * (dim - 1), 1),
+                (9002, [float("inf")] + [0.2] * (dim - 1), 2),
+                (9003, None, 3),  # NULL vector = missing = CLEAN
+            ],
+            src.schema,
+        )
+    )
+
+    clean, bad = quarantine_nonfinite_vectors(poisoned, "embedding")
+    assert sorted(r.vec_id for r in bad.select("vec_id").collect()) == [
+        9001,
+        9002,
+    ]
+    assert clean.count() == poisoned.count() - 2
+
+    # validate_ingest wiring: togglable, disjoint reject frame
+    rep = validate_ingest(poisoned, finite_vectors=("embedding",))
+    assert rep.enabled == ("nonfinite_vector",)
+    assert rep.reject_counts() == {"nonfinite_vector": 2}
+
+    # the motivating crash: g13 on the poisoned corpus throws; on the
+    # quarantined corpus it runs.
+    d_bad = str(tmp_path / "nan_vec")
+    poisoned.coalesce(1).write.parquet(os.path.join(d_bad, "embeddings.parquet"))
+    with pytest.raises(pyspark.errors.PySparkException):
+        _REG["g13_kmeans_iterations"].fn(spark, d_bad).count()
+    d_ok = str(tmp_path / "clean_vec")
+    rep.clean.coalesce(1).write.parquet(os.path.join(d_ok, "embeddings.parquet"))
+    assert _REG["g13_kmeans_iterations"].fn(spark, d_ok).count() > 0
+
+
 def test_gate_observe_metrics_streaming(spark, hostile_df, tmp_path_factory):
     """The gate's CollectMetrics node surfaces per-micro-batch drop
     counts in StreamingQueryProgress.observedMetrics — drops are
