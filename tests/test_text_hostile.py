@@ -143,6 +143,19 @@ def test_lower_one_to_many_casefold_divergence_pin(spark, text_duck):
     assert duck_low == "istanbul iı"
     assert spark_low != duck_low  # the divergence is REAL on both ends
 
+    # upper() diverges even harder: the JVM applies full mappings
+    # (ß -> SS, the ﬁ ligature -> FI) where DuckDB maps one-to-one
+    # (ß -> the capital sharp-s U+1E9E, ligature untouched).  The two
+    # upper() query pairs (b35's type_label, d01's p_name) are safe
+    # only because their fixture domains are ASCII — any non-ASCII
+    # corpus under them needs the same treatment as g01.
+    spark_up = spark.range(1).select(
+        F.upper(F.lit("straße ﬁle")).alias("s")
+    ).collect()[0].s
+    duck_up = text_duck.execute("SELECT upper('straße ﬁle')").fetchone()[0]
+    assert spark_up == "STRASSE FILE"
+    assert duck_up == "STRAẞE ﬁLE"
+
 
 def test_g01_digest_parity_outside_casefold_class(spark, text_sf_dir, text_duck):
     """g01's md5(lower(trim(text))) digests agree on every palette
