@@ -155,6 +155,13 @@ def quarantine_nonfinite(
     clean — they are the contract's missing-value form). Quarantined
     rows keep all columns for the a14-style audit sink. At 100 TB
     both sides stay partition-parallel projections of the scan."""
+    if not cols:
+        # A zero-column call would otherwise surface as an opaque
+        # IndexError below; callers who meant "check nothing" should
+        # not be routing rows through a quarantine at all (ADVICE r10).
+        raise ValueError(
+            "quarantine_nonfinite requires at least one measure column"
+        )
     checks = [
         F.isnan(F.col(c)) | F.col(c).isin(float("inf"), float("-inf"))
         for c in cols

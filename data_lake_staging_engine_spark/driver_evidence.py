@@ -28,6 +28,10 @@ History of the window rotation:
   ran (g02b g02e g03c g03e g13 g28), 0 failures.  Every CHANGED_IN
   marker was satisfied, so the r10 fold drained the band to empty and
   the window finally rotates onto the stale r03/r05/r06 mass.
+- r10 drained the ENTIRE r03/r05 backlog plus all 13 round-10
+  CHANGED_IN markers in one 50-row window — all clean (no R-tier
+  entries landed in this window), 0 failures.  Oldest remaining
+  evidence after the fold: r06 (25 names).
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -51,8 +55,9 @@ After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
 tests/test_registry_order.py.  ``scripts/fold_evidence.py`` prints the
 ready-to-paste bands.  Source of truth:
-CORRECTNESS_r0{1,2,3,5,6,7,8,9}.json, re-read 2026-08-15 (the fold is
-machine-checked by test_last_verified_matches_correctness_artifacts).
+CORRECTNESS_r{01,02,03,05,06,07,08,09,10}.json, folded 2026-08-15 at
+round-11 entry (the fold is machine-checked by
+test_last_verified_matches_correctness_artifacts).
 """
 
 from __future__ import annotations
@@ -60,31 +65,11 @@ from __future__ import annotations
 import types
 
 # fmt: off
-_R03 = (
-    # CORRECTNESS_r03.json greens not re-proven since — the stalest
-    # evidence in the registry; they lead band 1 of the r10 window.
-    "g06_text_wordcount", "g08c_text_langid",
-)
-_R05 = (
-    # CORRECTNESS_r05.json greens not re-proven since.
-    "a23_schema_widening", "a24_sink_orc", "a25_scan_xml",
-    "a26_scan_binaryfile", "b37_null_ordering", "b40_sort_limit_topk",
-    "b41_topk_per_group", "b42_group_by_all", "b50_union_all",
-    "b51_intersect", "b52_except", "b53_subquery_scalar",
-    "b54_subquery_in", "b55_subquery_corr_exists", "b56_join_lateral",
-    "d10_fn_decimal_interval", "g08d_text_fingerprint",
-    "g09_multimodal_record", "g10_embed_join_docs", "g14_text_clean",
-    "g15_vocab_prune", "g17_text_bigrams", "g19_stratified_sample",
-    "g22_corpus_split", "g24_pii_scrub", "g27_corpus_mixture",
-)
 _R06 = (
-    # CORRECTNESS_r06.json greens not re-proven since.
-    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
-    "a04_normalize_columns", "a05_apply_schema_cast",
-    "a06_partition_derive", "a07_dedup_keep_latest",
-    "a08_quality_nullcounts", "a10_compaction", "a11_catalog_sync",
-    "a12_incremental_ingest", "a14_bad_records", "a19_stream_upsert",
-    "a21_schema_evolution", "a22_versioned_snapshot",
+    # CORRECTNESS_r06.json greens not re-proven since — the stalest
+    # evidence in the registry; they lead band 1 of the r11 window.
+    "a11_catalog_sync", "a12_incremental_ingest", "a14_bad_records",
+    "a19_stream_upsert", "a21_schema_evolution", "a22_versioned_snapshot",
     "a28_multi_format_union", "a29_scd2_dimension", "b02_filter_pred",
     "b03_distinct", "b10_join_inner", "b11_join_left",
     "b12_join_right_full", "b13_join_semi", "b14_join_anti",
@@ -95,12 +80,11 @@ _R06 = (
 )
 _R07 = (
     # CORRECTNESS_r07.json greens not re-proven since.
-    "b26_agg_grouping_sets", "b29_agg_collect_sorted",
-    "b30_agg_minmax_by", "b32_pivot", "b33_unpivot",
-    "b34_sample_systematic", "c02_win_lag_lead", "c06_win_first_last",
-    "d01_fn_string", "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise",
-    "e05_stream_dedup", "e07_stream_late_data", "f01_udf_python",
-    "f09_multimodal_framesample", "g02c_dedup_simhash",
+    "b26_agg_grouping_sets", "b29_agg_collect_sorted", "b30_agg_minmax_by",
+    "b32_pivot", "b33_unpivot", "b34_sample_systematic", "c02_win_lag_lead",
+    "c06_win_first_last", "d01_fn_string", "d02_fn_date", "d06_fn_explode",
+    "d11_fn_bitwise", "e05_stream_dedup", "e07_stream_late_data",
+    "f01_udf_python", "f09_multimodal_framesample", "g02c_dedup_simhash",
     "g25_sequence_pack",
 )
 _R08 = (
@@ -117,80 +101,79 @@ _R08 = (
     "g29_quality_gate",
 )
 _R09 = (
-    # CORRECTNESS_r09.json — 44 hash-green + 6 R-tier rows-only ran
-    # (g02b g02e g03c g03e g13 g28, oracle=None by design); 0 failures.
-    "a09_sink_parquet_partitioned", "a13_stream_ingest_foreachbatch",
-    "a16_partition_pruned_scan", "a17_dynamic_partition_overwrite",
-    "a20_observed_metrics", "b18_join_asof", "b27_agg_stats",
-    "b36_histogram", "b38_sql_cte_chain", "c01_win_ranking",
-    "c07_gapfill", "c08_win_forward_fill", "d07_fn_json",
-    "d08_fn_struct", "d09_fn_variant", "e01_stream_tumbling",
-    "e02_stream_sliding", "e03_stream_session", "e04_stream_watermark",
-    "e06_stream_stateful", "e08_stream_stream_join",
-    "e09_stream_static_join", "e10_batch_twin",
-    "e11_stream_dedup_then_window", "e12_stream_outer_join",
+    # CORRECTNESS_r09.json greens not re-proven since (incl. the
+    # rows-only R-tier runs g02b g02e g03c g03e g13 g28).
+    "a09_sink_parquet_partitioned", "a16_partition_pruned_scan",
+    "a17_dynamic_partition_overwrite", "a20_observed_metrics",
+    "b27_agg_stats", "b36_histogram", "b38_sql_cte_chain",
+    "c01_win_ranking", "c07_gapfill", "d08_fn_struct",
+    "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
+    "e04_stream_watermark", "e06_stream_stateful", "e09_stream_static_join",
+    "e10_batch_twin", "e11_stream_dedup_then_window",
     "f03_pandas_udf_grouped_agg", "f04_apply_in_pandas", "f06_udtf",
     "f07_arrow_udf", "f08_multimodal_decode", "f10_cogroup_in_pandas",
-    "g01_dedup_exact", "g02_dedup_near", "g02b_dedup_lsh",
-    "g02d_dedup_ngram", "g02e_dedup_lsh_shingle", "g03_simsearch_topk",
-    "g03b_simsearch_knn", "g03c_simsearch_lsh", "g03d_embed_neardup",
-    "g03e_simsearch_ivf", "g05_text_tokenize", "g05b_token_bpe",
-    "g12_contamination", "g13_kmeans_iterations", "g16_event_funnel",
-    "g21_dedup_agreement", "g26_dedup_clusters", "g28_semantic_dedup",
+    "g01_dedup_exact", "g02b_dedup_lsh", "g02e_dedup_lsh_shingle",
+    "g03_simsearch_topk", "g03b_simsearch_knn", "g03c_simsearch_lsh",
+    "g03d_embed_neardup", "g03e_simsearch_ivf", "g05_text_tokenize",
+    "g05b_token_bpe", "g13_kmeans_iterations", "g16_event_funnel",
+    "g28_semantic_dedup",
+)
+_R10 = (
+    # CORRECTNESS_r10.json — 50-row window, all clean (this window
+    # contained no R-tier entries); drained the whole r03/r05 backlog
+    # and satisfied all 13 round-10 CHANGED_IN markers.
+    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
+    "a04_normalize_columns", "a05_apply_schema_cast",
+    "a06_partition_derive", "a07_dedup_keep_latest",
+    "a08_quality_nullcounts", "a10_compaction",
+    "a13_stream_ingest_foreachbatch", "a23_schema_widening", "a24_sink_orc",
+    "a25_scan_xml", "a26_scan_binaryfile", "b18_join_asof",
+    "b37_null_ordering", "b40_sort_limit_topk", "b41_topk_per_group",
+    "b42_group_by_all", "b50_union_all", "b51_intersect", "b52_except",
+    "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
+    "b56_join_lateral", "c08_win_forward_fill", "d07_fn_json",
+    "d09_fn_variant", "d10_fn_decimal_interval", "e08_stream_stream_join",
+    "e12_stream_outer_join", "g02_dedup_near", "g02d_dedup_ngram",
+    "g06_text_wordcount", "g08c_text_langid", "g08d_text_fingerprint",
+    "g09_multimodal_record", "g10_embed_join_docs", "g12_contamination",
+    "g14_text_clean", "g15_vocab_prune", "g17_text_bigrams",
+    "g19_stratified_sample", "g21_dedup_agreement", "g22_corpus_split",
+    "g24_pii_scrub", "g26_dedup_clusters", "g27_corpus_mixture",
     "g30_dedup_incremental",
 )
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
-    **{name: 3 for name in _R03},
-    **{name: 5 for name in _R05},
     **{name: 6 for name in _R06},
     **{name: 7 for name in _R07},
     **{name: 8 for name in _R08},
     **{name: 9 for name in _R09},
+    **{name: 10 for name in _R10},
 }
 
 # Queries whose Spark code or oracle text materially changed in the
 # given round.  CHANGED_IN[name] > LAST_VERIFIED[name] => the recorded
 # evidence predates the current text => band 0 (ADVICE r06).  Drop an
-# entry once a later CORRECTNESS round re-proves the query.  All 46
-# round-8/9 markers were satisfied by CORRECTNESS_r09 and dropped in
-# the round-10 fold; round-10 edits add their markers below as they
+# entry once a later CORRECTNESS round re-proves the query.  All 13
+# round-10 markers were satisfied by CORRECTNESS_r10 and dropped in
+# the round-11 fold; round-11 edits add their markers below as they
 # land.
 CHANGED_IN: dict[str, int] = {
-    # b18's tie pick over the RANGE frame made deterministic (ADVICE
-    # r09: last() was engine-order-dependent on tied build timestamps)
-    # — max(struct(ts_micros, event_id, event_type)) now takes the
-    # greatest (ts, event_id); identical output on singleton matched
-    # timestamps (fixtures/corpora), re-proven under the policy.
-    "b18_join_asof": 10,
-    # e08/e12's event-time validity gate moved to the packaged
-    # contracts module (same bounds, now module config) and gained an
-    # observe() metrics node counting gated rows per micro-batch
-    # (ADVICE r09) — plan gains a CollectMetrics operator, so re-prove.
-    "e08_stream_stream_join": 10, "e12_stream_outer_join": 10,
-    # c08's forward fill decomposed two-phase (VERDICT r09 #4): per-
-    # (type, year) local running fill + a tiny per-type boundary-carry
-    # pass, so a few-types/multi-century grid is no longer one window
-    # task per type.
-    "c08_win_forward_fill": 10,
-    # StagingPipeline._stage_batch gained the optional per-batch
-    # contract checkpoint (untaken branch on a13's default path —
-    # re-proven once under the conservative policy).
-    "a13_stream_ingest_foreachbatch": 10,
-    # _g02_bitmask's expansion joins repacked onto ONE struct key (the
-    # round-10 text-hostile corpus OOMed the driver via Catalyst's
-    # exponential constraint propagation over k per-word-column join
-    # equalities at k=12) — the six reachers of _g02_bitmask, derived
-    # by the same static scan as round_mirror_users.
-    "g02_dedup_near": 10, "g02d_dedup_ngram": 10, "g12_contamination": 10,
-    "g21_dedup_agreement": 10, "g26_dedup_clusters": 10,
-    "g30_dedup_incremental": 10,
-    # Round-10 json-hostile probe: d07's extracted-text cast -> try_cast
-    # (ANSI crash on non-numeric $.k) with an exact-leniency oracle
-    # mirror; d09's variant_get -> try_variant_get (INVALID_VARIANT_CAST
-    # on non-castable variants). tests/test_json_hostile.py pins both.
-    "d07_fn_json": 10, "d09_fn_variant": 10,
+    # c08's final carry join inner -> LEFT (ADVICE r10): grid rows with
+    # NULL event_type were dropped while the oracle kept them with NULL
+    # fill (equi-joins never match NULL on either engine).  No fixture
+    # has NULL event_type, but the text changed materially — re-prove.
+    "c08_win_forward_fill": 11,
+    # StagingPipeline._stage_batch: reject sinks now idempotent on
+    # _batch_id (dynamic partition overwrite instead of blind append)
+    # and the batch is persisted across the multi-sink fan-out
+    # (ADVICE r10).  a13 drives the pipeline, so its path changed.
+    "a13_stream_ingest_foreachbatch": 11,
+    # The event-time gate's bounds are now an import-time snapshot fed
+    # identically to the Spark predicate and the oracle text (ADVICE
+    # r10 de-synchronization) — same default values, changed gate code
+    # text, so the gate consumers re-prove under the policy.
+    "e08_stream_stream_join": 11, "e12_stream_outer_join": 11,
 }
 
 # Convenience view: every query with any first-party driver evidence.
@@ -290,15 +273,12 @@ def sweep_rank(name: str, has_oracle: bool) -> tuple[int, int, str]:
 
     Band 0: evidence does not describe the current text — either never
             driver-verified (none today) or changed-since-verified
-            (``CHANGED_IN`` newer than ``LAST_VERIFIED``: the round-8
-            duck_round users the r08 window missed, plus the round-9
-            hardening sweeps — SQL-mirror, degenerate-division,
-            empty-input, adversarial-corpus, time-hostile).
-            Alphabetical.
+            (``CHANGED_IN`` newer than ``LAST_VERIFIED``; round 11:
+            the four ADVICE-r10 fixes).  Alphabetical.
     Band 1: verified on current text — ordered by last-verified round
-            ASCENDING (stalest evidence first), then name.  The r03
-            pandas-UDF/text tail re-enters ahead of the r05 mass,
-            which precedes r06/r07/r08 greens.
+            ASCENDING (stalest evidence first), then name.  After the
+            r10 fold the r06 band re-enters ahead of the r07 mass,
+            which precedes r08/r09/r10 greens.
     ``has_oracle`` kept in the signature for call-site stability; both
     bands order hash tier and rows-only alike.
     """

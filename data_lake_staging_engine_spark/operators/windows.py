@@ -376,7 +376,14 @@ def c08_win_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "_blk", "_carry")
     )
-    return local.join(F.broadcast(carries), ["event_type", "_blk"]).select(
+    # LEFT join (ADVICE r10): a NULL event_type forms its own grid rows
+    # on both engines, but equi-joins never match NULL, so the oracle
+    # leaves those cells hour_sum=NULL with NULL fill throughout.  An
+    # inner join here would DROP them instead; left + the coalesce
+    # below reproduces the oracle's keep-with-NULL-fill semantics.
+    return local.join(
+        F.broadcast(carries), ["event_type", "_blk"], "left"
+    ).select(
         "h",
         "event_type",
         "hour_sum",

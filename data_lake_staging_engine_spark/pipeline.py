@@ -97,26 +97,41 @@ class StagingPipeline:
         raise ValueError(f"unsupported landing format {self.fmt!r}")
 
     def _stage_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        persisted = None
         if self.contracts:
             from pyspark.sql import functions as F
 
+            # One batch feeds up to len(contracts) reject sinks plus the
+            # staging write; persist it once instead of re-reading (and
+            # re-normalizing) the landing files per sink (ADVICE r10).
+            batch_df = persisted = batch_df.persist()
             rep = validate_ingest(batch_df, **self.contracts)
             for reason, frame in rep.rejects().items():
+                # Idempotent on _batch_id: a micro-batch RETRY after a
+                # partial failure (one reject sink written, staging
+                # write failed) replaces that batch's partition instead
+                # of blind-appending the same audit rows twice.
                 (
                     frame.withColumn("_batch_id", F.lit(batch_id))
-                    .write.mode("append")
+                    .write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("_batch_id")
                     .parquet(f"{self.rejects_dir}/{reason}")
                 )
             batch_df = rep.clean
-        out = self.transform(batch_df)
-        # one task per output partition dir => one file per partition per
-        # micro-batch, not tasks x dirs (the small-files guard)
-        (
-            out.repartition(*self.partition_cols)
-            .write.mode("append")
-            .partitionBy(*self.partition_cols)
-            .parquet(self.staged_dir)
-        )
+        try:
+            out = self.transform(batch_df)
+            # one task per output partition dir => one file per partition
+            # per micro-batch, not tasks x dirs (the small-files guard)
+            (
+                out.repartition(*self.partition_cols)
+                .write.mode("append")
+                .partitionBy(*self.partition_cols)
+                .parquet(self.staged_dir)
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     def _writer(self):
         return (

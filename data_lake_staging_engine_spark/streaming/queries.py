@@ -74,16 +74,29 @@ _DEC_SUM_ORACLE = "ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)"
 # (StreamingQueryProgress.observedMetrics["<query>_gate"]) instead of
 # silently discarded.
 from data_lake_staging_engine_spark.contracts import (  # noqa: E402
+    EVENT_TIME_VALID_HI,
+    EVENT_TIME_VALID_LO,
     event_time_validity_sql,
     gate_event_time,
 )
 
-_TS_VALID_ORACLE = event_time_validity_sql("ts")
+# Snapshot the bounds ONCE, at import, and feed the SAME snapshot to
+# both engines: the oracle f-strings below are necessarily frozen at
+# decoration time, so the Spark gate must freeze too — resolving the
+# contracts-module constants at call time instead (the round-10 form)
+# let a post-import retune move the Spark gate while the oracle text
+# stayed put, de-synchronizing exactly what contracts.py promises
+# cannot de-synchronize (ADVICE r10). Retuning now requires setting
+# the constants BEFORE importing this module, which re-freezes both
+# sides together.
+_TS_LO, _TS_HI = EVENT_TIME_VALID_LO, EVENT_TIME_VALID_HI
+_TS_VALID_ORACLE = event_time_validity_sql("ts", _TS_LO, _TS_HI)
 
 
 def _gate_event_time(df, observe_name=None):
-    """Apply the event-time validity window (contracts.py bounds)."""
-    return gate_event_time(df, "ts", observe_name=observe_name)
+    """Apply the event-time validity window (import-time snapshot of
+    the contracts.py bounds — see the freeze note above)."""
+    return gate_event_time(df, "ts", _TS_LO, _TS_HI, observe_name=observe_name)
 
 
 def _win_agg(stream):

@@ -484,4 +484,5 @@ if __name__ == "__main__":
         skew_only="--skew-only" in sys.argv,
         time_hostile="--time-hostile" in sys.argv,
         null_keys="--null-keys" in sys.argv,
+        text_hostile="--text-hostile" in sys.argv,
     )

@@ -1,18 +1,17 @@
 """Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r09 greens into
-``LAST_VERIFIED`` (all 159 names driver-evidenced; the r09 window
-closed the 41-member round-9 hardening band plus 6 r03 + 3 r05
-stalest, satisfying every CHANGED_IN marker), the changed band drains
-to whatever round-10 edits actually touch — added to CHANGED_IN
-commit-by-commit as they land, mirrored here in CHANGED_BAND so a
-drive-by edit to either side fails loudly.
+``queries()`` in insertion order.  After folding the r10 greens into
+``LAST_VERIFIED`` (the r10 window drained the whole r03/r05 backlog
+and satisfied all 13 round-10 CHANGED_IN markers), the changed band
+drains to whatever round-11 edits actually touch — added to
+CHANGED_IN commit-by-commit as they land, mirrored here in
+CHANGED_BAND so a drive-by edit to either side fails loudly.
 
-With the band drained, the r10 window FINALLY rotates onto the stale
-evidence mass the changed-first policy kept deferring: the 2-member
-r03 tail (g06, g08c), the 26-member r05 band, and the oldest r06
-entries filling the remaining slots.
+The r11 window therefore leads with the round-11 changed band, then
+rotates onto the stalest remaining evidence: the 25-member r06 band,
+the 18-member r07 band, and the oldest r08 entries filling the
+remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -32,26 +31,18 @@ from data_lake_staging_engine_spark.driver_evidence import (
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 10 (see driver_evidence
-# CHANGED_IN) — the independent mirror.  Round-10 edits add names here
+# Text newer than driver evidence as of round 11 (see driver_evidence
+# CHANGED_IN) — the independent mirror.  Round-11 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
-    "b18_join_asof",  # deterministic tie pick (ADVICE r09)
-    # validity gate -> contracts module config + observe() metrics
+    "c08_win_forward_fill",  # carry join inner -> left (ADVICE r10)
+    # reject sinks idempotent on _batch_id + batch persisted across the
+    # multi-sink fan-out (ADVICE r10)
+    "a13_stream_ingest_foreachbatch",
+    # event-time gate bounds: import-time snapshot fed to BOTH engines
+    # (ADVICE r10 de-synchronization)
     "e08_stream_stream_join",
     "e12_stream_outer_join",
-    "c08_win_forward_fill",  # two-phase wide-span forward fill
-    "a13_stream_ingest_foreachbatch",  # pipeline contract-checkpoint hook
-    # _g02_bitmask struct-key expansion join (text-hostile OOM fix)
-    "g02_dedup_near",
-    "g02d_dedup_ngram",
-    "g12_contamination",
-    "g21_dedup_agreement",
-    "g26_dedup_clusters",
-    "g30_dedup_incremental",
-    # json-hostile probe fixes (try_cast / try_variant_get)
-    "d07_fn_json",
-    "d09_fn_variant",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -102,37 +93,36 @@ def test_window_fills_with_stalest_evidence():
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # Band 1 is ordered stalest-first: the r03 tail, then r05, then r06.
-    assert not any(r <= 2 for r in LAST_VERIFIED.values())
-    stale_r03 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 3 and not changed_since_verified(n)
-    )
-    assert len(stale_r03) == 2  # g06_text_wordcount, g08c_text_langid
-    stale_r05 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 5 and not changed_since_verified(n)
-    )
+    # Band 1 is ordered stalest-first: r06, then r07, then r08.
+    assert not any(r <= 5 for r in LAST_VERIFIED.values())
     stale_r06 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 6 and not changed_since_verified(n)
     )
-    # head + 2 r03 + 26 r05 fill the first 28+len(head) slots; the
-    # oldest r06 entries complete the 50.
-    assert window == (head + stale_r03 + stale_r05 + stale_r06)[:50]
+    assert len(stale_r06) == 25  # the post-r10-fold stalest band
+    stale_r07 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 7 and not changed_since_verified(n)
+    )
+    stale_r08 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 8 and not changed_since_verified(n)
+    )
+    # head + 25 r06 + 18 r07 fill the first 43+len(head) slots; the
+    # oldest r08 entries complete the 50.
+    assert window == (head + stale_r06 + stale_r07 + stale_r08)[:50]
     # Everything past the window is ordered by non-decreasing evidence
-    # round (r06 remainder <= r07 <= r08 <= r09).
+    # round (r08 remainder <= r09 <= r10).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    r03 = sweep_rank("g06_text_wordcount", True)
-    r05 = sweep_rank("b56_join_lateral", True)
-    r06 = sweep_rank("a01_scan_parquet", True)
+    r06 = sweep_rank("a11_catalog_sync", True)
     r07 = sweep_rank("b26_agg_grouping_sets", True)
     r08 = sweep_rank("b20_agg_groupby", True)
     r09 = sweep_rank("g01_dedup_exact", True)
-    assert r03 < r05 < r06 < r07 < r08 < r09
-    assert r03[0] == 1  # verified, just stale — band 1
-    # Round-10 edits re-enter band 0 ahead of everything.
+    r10 = sweep_rank("a01_scan_parquet", True)
+    assert r06 < r07 < r08 < r09 < r10
+    assert r06[0] == 1  # verified, just stale — band 1
+    # Round-11 edits re-enter band 0 ahead of everything.
     for name in CHANGED_BAND:
         assert sweep_rank(name, True)[0] == 0
 
