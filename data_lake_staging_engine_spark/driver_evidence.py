@@ -164,11 +164,19 @@ CHANGED_IN: dict[str, int] = {
     # fill (equi-joins never match NULL on either engine).  No fixture
     # has NULL event_type, but the text changed materially — re-prove.
     "c08_win_forward_fill": 11,
-    # StagingPipeline._stage_batch: reject sinks now idempotent on
-    # _batch_id (dynamic partition overwrite instead of blind append)
-    # and the batch is persisted across the multi-sink fan-out
-    # (ADVICE r10).  a13 drives the pipeline, so its path changed.
+    # StagingPipeline._stage_batch: reject sinks AND the staged write
+    # are now idempotent per batch (dynamic partition overwrite on the
+    # batch-id partition instead of blind append — the kill/restart
+    # exactly-once work, tests/test_streaming_recovery.py), and the
+    # batch is persisted across the multi-sink fan-out (ADVICE r10).
+    # a13 drives the pipeline, so its path changed; its staged table
+    # gains the _ingest_batch lineage column.
     "a13_stream_ingest_foreachbatch": 11,
+    # a19's read-merge-atomic-swap gained crash recovery: a replay
+    # whose previous attempt was killed between the two renames
+    # restores the pre-batch snapshot instead of silently resetting
+    # state to the batch alone (tests/test_streaming_recovery.py).
+    "a19_stream_upsert": 11,
     # The event-time gate's bounds are now an import-time snapshot fed
     # identically to the Spark predicate and the oracle text (ADVICE
     # r10 de-synchronization) — same default values, changed gate code

@@ -529,6 +529,17 @@ def a19_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_rn")
         )
         current_path = os.path.join(state_dir, "current")
+        # Crash recovery (round 11): a kill between the two renames of
+        # a previous attempt of THIS batch leaves no 'current' but an
+        # intact pre-batch snapshot under old{batch_id} — restore it
+        # and recompute (the merge is deterministic, so the replay
+        # converges).  Every other interruption point is already safe:
+        # mid-write kills leave a partial v{batch_id} that the replay
+        # overwrites, and a kill after the final rename replays onto
+        # the post-state, where keep-latest is idempotent.
+        tmp_old = os.path.join(state_dir, f"old{batch_id}")
+        if not os.path.isdir(current_path) and os.path.isdir(tmp_old):
+            os.rename(tmp_old, current_path)
         if os.path.isdir(current_path):
             current = spark.read.schema(batch_df.schema).parquet(current_path)
             merged = (
@@ -541,8 +552,10 @@ def a19_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = batch_latest
         next_path = os.path.join(state_dir, f"v{batch_id}")
         merged.write.mode("overwrite").parquet(next_path)
-        # atomic-swap the 'current' pointer (rename is atomic per-dir)
-        tmp_old = os.path.join(state_dir, f"old{batch_id}")
+        # atomic-swap the 'current' pointer (rename is atomic per-dir);
+        # clear any leftover old{batch_id} from a replayed attempt
+        # first — rename onto an existing dir raises.
+        shutil.rmtree(tmp_old, ignore_errors=True)
         if os.path.isdir(current_path):
             os.rename(current_path, tmp_old)
         os.rename(next_path, current_path)

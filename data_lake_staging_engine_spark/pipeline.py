@@ -57,6 +57,7 @@ class StagingPipeline:
         catalog: CatalogSync | None = None,
         contracts: dict | None = None,
         rejects_dir: str | None = None,
+        reader_options: dict | None = None,
     ) -> None:
         self.spark = spark
         self.landing_dir = landing_dir
@@ -77,6 +78,10 @@ class StagingPipeline:
         # preserved and attributable, never silently dropped.
         self.contracts = contracts or {}
         self.rejects_dir = rejects_dir
+        # Reader-side stream options (e.g. {"maxFilesPerTrigger": 1} to
+        # throttle drain granularity — also what the kill/restart
+        # recovery tests use to force a multi-batch run).
+        self.reader_options = reader_options or {}
         if self.contracts and not rejects_dir:
             raise ValueError(
                 "contracts require a rejects_dir — rejected rows must "
@@ -88,6 +93,8 @@ class StagingPipeline:
 
     def _reader(self):
         r = self.spark.readStream.schema(self.schema)
+        for k, v in self.reader_options.items():
+            r = r.option(k, v)
         if self.fmt == "parquet":
             return r.parquet(self.landing_dir)
         if self.fmt == "json":
@@ -120,13 +127,32 @@ class StagingPipeline:
                 )
             batch_df = rep.clean
         try:
-            out = self.transform(batch_df)
-            # one task per output partition dir => one file per partition
-            # per micro-batch, not tasks x dirs (the small-files guard)
+            from pyspark.sql import functions as F
+
+            out = self.transform(batch_df).withColumn(
+                "_ingest_batch", F.lit(batch_id).cast("long")
+            )
+            # Idempotent per batch: the batch id is a partition column
+            # and the write is a DYNAMIC partition overwrite, so a
+            # replayed micro-batch (kill after a partial parquet append
+            # but before the checkpoint commit — the failure mode plain
+            # blind-append cannot survive) REPLACES its own
+            # (date..., _ingest_batch) leaves and touches nothing else.
+            # Replays rewrite identical data: the file source pins a
+            # batch's file set in the offsets WAL before running it,
+            # and the transform is deterministic.  Exactly-once on
+            # plain parquet costs one subdir per (date, batch) —
+            # a10-style compaction folds them; a transactional table
+            # format (Delta/Iceberg) replaces this dance with a real
+            # commit protocol.
+            # repartition keeps one task per output date => one file
+            # per (date, batch) leaf, not tasks x dirs (the
+            # small-files guard).
             (
                 out.repartition(*self.partition_cols)
-                .write.mode("append")
-                .partitionBy(*self.partition_cols)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*self.partition_cols, "_ingest_batch")
                 .parquet(self.staged_dir)
             )
         finally:
@@ -147,11 +173,16 @@ class StagingPipeline:
         q.awaitTermination(timeout_s)
         return self.sync()
 
-    def start(self):
+    def start(self, processing_time: str | None = None):
         """Continuous micro-batch ingestion; returns the StreamingQuery.
         Call ``sync()`` after (or from a scheduler) to refresh the
-        catalog entry."""
-        return self._writer().start()
+        catalog entry.  ``processing_time`` (e.g. ``"2 seconds"``) sets
+        a ProcessingTime trigger — micro-batches fire on that cadence
+        instead of back-to-back."""
+        w = self._writer()
+        if processing_time is not None:
+            w = w.trigger(processingTime=processing_time)
+        return w.start()
 
     def staged_schema(self) -> StructType:
         """Schema of the staged table, derived by running the transform
@@ -160,8 +191,14 @@ class StagingPipeline:
         routine at scale) writes no parquet files, and inference over
         the file-less staged dir throws UNABLE_TO_INFER_SCHEMA
         (round-9 empty-input audit)."""
+        from pyspark.sql import functions as F
+
         empty = self.spark.createDataFrame([], self.schema)
-        return self.transform(empty).schema
+        return (
+            self.transform(empty)
+            .withColumn("_ingest_batch", F.lit(0).cast("long"))
+            .schema
+        )
 
     def sync(self) -> DataFrame:
         staged = self.spark.read.schema(self.staged_schema()).parquet(

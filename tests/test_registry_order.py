@@ -36,9 +36,11 @@ from data_lake_staging_engine_spark.registry import registry
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
     "c08_win_forward_fill",  # carry join inner -> left (ADVICE r10)
-    # reject sinks idempotent on _batch_id + batch persisted across the
-    # multi-sink fan-out (ADVICE r10)
+    # reject sinks + staged write idempotent per batch, batch persisted
+    # across the multi-sink fan-out (ADVICE r10 + kill/restart work)
     "a13_stream_ingest_foreachbatch",
+    # crash-safe swap recovery in the keyed upsert (kill/restart work)
+    "a19_stream_upsert",
     # event-time gate bounds: import-time snapshot fed to BOTH engines
     # (ADVICE r10 de-synchronization)
     "e08_stream_stream_join",
@@ -98,7 +100,12 @@ def test_window_fills_with_stalest_evidence():
     stale_r06 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 6 and not changed_since_verified(n)
     )
-    assert len(stale_r06) == 25  # the post-r10-fold stalest band
+    # the post-r10-fold stalest band is 25 names; members with a
+    # round-11 CHANGED_IN marker (e.g. a19) sit in band 0 instead
+    assert sum(1 for r in LAST_VERIFIED.values() if r == 6) == 25
+    assert len(stale_r06) == 25 - sum(
+        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 6
+    )
     stale_r07 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 7 and not changed_since_verified(n)
     )

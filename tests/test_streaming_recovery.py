@@ -1,0 +1,262 @@
+"""Checkpoint kill/restart recovery — exactly-once across a restart
+(VERDICT r10 #3: the one production streaming behavior previously
+asserted by architecture rather than test).
+
+Shape of every test here: land ALL input up front, run the query with
+``maxFilesPerTrigger=1`` on a ProcessingTime trigger (micro-batches
+spaced seconds apart, so the stop lands in the idle window after a
+commit — the deploy-restart / spot-kill shape), ``stop()`` it after the
+FIRST committed micro-batch, then restart from the SAME checkpoint over
+the same landing with ``Trigger.AvailableNow`` and assert the final
+output equals the batch oracle: nothing reprocessed, nothing skipped.
+
+Each test also asserts the stop really was mid-stream (work remained
+after run 1) — a test that accidentally drained everything in run 1
+would pass vacuously.
+
+Recovery-hardening these tests pinned into the engine:
+
+- StagingPipeline's staged write is idempotent per batch (the batch id
+  is a partition column written with dynamic partition overwrite), so
+  even a kill after a partial parquet append but before the checkpoint
+  commit replays cleanly — pipeline.py:_stage_batch.
+- a19's read-merge-atomic-swap restores the pre-batch snapshot when a
+  kill between the two renames left no 'current' — staging.py:upsert.
+- The keyed-dedup test relies on the parquet STREAMING sink's own
+  transactional _spark_metadata log plus dropDuplicates state restored
+  from the checkpoint: the post-restart batches see the pre-kill seen-
+  keys, so a duplicate landed after the restart is still suppressed.
+"""
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_lake_staging_engine_spark.sources import load
+from data_lake_staging_engine_spark.streaming.runner import landing_copy
+
+
+def _stop_after_first_commit(q, timeout_s=120):
+    """Wait for the first committed micro-batch with input rows, then
+    stop the query.  Returns the last committed batch id."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p.get("numInputRows", 0) > 0:
+            q.stop()
+            q.awaitTermination(60)
+            return p["batchId"]
+        time.sleep(0.05)
+    q.stop()
+    raise AssertionError("no micro-batch committed before timeout")
+
+
+def _assert_frames_equal(actual, expected):
+    assert actual.exceptAll(expected).count() == 0
+    assert expected.exceptAll(actual).count() == 0
+
+
+def test_pipeline_kill_restart_exactly_once(spark, sf_dir):
+    """a13's StagingPipeline: kill after batch 1 of 4, restart from the
+    same checkpoint, staged table equals the batch transform of the
+    full landing — no duplicates, no gaps."""
+    from data_lake_staging_engine_spark.operators.staging import (
+        derive_date_partitions,
+        normalize_columns,
+    )
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    staged = tempfile.mkdtemp(prefix="dlse_rec13_staged_")
+    ckpt = tempfile.mkdtemp(prefix="dlse_rec13_ckpt_")
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=staged,
+        checkpoint_dir=ckpt,
+        table="staged_events_recovery",
+        schema=schema,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    q = pipe.start(processing_time="3 seconds")
+    _stop_after_first_commit(q)
+
+    total = spark.read.schema(schema).parquet(landing).count()
+    partial = spark.read.schema(pipe.staged_schema()).parquet(staged).count()
+    assert 0 < partial < total, "stop was not mid-stream"
+
+    # Restart: SAME checkpoint, SAME landing; AvailableNow drains the
+    # remaining files exactly once.
+    final = pipe.run_available_now(timeout_s=180).drop("_ingest_batch")
+    expected = derive_date_partitions(
+        normalize_columns(spark.read.schema(schema).parquet(landing)), "ts"
+    )
+    _assert_frames_equal(final, expected)
+
+
+def test_pipeline_batch_replay_is_idempotent(spark, sf_dir):
+    """The staged write's exactly-once claim under the WORSE failure:
+    a batch's parquet write completed but the checkpoint commit did not
+    (simulated by re-invoking _stage_batch with the same batch id, which
+    is exactly what a post-kill replay does).  Dynamic overwrite on the
+    _ingest_batch partition makes the replay a no-op instead of a
+    duplication — the failure blind append cannot survive."""
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    staged = tempfile.mkdtemp(prefix="dlse_rep13_staged_")
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=staged,
+        checkpoint_dir=tempfile.mkdtemp(prefix="dlse_rep13_ckpt_"),
+        table="staged_events_replay",
+        schema=schema,
+    )
+    from data_lake_staging_engine_spark.operators.staging import (
+        derive_date_partitions,
+        normalize_columns,
+    )
+
+    batch = spark.read.schema(schema).parquet(landing).limit(500)
+    pipe._stage_batch(batch, 7)
+    n_once = spark.read.schema(pipe.staged_schema()).parquet(staged).count()
+    pipe._stage_batch(batch, 7)  # replay (overwrites its own partitions)
+    again = spark.read.schema(pipe.staged_schema()).parquet(staged)
+    assert again.count() == n_once == batch.count()
+    expected = derive_date_partitions(normalize_columns(batch), "ts")
+    _assert_frames_equal(again.drop("_ingest_batch"), expected)
+
+
+def test_upsert_kill_restart_converges(spark, sf_dir):
+    """a19's CDC-style keyed upsert: kill after batch 1 of 4, restart
+    from the same checkpoint, final state equals the batch keep-latest
+    (a07 semantics) over the full landing."""
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    state_dir = tempfile.mkdtemp(prefix="dlse_rec19_state_")
+    ckpt = tempfile.mkdtemp(prefix="dlse_rec19_ckpt_")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    import shutil
+
+    def upsert(batch_df, batch_id):
+        # Same body as a19 (operators/staging.py) including its crash
+        # recovery; duplicated here because a19's closure is scoped to
+        # the registered query.
+        batch_latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        current_path = os.path.join(state_dir, "current")
+        tmp_old = os.path.join(state_dir, f"old{batch_id}")
+        if not os.path.isdir(current_path) and os.path.isdir(tmp_old):
+            os.rename(tmp_old, current_path)
+        if os.path.isdir(current_path):
+            current = spark.read.schema(batch_df.schema).parquet(current_path)
+            merged = (
+                current.unionByName(batch_latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            merged = batch_latest
+        next_path = os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(next_path)
+        shutil.rmtree(tmp_old, ignore_errors=True)
+        if os.path.isdir(current_path):
+            os.rename(current_path, tmp_old)
+        os.rename(next_path, current_path)
+        shutil.rmtree(tmp_old, ignore_errors=True)
+
+    def writer():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+            .writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+        )
+
+    q = writer().trigger(processingTime="3 seconds").start()
+    _stop_after_first_commit(q)
+    assert os.path.isdir(os.path.join(state_dir, "current"))
+
+    q2 = writer().trigger(availableNow=True).start()
+    q2.awaitTermination(180)
+
+    final = spark.read.schema(schema).parquet(os.path.join(state_dir, "current"))
+    expected = (
+        spark.read.schema(schema)
+        .parquet(landing)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    _assert_frames_equal(final, expected)
+
+
+def test_dedup_state_survives_restart(spark, sf_dir):
+    """e05-family keyed dedup: duplicates of batch-1 rows land in a
+    LATER file, the query is killed after batch 1, and the restarted
+    query must still suppress them — i.e. the dropDuplicates seen-keys
+    state really is restored from the checkpoint, and the parquet
+    streaming sink's _spark_metadata log keeps the output exactly-once
+    across the kill."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    half = e.agg(F.expr("percentile(event_id, 0.5)")).collect()[0][0]
+    first = e.filter(F.col("event_id") <= half)
+    rest = e.filter(F.col("event_id") > half)
+
+    landing = tempfile.mkdtemp(prefix="dlse_rec05_landing_")
+    # File 1: first half.  File 2: second half.  File 3: the first half
+    # AGAIN — exact duplicate rows that only cross-restart state can
+    # suppress.  Sub-second mtime spacing is irrelevant: the file
+    # source orders by path within one listing, and names sort 1<2<3.
+    first.coalesce(1).write.mode("append").parquet(os.path.join(landing, "f1"))
+    rest.coalesce(1).write.mode("append").parquet(os.path.join(landing, "f2"))
+    first.coalesce(1).write.mode("append").parquet(os.path.join(landing, "f3"))
+
+    sink = tempfile.mkdtemp(prefix="dlse_rec05_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dlse_rec05_ckpt_")
+
+    def writer():
+        s = (
+            spark.readStream.schema(first.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(landing)
+        )
+        return (
+            s.dropDuplicates(["event_id"])
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+        )
+
+    q = writer().trigger(processingTime="3 seconds").start()
+    _stop_after_first_commit(q)
+
+    emitted_partial = spark.read.schema(first.schema).parquet(sink).count()
+    assert 0 < emitted_partial < e.count(), "stop was not mid-stream"
+
+    q2 = writer().trigger(availableNow=True).start()
+    q2.awaitTermination(180)
+
+    final = spark.read.schema(first.schema).parquet(sink)
+    # Exactly-once + state recovery: every event exactly once despite
+    # the duplicate file and the kill.
+    assert final.groupBy("event_id").count().filter("count > 1").count() == 0
+    _assert_frames_equal(final, e)
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
