@@ -182,6 +182,10 @@ CHANGED_IN: dict[str, int] = {
     # r10 de-synchronization) — same default values, changed gate code
     # text, so the gate consumers re-prove under the policy.
     "e08_stream_stream_join": 11, "e12_stream_outer_join": 11,
+    # g01 refactored onto the parameterized exact_dedup core (the
+    # portable-casefold remediation, VERDICT r10 #4) — identical plan
+    # and default semantics, changed text, re-prove under the policy.
+    "g01_dedup_exact": 11,
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -122,6 +122,60 @@ def _tokens(df: DataFrame) -> DataFrame:
 # Deduplication
 # --------------------------------------------------------------------------
 
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def portable_casefold(col: Column) -> Column:
+    """ASCII-only case fold — the cross-SYSTEM portable digest
+    normalization (VERDICT r10 #4 remediation for the pinned casefold
+    divergence).
+
+    ``lower()`` applies each engine's Unicode case mapping, and the
+    one-to-MANY foldings differ by implementation: the JVM lowers
+    U+0130 ('İ') to 'i' + U+0307 while DuckDB's simple mapping yields
+    'i' — so an md5 over ``lower(text)`` computed here will not match
+    one computed by a non-JVM system on any text carrying that class
+    (pinned in tests/test_text_hostile.py).  ``translate`` is a strict
+    per-codepoint 1:1 map on every engine, so folding ONLY the ASCII
+    range has no locale-, version-, or implementation-dependent
+    behavior.  The contract is therefore: ASCII case-insensitive,
+    non-ASCII case-SENSITIVE — two docs differing only in non-ASCII
+    case stay distinct, which is the predictable trade for digests
+    that must match across JVM/DuckDB/Python/Rust pipelines."""
+    return F.translate(col, _ASCII_UPPER, _ASCII_LOWER)
+
+
+#: DuckDB/ANSI mirror of :func:`portable_casefold` — format with the
+#: column expression (oracle parity: tests/test_text_hostile.py).
+PORTABLE_CASEFOLD_SQL = (
+    f"translate({{col}}, '{_ASCII_UPPER}', '{_ASCII_LOWER}')"
+)
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """The operator behind g01, parameterized: keep the lowest-id doc
+    per normalized-text md5.  ``portable=True`` opts into
+    :func:`portable_casefold` normalization instead of ``lower()``,
+    for digests that must byte-match ones produced by non-JVM
+    systems."""
+    norm = F.trim(F.col(text_col))
+    norm = portable_casefold(norm) if portable else F.lower(norm)
+    digest = F.md5(norm)
+    w = Window.partitionBy("digest").orderBy(id_col)
+    return (
+        df.select(id_col, digest.alias("digest"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 @query(
     "g01_dedup_exact",
     oracle="""
@@ -135,16 +189,12 @@ def g01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized-text md5, keep lowest doc_id.
 
     100 TB: digest groupBy shuffles only (digest, doc_id) pairs, not the
-    text; xxhash64 would be cheaper still but md5 is cross-engine."""
+    text; xxhash64 would be cheaper still but md5 is cross-engine.
+    For digests that must ALSO match ones computed outside the JVM, use
+    ``exact_dedup(d, portable=True)`` — see :func:`portable_casefold`
+    for the one-to-many casefold divergence it sidesteps."""
     d = load(spark, sf_dir, "documents")
-    digest = F.md5(F.lower(F.trim(F.col("text"))))
-    w = Window.partitionBy("digest").orderBy("doc_id")
-    return (
-        d.select("doc_id", digest.alias("digest"))
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return exact_dedup(d)
 
 
 @query(

@@ -45,6 +45,9 @@ CHANGED_BAND: set[str] = {
     # (ADVICE r10 de-synchronization)
     "e08_stream_stream_join",
     "e12_stream_outer_join",
+    # refactored onto the exact_dedup core with the portable-casefold
+    # option (VERDICT r10 #4)
+    "g01_dedup_exact",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -125,7 +128,7 @@ def test_sweep_rank_orders_by_staleness():
     r06 = sweep_rank("a11_catalog_sync", True)
     r07 = sweep_rank("b26_agg_grouping_sets", True)
     r08 = sweep_rank("b20_agg_groupby", True)
-    r09 = sweep_rank("g01_dedup_exact", True)
+    r09 = sweep_rank("g16_event_funnel", True)
     r10 = sweep_rank("a01_scan_parquet", True)
     assert r06 < r07 < r08 < r09 < r10
     assert r06[0] == 1  # verified, just stale — band 1

@@ -179,6 +179,39 @@ def test_g01_digest_parity_outside_casefold_class(spark, text_sf_dir, text_duck)
     assert sp == du
 
 
+def test_portable_digest_parity_including_casefold_class(
+    spark, text_sf_dir, text_duck
+):
+    """The opt-in remediation for the pinned divergence (VERDICT r10
+    #4): ``exact_dedup(..., portable=True)`` digests over an
+    ASCII-only case fold (``translate``, a strict 1:1 codepoint map on
+    every engine), so the FULL text-hostile corpus — INCLUDING class 3,
+    the 'İ' carrier that breaks lower()-based parity — hash-matches
+    DuckDB computing the mirrored expression.  A user who must match
+    digests from a non-JVM system switches this on and loses only
+    non-ASCII case-insensitivity."""
+    from data_lake_staging_engine_spark.operators.llmops import (
+        PORTABLE_CASEFOLD_SQL,
+        exact_dedup,
+    )
+
+    d = spark.read.parquet(os.path.join(text_sf_dir, "documents.parquet"))
+    out = exact_dedup(d, portable=True)
+    fold = PORTABLE_CASEFOLD_SQL.format(col="trim(text)")
+    oracle = f"""
+    SELECT doc_id, md5({fold}) AS digest
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5({fold})
+                               ORDER BY doc_id) = 1
+    """
+    res = compare("g01_portable_digest", out, text_duck, oracle)
+    assert res.ok, f"portable digest parity: {res.detail}"
+    # And it really is exercised on the divergence class: class-3 docs
+    # (the 'İ' carriers) are present in the compared corpus.
+    n = len(TEXT_PALETTE) + 1
+    assert d.filter((F.col("doc_id") % n) == 3).count() > 0
+
+
 def test_tokenizer_glues_exotic_whitespace(spark, text_sf_dir):
     """The exotic-whitespace class (NBSP, ideographic space, thin
     space) must GLUE tokens, not split them: the engine tokenizes on
