@@ -60,7 +60,10 @@ from pyspark.sql import functions as F
 # business-event era for the fixture domain; a deployment sets its own
 # (e.g. service launch date .. now + clock-skew allowance).  The
 # streaming queries and their DuckDB oracles both derive from THESE
-# constants, so retuning them cannot de-synchronize the two engines.
+# constants via ONE import-time snapshot (streaming/queries.py), so
+# the two engines cannot de-synchronize; retune the bounds BEFORE
+# importing streaming.queries (a post-import override affects neither
+# side there — by design, ADVICE r10).
 EVENT_TIME_VALID_LO = "2000-01-01 00:00:00"
 EVENT_TIME_VALID_HI = "2100-01-01 00:00:00"
 

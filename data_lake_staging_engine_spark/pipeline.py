@@ -82,6 +82,11 @@ class StagingPipeline:
         # throttle drain granularity — also what the kill/restart
         # recovery tests use to force a multi-batch run).
         self.reader_options = reader_options or {}
+        # Per-micro-batch reject counts from observe() metrics,
+        # {batch_id: {reason: n}} — piggybacked on each reject sink's
+        # write action (no extra count jobs), so contract violations
+        # are MEASURED per batch, not just routed to the audit sinks.
+        self.reject_metrics: dict[int, dict[str, int]] = {}
         if self.contracts and not rejects_dir:
             raise ValueError(
                 "contracts require a rejects_dir — rejected rows must "
@@ -112,8 +117,16 @@ class StagingPipeline:
             # staging write; persist it once instead of re-reading (and
             # re-normalizing) the landing files per sink (ADVICE r10).
             batch_df = persisted = batch_df.persist()
+            from pyspark.sql import Observation
+
             rep = validate_ingest(batch_df, **self.contracts)
+            counts: dict[str, int] = {}
             for reason, frame in rep.rejects().items():
+                # observe() rides the write action below — the per-
+                # contract reject count is a metric of the batch, not
+                # a separate count job.
+                obs = Observation(f"{reason}_b{batch_id}")
+                frame = frame.observe(obs, F.count(F.lit(1)).alias("n"))
                 # Idempotent on _batch_id: a micro-batch RETRY after a
                 # partial failure (one reject sink written, staging
                 # write failed) replaces that batch's partition instead
@@ -125,6 +138,8 @@ class StagingPipeline:
                     .partitionBy("_batch_id")
                     .parquet(f"{self.rejects_dir}/{reason}")
                 )
+                counts[reason] = obs.get["n"]
+            self.reject_metrics[batch_id] = counts
             batch_df = rep.clean
         try:
             from pyspark.sql import functions as F

@@ -1,0 +1,253 @@
+"""validate_ingest driven END-TO-END through StagingPipeline, once per
+hostile corpus mode (VERDICT r10 #6).
+
+tests/test_contracts.py proves the checkpoint's splits on a synthetic
+16-row batch; this module proves the DEPLOYMENT-shaped loop on the real
+hostile corpora: each of the four round-9 attack axes (measures,
+clocks, keys, identities) flows through ``StagingPipeline`` WITH the
+contract checkpoint on, across MULTIPLE micro-batches
+(``maxFilesPerTrigger=1``), and asserts
+
+1. the per-contract reject counts come from the pipeline's observe()
+   metrics (``pipe.reject_metrics``, one entry per micro-batch — no
+   recount of the audit sinks) and match an INDEPENDENT DuckDB count
+   over the raw corpus;
+2. the staged table holds exactly corpus − rejects rows;
+3. the sentinel query that the un-gated corpus breaks (or broke in
+   round 9) runs HASH-GREEN against its DuckDB oracle over the gated
+   output.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_lake_staging_engine_spark.contracts import (
+    EVENT_TIME_VALID_HI,
+    EVENT_TIME_VALID_LO,
+)
+from data_lake_staging_engine_spark.pipeline import StagingPipeline
+from data_lake_staging_engine_spark.registry import registry
+from data_lake_staging_engine_spark.testing import TESTDATA_TABLES, compare
+from scripts.make_adversarial_corpus import build
+
+_REG = registry()
+_SRC = "/root/testdata/sf0.001"
+_RAW_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def _drive(spark, events_df, tmp, contracts, landing_key=None):
+    """Land ``events_df`` as 2 files, drain through StagingPipeline with
+    the checkpoint on and maxFilesPerTrigger=1 (>= 2 micro-batches),
+    return (pipe, staged_df).
+
+    ``landing_key``: identity normalization is PER MICRO-BATCH (the
+    checkpoint sees one batch at a time), so the identities test
+    co-partitions the landing by the identity key — the deployment
+    contract is the same: route redeliveries of a key to the same
+    landing partition, or compose with the a19-style cross-batch
+    upsert."""
+    landing = str(tmp / "landing")
+    part = (
+        events_df.repartition(2, landing_key)
+        if landing_key
+        else events_df.repartition(2)
+    )
+    part.write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=str(tmp / "staged"),
+        checkpoint_dir=str(tmp / "ckpt"),
+        table=f"e2e_{tmp.name[:24]}",
+        schema=schema,
+        contracts=contracts,
+        rejects_dir=str(tmp / "rejects"),
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    staged = pipe.run_available_now(timeout_s=180)
+    assert len(pipe.reject_metrics) >= 2, "expected >= 2 micro-batches"
+    return pipe, staged
+
+
+def _metric_totals(pipe):
+    totals: dict[str, int] = {}
+    for counts in pipe.reject_metrics.values():
+        for reason, n in counts.items():
+            totals[reason] = totals.get(reason, 0) + n
+    return totals
+
+
+def _downstream_dir(spark, staged, tmp, corpus_dir=None):
+    """Write the gated events back in fixture layout (plus the other
+    tables, copied) so registered queries and their oracles run over
+    the clean corpus."""
+    d = str(tmp / "gated_sf")
+    os.makedirs(d)
+    staged.select(*_RAW_COLS).coalesce(1).write.parquet(
+        os.path.join(d, "events.parquet")
+    )
+    src = corpus_dir or _SRC
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        if t == "events":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet')) "
+            f"TO '{d}/{t}.parquet' (FORMAT parquet)"
+        )
+    con.close()
+    return d
+
+
+def _duck_for(d):
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TESTDATA_TABLES:
+        glob = "/*.parquet" if t == "events" else ""
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet{glob}')"
+        )
+    return con
+
+
+def _compare_downstream(spark, d, names):
+    con = _duck_for(d)
+    try:
+        for name in names:
+            rq = _REG[name]
+            res = compare(name, rq.fn(spark, d), con, rq.oracle)
+            assert res.ok, f"{name} on gated corpus: {res.detail}"
+    finally:
+        con.close()
+
+
+def test_measures_mode_through_pipeline(spark, tmp_path):
+    """Finite-measure contract: NaN/±Inf poisoned values are counted by
+    the observe() metrics, quarantined to the audit sink, and the
+    pandas-fold sentinel (round-9 failure class: pandas conflates NaN
+    with NULL) is hash-green downstream."""
+    e = spark.read.parquet(f"{_SRC}/events.parquet")
+    poisoned = e.withColumn(
+        "value",
+        F.when(F.col("event_id") % 97 == 5, float("nan"))
+        .when(F.col("event_id") % 97 == 11, float("inf"))
+        .when(F.col("event_id") % 97 == 17, float("-inf"))
+        .otherwise(F.col("value")),
+    )
+    n_bad = poisoned.filter(
+        F.coalesce(
+            F.isnan("value")
+            | F.col("value").isin(float("inf"), float("-inf")),
+            F.lit(False),
+        )
+    ).count()
+    assert n_bad > 0
+
+    pipe, staged = _drive(
+        spark, poisoned, tmp_path, {"finite_measures": ("value",)}
+    )
+    assert _metric_totals(pipe) == {"nonfinite": n_bad}
+    assert staged.count() == poisoned.count() - n_bad
+    d = _downstream_dir(spark, staged, tmp_path)
+    _compare_downstream(
+        spark, d, ["f03_pandas_udf_grouped_agg", "c03_win_running_sum"]
+    )
+
+
+def test_clocks_mode_through_pipeline(spark, tmp_path):
+    """Event-time validity contract on the time-hostile corpus:
+    epoch-adjacent, 16th-century, and far-future clocks are counted and
+    gated, and the watermark consumer (round-9 failure: one 2260 clock
+    drags the watermark centuries ahead) is hash-green downstream."""
+    corpus = str(tmp_path / "corpus")
+    build(corpus, _SRC, time_hostile=True)
+    e = spark.read.parquet(f"{corpus}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    expected = con.execute(
+        f"SELECT count(*) FROM read_parquet('{corpus}/events.parquet') "
+        f"WHERE ts IS NULL OR NOT (ts >= TIMESTAMP '{EVENT_TIME_VALID_LO}' "
+        f"AND ts < TIMESTAMP '{EVENT_TIME_VALID_HI}')"
+    ).fetchone()[0]
+    con.close()
+    assert expected > 0
+
+    pipe, staged = _drive(spark, e, tmp_path, {"event_time_col": "ts"})
+    assert _metric_totals(pipe) == {"out_of_time": expected}
+    assert staged.count() == e.count() - expected
+    d = _downstream_dir(spark, staged, tmp_path, corpus_dir=corpus)
+    _compare_downstream(
+        spark, d, ["e08_stream_stream_join", "e01_stream_tumbling"]
+    )
+
+
+def test_keys_mode_through_pipeline(spark, tmp_path):
+    """Non-NULL join-key contract on the null-keys corpus: the 10%
+    NULLed user_ids are counted and rejected, and the window-emulated
+    as-of join (round-9 failure: NULL keys match each other under
+    PARTITION BY but nothing under JOIN equality) is hash-green
+    downstream."""
+    corpus = str(tmp_path / "corpus")
+    build(corpus, _SRC, null_keys=True)
+    e = spark.read.parquet(f"{corpus}/events.parquet")
+
+    con = duckdb.connect()
+    expected = con.execute(
+        f"SELECT count(*) FROM read_parquet('{corpus}/events.parquet') "
+        f"WHERE user_id IS NULL"
+    ).fetchone()[0]
+    con.close()
+    assert expected > 0
+
+    pipe, staged = _drive(spark, e, tmp_path, {"join_keys": ("user_id",)})
+    assert _metric_totals(pipe) == {"null_keys": expected}
+    assert staged.count() == e.count() - expected
+    d = _downstream_dir(spark, staged, tmp_path, corpus_dir=corpus)
+    _compare_downstream(spark, d, ["b18_join_asof", "g11_events_user_join"])
+
+
+def test_identities_mode_through_pipeline(spark, tmp_path):
+    """Unique-identity contract: duplicate event_ids with DIFFERING
+    payloads (the e05/e11 killer — survivor is arrival-order-dependent
+    on any engine) are keep-latest-normalized at ingest; the superseded
+    copies are counted and audited, and keyed streaming dedup is
+    hash-green downstream because every id is unique again."""
+    e = spark.read.parquet(f"{_SRC}/events.parquet")
+    dupes = (
+        e.filter(F.col("event_id") % 7 == 3)
+        .withColumn("value", F.col("value") * 2 + 1)
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    n_dupes = dupes.count()
+    assert n_dupes > 0
+    poisoned = e.unionByName(dupes)
+
+    pipe, staged = _drive(
+        spark,
+        poisoned,
+        tmp_path,
+        {"identity_keys": ("event_id",), "identity_order": ("ts", "event_id")},
+        landing_key="event_id",
+    )
+    assert _metric_totals(pipe) == {"superseded": n_dupes}
+    assert staged.count() == e.count()
+    # keep-latest kept the LATER (+5 min) copy for every duplicated id
+    kept = staged.filter(F.col("event_id") % 7 == 3)
+    orig = {r.event_id: r.value for r in e.filter(F.col("event_id") % 7 == 3).collect()}
+    for r in kept.select("event_id", "value").collect():
+        assert r.value == orig[r.event_id] * 2 + 1
+    d = _downstream_dir(spark, staged, tmp_path)
+    _compare_downstream(spark, d, ["e05_stream_dedup", "a07_dedup_keep_latest"])
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
