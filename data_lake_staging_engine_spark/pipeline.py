@@ -222,6 +222,51 @@ class StagingPipeline:
         self.catalog.sync_table(staged, self.table, list(self.partition_cols))
         return self.catalog.read_table(self.spark, self.table)
 
+    def compact_staged(self) -> DataFrame:
+        """Fold the per-(date, micro-batch) leaves the exactly-once
+        staged write accumulates into one leaf per date partition —
+        the a10-style companion that keeps the idempotent layout's
+        file and partition counts bounded over a long-running ingest.
+
+        All folded rows land under the reserved compaction epoch
+        ``_ingest_batch=-1`` (real batch ids are non-negative, so the
+        epoch never collides with a future micro-batch and replay
+        idempotence is untouched — committed batches never replay, and
+        an UNcommitted batch's replay overwrites only its own positive
+        id).  The rewrite goes to a sibling directory and is swapped
+        in by rename, so a reader never sees a half-compacted table;
+        run it while the pipeline is stopped (between drains).  On
+        object stores without atomic rename, use a transactional table
+        format instead — same note as the staged write itself.
+        """
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        old = self.staged_dir + ".precompact"
+        # Crash recovery: a previous compaction killed between the two
+        # renames left the data under .precompact — restore it.
+        if not os.path.isdir(self.staged_dir) and os.path.isdir(old):
+            os.rename(old, self.staged_dir)
+        staged = self.spark.read.schema(self.staged_schema()).parquet(
+            self.staged_dir
+        )
+        folded = staged.withColumn("_ingest_batch", F.lit(-1).cast("long"))
+        tmp = self.staged_dir + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            folded.repartition(*self.partition_cols)
+            .write.mode("overwrite")
+            .partitionBy(*self.partition_cols, "_ingest_batch")
+            .parquet(tmp)
+        )
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.staged_dir, old)
+        os.rename(tmp, self.staged_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return self.sync()
+
 
 class Engine:
     """Session-level facade over the whole surface.

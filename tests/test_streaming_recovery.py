@@ -258,5 +258,70 @@ def test_dedup_state_survives_restart(spark, sf_dir):
     _assert_frames_equal(final, e)
 
 
+def test_compaction_folds_batch_leaves_and_ingest_resumes(spark, sf_dir):
+    """The idempotent staged layout grows one leaf per (date, batch);
+    compact_staged folds them to one per date under the reserved
+    epoch _ingest_batch=-1, preserving rows exactly — and a SUBSEQUENT
+    incremental drain from the same checkpoint still lands new batches
+    alongside the compacted epoch with nothing lost or duplicated."""
+    import shutil
+
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+
+    src, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    landing = tempfile.mkdtemp(prefix="dlse_cmp_landing_")
+    files = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    for f in files[:3]:
+        shutil.copy(os.path.join(src, f), os.path.join(landing, f))
+
+    staged = tempfile.mkdtemp(prefix="dlse_cmp_staged_")
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=staged,
+        checkpoint_dir=tempfile.mkdtemp(prefix="dlse_cmp_ckpt_"),
+        table="staged_events_compaction",
+        schema=schema,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    pipe.run_available_now(timeout_s=180)
+    before = spark.read.schema(pipe.staged_schema()).parquet(staged)
+    n_before = before.count()
+    ids_before = set(
+        r._ingest_batch
+        for r in before.select("_ingest_batch").distinct().collect()
+    )
+    assert len(ids_before) == 3  # one leaf set per micro-batch
+
+    compacted = pipe.compact_staged()
+    assert compacted.count() == n_before
+    assert set(
+        r._ingest_batch
+        for r in compacted.select("_ingest_batch").distinct().collect()
+    ) == {-1}
+    # really fewer leaves on disk
+    leaves = [
+        root
+        for root, dirs, fs in os.walk(staged)
+        if "_ingest_batch=" in root and any(f.endswith(".parquet") for f in fs)
+    ]
+    assert all(root.endswith("_ingest_batch=-1") for root in leaves)
+
+    # incremental ingest resumes against the compacted table
+    shutil.copy(os.path.join(src, files[3]), os.path.join(landing, files[3]))
+    final = pipe.run_available_now(timeout_s=180).drop("_ingest_batch")
+    from data_lake_staging_engine_spark.operators.staging import (
+        derive_date_partitions,
+        normalize_columns,
+    )
+
+    expected = derive_date_partitions(
+        normalize_columns(spark.read.schema(schema).parquet(src)), "ts"
+    )
+    _assert_frames_equal(final, expected)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
