@@ -323,5 +323,118 @@ def test_compaction_folds_batch_leaves_and_ingest_resumes(spark, sf_dir):
     _assert_frames_equal(final, expected)
 
 
+_KILL_DRIVER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+from data_lake_staging_engine_spark.pipeline import StagingPipeline
+from data_lake_staging_engine_spark.operators.staging import (
+    derive_date_partitions, normalize_columns,
+)
+
+spark = (
+    SparkSession.builder.master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+schema = spark.read.parquet({landing!r}).schema
+
+def slow_transform(df):
+    # Driver-side marker so the parent can SIGKILL this process while
+    # a batch's staged write is provably in flight; the sleep holds
+    # the batch open long enough for the signal to land mid-write.
+    n = len(os.listdir({markers!r}))
+    open(os.path.join({markers!r}, str(n)), "w").close()
+    if n >= 1:
+        time.sleep(30)
+    return derive_date_partitions(normalize_columns(df), "ts")
+
+pipe = StagingPipeline(
+    spark,
+    landing_dir={landing!r},
+    staged_dir={staged!r},
+    checkpoint_dir={ckpt!r},
+    table="kill_victim",
+    schema=schema,
+    transform=slow_transform,
+    reader_options={{"maxFilesPerTrigger": 1}},
+)
+q = pipe.start()
+q.awaitTermination(300)
+"""
+
+
+def test_hard_kill_mid_batch_then_restart_exactly_once(spark, sf_dir, tmp_path):
+    """The strongest recovery evidence: SIGKILL a SEPARATE driver
+    process while micro-batch 2's staged write is in flight (no
+    cleanup, no checkpoint commit — exactly a spot reclamation), then
+    restart from the same checkpoint in this process and assert the
+    staged table equals the batch transform: the killed batch's
+    partial leaves are replaced by its replay, nothing is lost or
+    doubled."""
+    import signal
+    import subprocess
+    import sys
+
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=3)
+    staged = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    markers = str(tmp_path / "markers")
+    os.makedirs(markers)
+
+    script = _KILL_DRIVER.format(
+        repo=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        landing=landing,
+        staged=staged,
+        ckpt=ckpt,
+        markers=markers,
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if len(os.listdir(markers)) >= 2:
+                break
+            if proc.poll() is not None:
+                raise AssertionError("victim driver exited prematurely")
+            time.sleep(0.2)
+        else:
+            raise AssertionError("batch 2 never started in the victim")
+        time.sleep(3)  # let batch 2's write provably begin
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # batch 1 committed (its marker exists and the victim survived past
+    # it); batch 2 died mid-flight. Restart from the SAME checkpoint.
+    from data_lake_staging_engine_spark.operators.staging import (
+        derive_date_partitions,
+        normalize_columns,
+    )
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=staged,
+        checkpoint_dir=ckpt,
+        table="kill_survivor",
+        schema=schema,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    final = pipe.run_available_now(timeout_s=180).drop("_ingest_batch")
+    expected = derive_date_partitions(
+        normalize_columns(spark.read.schema(schema).parquet(landing)), "ts"
+    )
+    _assert_frames_equal(final, expected)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
