@@ -323,6 +323,44 @@ def test_compaction_folds_batch_leaves_and_ingest_resumes(spark, sf_dir):
     _assert_frames_equal(final, expected)
 
 
+def test_compaction_is_idempotent_and_crash_recoverable(spark, sf_dir):
+    """compact_staged twice yields the same table (the epoch folds onto
+    itself), and a kill between its two renames — staged gone,
+    .precompact holding the data — is restored by the next call."""
+    import shutil
+
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=2)
+    staged = tempfile.mkdtemp(prefix="dlse_cmp2_staged_")
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=staged,
+        checkpoint_dir=tempfile.mkdtemp(prefix="dlse_cmp2_ckpt_"),
+        table="staged_events_compaction2",
+        schema=schema,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    pipe.run_available_now(timeout_s=180)
+    once = pipe.compact_staged()
+    n = once.count()
+    twice = pipe.compact_staged()
+    assert twice.count() == n
+    assert set(
+        r._ingest_batch
+        for r in twice.select("_ingest_batch").distinct().collect()
+    ) == {-1}
+
+    # Simulate the crash window: staged renamed away, swap-in never
+    # happened. The next compact_staged restores and completes.
+    os.rename(staged, staged + ".precompact")
+    assert not os.path.isdir(staged)
+    recovered = pipe.compact_staged()
+    assert recovered.count() == n
+    shutil.rmtree(staged + ".precompact", ignore_errors=True)
+
+
 _KILL_DRIVER = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})
