@@ -79,6 +79,13 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
+    # Measurement-conditions context: this host suffers EXTERNAL load
+    # storms (r9/r10 both recorded 1.2-4x drift at 1-min load 4-8 with
+    # nothing of ours running), so the artifact records the load it was
+    # taken under — a reader can tell a code regression from a noisy
+    # host without forensics.  Extra JSON keys ride alongside the
+    # contract fields exactly like original17_total/sf already do.
+    load_start = round(os.getloadavg()[0], 2)
 
     # Warm-up (excluded from timings): JVM/codegen startup via the
     # flagship agg; then the streaming fixed costs the r02 verdict
@@ -116,6 +123,8 @@ def main() -> None:
                     sum(timings[n] for n in ORIGINAL_17), 3
                 ),
                 "sf": sf,
+                "load_1m_start": load_start,
+                "load_1m_end": round(os.getloadavg()[0], 2),
             }
         )
     )
