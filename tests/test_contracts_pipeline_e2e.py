@@ -249,5 +249,76 @@ def test_identities_mode_through_pipeline(spark, tmp_path):
     _compare_downstream(spark, d, ["e05_stream_dedup", "a07_dedup_keep_latest"])
 
 
+def test_vectors_mode_through_pipeline(spark, tmp_path):
+    """Finite-VECTOR contract (the round-10 extension) through the
+    pipeline: NaN/Inf embedding components are counted and quarantined
+    per micro-batch, and the k-means sentinel (round-10 crash:
+    ARITHMETIC_OVERFLOW on non-finite inertia) plus the exact knn
+    hash-check run clean downstream."""
+    src = spark.read.parquet(f"{_SRC}/embeddings.parquet")
+    dim = len(src.first().embedding)
+    bad = spark.createDataFrame(
+        [
+            (9001, [float("nan")] + [0.1] * (dim - 1), 1),
+            (9002, [float("inf")] + [0.2] * (dim - 1), 2),
+        ],
+        src.schema,
+    )
+    poisoned = src.unionByName(bad)
+
+    landing = str(tmp_path / "landing")
+    poisoned.repartition(2).write.parquet(landing)
+    schema = spark.read.parquet(landing).schema
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=str(tmp_path / "staged"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table="e2e_vectors",
+        schema=schema,
+        # embeddings carry no event time; partition the staged table by
+        # the label column instead of derived dates.
+        transform=lambda df: df,
+        partition_cols=("label",),
+        contracts={"finite_vectors": ("embedding",)},
+        rejects_dir=str(tmp_path / "rejects"),
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    staged = pipe.run_available_now(timeout_s=180)
+    assert _metric_totals(pipe) == {"nonfinite_vector": 2}
+    assert staged.count() == src.count()
+
+    d = str(tmp_path / "gated_sf")
+    os.makedirs(d)
+    staged.select("vec_id", "embedding", "label").coalesce(1).write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        if t == "embeddings":
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{_SRC}/{t}.parquet')) "
+            f"TO '{d}/{t}.parquet' (FORMAT parquet)"
+        )
+    con.close()
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TESTDATA_TABLES:
+        glob = "/*.parquet" if t == "embeddings" else ""
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{d}/{t}.parquet{glob}')"
+        )
+    try:
+        rq = _REG["g03b_simsearch_knn"]
+        res = compare("g03b_simsearch_knn", rq.fn(spark, d), con, rq.oracle)
+        assert res.ok, f"g03b on gated corpus: {res.detail}"
+    finally:
+        con.close()
+    # the round-10 crash class: k-means completes on the gated corpus
+    assert _REG["g13_kmeans_iterations"].fn(spark, d).count() > 0
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
