@@ -137,10 +137,23 @@ def split_event_time(
 
 
 def quarantine_nonfinite(
-    df: DataFrame, *cols: str
+    df: DataFrame, *cols: str, max_abs: float | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined) split on non-finite doubles — the ingest
     guard behind the engine's FINITE-MEASURE input contract.
+
+    ``max_abs`` (round-11 numeric-hostile extension) additionally
+    quarantines FINITE values whose magnitude exceeds the measure's
+    domain: a perfectly finite 1e300 passes the NaN/Inf check and then
+    kills every decimal money cast downstream —
+    ``CAST(1e300 AS DECIMAL(18,2))`` throws NUMERIC_VALUE_OUT_OF_RANGE
+    under ANSI on Spark AND raises a ConversionException in DuckDB
+    (the round-11 numeric-hostile corpus measured 29/159 queries
+    crashing in exactly this class; BASELINE.md).  For DECIMAL(18,2)
+    money columns, ``max_abs=1e12`` leaves sums four orders of
+    magnitude of headroom inside the widened DECIMAL(28,2) sum type
+    even at 100 TB row counts.  Default None preserves the pure
+    finiteness check.
 
     Measure columns that feed decimal money sums, pandas folds, or
     cross-engine hash oracles must be finite: CAST(Infinity AS
@@ -169,6 +182,8 @@ def quarantine_nonfinite(
         F.isnan(F.col(c)) | F.col(c).isin(float("inf"), float("-inf"))
         for c in cols
     ]
+    if max_abs is not None:
+        checks += [F.abs(F.col(c)) > F.lit(max_abs) for c in cols]
     bad = checks[0]
     for c in checks[1:]:
         bad = bad | c
@@ -178,7 +193,7 @@ def quarantine_nonfinite(
 
 
 def quarantine_nonfinite_vectors(
-    df: DataFrame, *cols: str
+    df: DataFrame, *cols: str, max_abs: float | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined) split on non-finite VECTOR components —
     the array-column form of :func:`quarantine_nonfinite`.
@@ -195,14 +210,26 @@ def quarantine_nonfinite_vectors(
     CLEAN — it is the contract's missing-value form, excluded by each
     consumer's isNotNull guard.
 
+    ``max_abs`` mirrors :func:`quarantine_nonfinite`'s round-11
+    domain bound for components: a finite 1e300 coordinate drives the
+    inertia/cents arithmetic into the same overflow class as Inf.
+
     One codegen EXISTS probe per listed array column; map-only at any
     scale."""
+    # The component bound: with a domain set, |x| > bound subsumes the
+    # infinity check.  NOTE the predicate lambdas must stay ONE-arg —
+    # pyspark passes (element, index) to two-arg higher-order-function
+    # lambdas, so a default-arg closure would receive the index column.
+    bound = F.lit(float("inf")) if max_abs is None else F.lit(float(max_abs))
+    strict = max_abs is not None
+
+    def _pred(x):
+        mag = F.abs(x) > bound if strict else F.abs(x) == bound
+        return F.isnan(x) | mag
+
     bad = F.lit(False)
     for c in cols:
-        nonfinite = F.exists(
-            F.col(c),
-            lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
-        )
+        nonfinite = F.exists(F.col(c), _pred)
         bad = bad | F.coalesce(nonfinite, F.lit(False))
     return df.filter(~bad), df.filter(bad)
 
@@ -307,7 +334,9 @@ def validate_ingest(
     df: DataFrame,
     *,
     finite_measures: Sequence[str] = (),
+    measure_max_abs: float | None = None,
     finite_vectors: Sequence[str] = (),
+    vector_max_abs: float | None = None,
     event_time_col: str | None = None,
     valid_lo: str | None = None,
     valid_hi: str | None = None,
@@ -318,9 +347,14 @@ def validate_ingest(
     """Run every ENABLED input contract over a landing batch.
 
     Each check is individually togglable by its parameter: pass
-    ``finite_measures`` to quarantine non-finite measures,
+    ``finite_measures`` to quarantine non-finite measures
+    (``measure_max_abs`` additionally bounds finite magnitudes — the
+    round-11 numeric-hostile class where a finite 1e300 kills every
+    decimal money cast on both engines; 1e12 is the recommended bound
+    for DECIMAL(18,2) money columns),
     ``finite_vectors`` to quarantine non-finite VECTOR components
-    (array columns — the g13-crash class),
+    (array columns — the g13-crash class; ``vector_max_abs`` is the
+    component-wise domain bound),
     ``event_time_col`` to gate the validity window (bounds default to
     the module config), ``join_keys`` to reject NULL join keys, and
     ``identity_keys`` + ``identity_order`` to keep-latest-normalize
@@ -338,11 +372,13 @@ def validate_ingest(
     out_of_time = null_keys = superseded = None
 
     if finite_measures:
-        clean, nonfinite = quarantine_nonfinite(clean, *finite_measures)
+        clean, nonfinite = quarantine_nonfinite(
+            clean, *finite_measures, max_abs=measure_max_abs
+        )
         enabled.append("nonfinite")
     if finite_vectors:
         clean, nonfinite_vector = quarantine_nonfinite_vectors(
-            clean, *finite_vectors
+            clean, *finite_vectors, max_abs=vector_max_abs
         )
         enabled.append("nonfinite_vector")
     if event_time_col is not None:

@@ -399,6 +399,69 @@ def _text_hostile_sql() -> str:
 
 TRANSFORMS_TEXT = {"documents": _text_hostile_sql()}
 
+# ---------------------------------------------------------------------------
+# NUMERIC-HOSTILE corpus (round 11): the seventh hostile axis.  The
+# finite-measure contract quarantines NaN/±Inf, but a measure can be
+# perfectly FINITE and still hostile to the engine's decimal money
+# contract and float determinism story:
+#   * |x| >= 1e16 overflows CAST(x AS DECIMAL(18,2)) — ANSI throws on
+#     BOTH engines, and the finite-measure quarantine passes it;
+#   * 2^53-adjacent doubles probe integer-exactness boundaries
+#     (double mantissa ends; x+1 == x);
+#   * min-subnormal (5e-324) probes underflow and ROUND behavior;
+#   * -0.0 probes sign-of-zero propagation through sums and rounding
+#     (the round-9 percentile finding's input-side twin);
+#   * 1e15-adjacent values sit one step below the decimal capacity so
+#     SUMS of a few of them cross it — aggregate overflow without any
+#     single hostile row.
+# Keys, clocks, and text stay sane: this axis isolates MEASURE VALUE
+# hostility (events.value; lineitem money columns; o_totalprice).
+# ---------------------------------------------------------------------------
+
+TRANSFORMS_NUMERIC = {
+    "events": """
+        SELECT event_id, ts, user_id, event_type,
+          CASE
+            WHEN event_id % 23 = 1 THEN 1e300
+            WHEN event_id % 23 = 2 THEN -1e300
+            WHEN event_id % 23 = 3 THEN 1e16
+            WHEN event_id % 23 = 4 THEN -0.0
+            WHEN event_id % 23 = 5 THEN 5e-324
+            WHEN event_id % 23 = 6 THEN 9007199254740993.0
+            WHEN event_id % 23 = 7 THEN 999999999999999.9
+            ELSE value
+          END AS value,
+          props
+        FROM src
+    """,
+    "lineitem": """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          CASE WHEN l_orderkey % 19 = 1 THEN 1e17 ELSE l_quantity
+               END AS l_quantity,
+          CASE
+            WHEN l_orderkey % 19 = 2 THEN 1e300
+            WHEN l_orderkey % 19 = 3 THEN -0.0
+            WHEN l_orderkey % 19 = 4 THEN 999999999999999.9
+            ELSE l_extendedprice
+          END AS l_extendedprice,
+          CASE WHEN l_orderkey % 19 = 5 THEN 5e-324 ELSE l_discount
+               END AS l_discount,
+          l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM src
+    """,
+    "orders": """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE
+            WHEN o_orderkey % 17 = 1 THEN 1e300
+            WHEN o_orderkey % 17 = 2 THEN -0.0
+            WHEN o_orderkey % 17 = 3 THEN 1e16
+            ELSE o_totalprice
+          END AS o_totalprice,
+          o_orderdate, o_orderpriority
+        FROM src
+    """,
+}
+
 
 def build(
     out_dir: str,
@@ -407,6 +470,7 @@ def build(
     time_hostile: bool = False,
     null_keys: bool = False,
     text_hostile: bool = False,
+    numeric_hostile: bool = False,
 ) -> None:
     """skew_only=True applies only the RELATIONAL skew rewrites (hot
     keys, tie storms, NULL values) and copies documents/embeddings
@@ -424,10 +488,14 @@ def build(
 
     text_hostile=True applies the Unicode TEXT rewrites to documents
     only (see the TEXT_PALETTE comment block) and copies every other
-    table unchanged."""
-    assert skew_only + time_hostile + null_keys + text_hostile <= 1, (
-        "pick one mode"
-    )
+    table unchanged.
+
+    numeric_hostile=True applies the MEASURE-VALUE rewrites only (see
+    the TRANSFORMS_NUMERIC comment block) and copies every other table
+    unchanged."""
+    assert (
+        skew_only + time_hostile + null_keys + text_hostile + numeric_hostile
+    ) <= 1, "pick one mode"
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
@@ -439,6 +507,8 @@ def build(
         if null_keys
         else TRANSFORMS_TEXT
         if text_hostile
+        else TRANSFORMS_NUMERIC
+        if numeric_hostile
         else TRANSFORMS
     )
     for table in COPY_AS_IS + tuple(TRANSFORMS):
@@ -462,7 +532,10 @@ def build(
     con.close()
 
 
-_KNOWN_FLAGS = {"--skew-only", "--time-hostile", "--null-keys", "--text-hostile"}
+_KNOWN_FLAGS = {
+    "--skew-only", "--time-hostile", "--null-keys", "--text-hostile",
+    "--numeric-hostile",
+}
 
 if __name__ == "__main__":
     # A misspelled mode flag must fail loudly, not silently build the
@@ -485,4 +558,5 @@ if __name__ == "__main__":
         time_hostile="--time-hostile" in sys.argv,
         null_keys="--null-keys" in sys.argv,
         text_hostile="--text-hostile" in sys.argv,
+        numeric_hostile="--numeric-hostile" in sys.argv,
     )
