@@ -249,6 +249,46 @@ def test_identities_mode_through_pipeline(spark, tmp_path):
     _compare_downstream(spark, d, ["e05_stream_dedup", "a07_dedup_keep_latest"])
 
 
+def test_magnitudes_mode_through_pipeline(spark, tmp_path):
+    """Measure-DOMAIN contract (the round-11 numeric-hostile finding)
+    on the numeric-hostile corpus: huge-but-finite measures are
+    counted by the observe() metrics and quarantined, and the decimal
+    money sentinel that crashes on the raw corpus (b20-class ANSI
+    overflow) runs hash-green downstream.  Only events flows through
+    the pipeline here (it is the staging surface); the
+    lineitem/orders halves of the finding are gated and pinned in
+    tests/test_numeric_hostile.py."""
+    corpus = str(tmp_path / "corpus")
+    build(corpus, _SRC, numeric_hostile=True)
+    e = spark.read.parquet(f"{corpus}/events.parquet")
+
+    con = duckdb.connect()
+    expected = con.execute(
+        f"SELECT count(*) FROM read_parquet('{corpus}/events.parquet') "
+        f"WHERE isnan(value) OR abs(value) > 1e12"
+    ).fetchone()[0]
+    con.close()
+    assert expected > 0
+
+    pipe, staged = _drive(
+        spark,
+        e,
+        tmp_path,
+        {"finite_measures": ("value",), "measure_max_abs": 1e12},
+    )
+    assert _metric_totals(pipe) == {"nonfinite": expected}
+    assert staged.count() == e.count() - expected
+    d = _downstream_dir(spark, staged, tmp_path, corpus_dir=corpus)
+    # c03/f03/e10 are the pipeline-relevant members of the 29-query
+    # crash class (decimal window sum, pandas fold, streaming cents
+    # fold) — all events-driven.
+    _compare_downstream(
+        spark,
+        d,
+        ["c03_win_running_sum", "f03_pandas_udf_grouped_agg", "e10_batch_twin"],
+    )
+
+
 def test_vectors_mode_through_pipeline(spark, tmp_path):
     """Finite-VECTOR contract (the round-10 extension) through the
     pipeline: NaN/Inf embedding components are counted and quarantined
