@@ -216,6 +216,13 @@ def quarantine_nonfinite_vectors(
 
     One codegen EXISTS probe per listed array column; map-only at any
     scale."""
+    if not cols:
+        # Same guard as the scalar twin (ADVICE r10): a dynamically
+        # built empty column list must fail loudly, not silently
+        # validate nothing.
+        raise ValueError(
+            "quarantine_nonfinite_vectors requires at least one vector column"
+        )
     # The component bound: with a domain set, |x| > bound subsumes the
     # infinity check.  NOTE the predicate lambdas must stay ONE-arg —
     # pyspark passes (element, index) to two-arg higher-order-function

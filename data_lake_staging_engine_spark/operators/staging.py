@@ -491,35 +491,27 @@ def a18_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "a19_stream_upsert",
-    oracle="""
-    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
-    FROM events
-    QUALIFY row_number() OVER (PARTITION BY user_id
-                               ORDER BY ts DESC, event_id DESC) = 1
-    """,
-)
-def a19_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming keyed upsert (CDC-style merge) via foreachBatch: a
-    multi-batch replay maintains a 'current state per user' table —
-    each micro-batch's latest row per key replaces that key's previous
-    state (read current + union batch + keep-latest + atomic swap).
+def make_keyed_upsert(
+    spark: SparkSession,
+    state_dir: str,
+    key_cols: tuple[str, ...] = ("user_id",),
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+):
+    """foreachBatch callable maintaining a keep-latest state table via
+    read-merge-ATOMIC-SWAP — the production body behind a19, exported
+    so the kill/restart recovery tests exercise THIS code rather than
+    a copy that could silently drift (round-11 review finding).
 
-    Equals the batch keep-latest dedup (a07 semantics) regardless of
-    how files were split into micro-batches — the exactly-once upsert
-    argument. At warehouse scale the read-modify-write swap is what
-    MERGE INTO does on a transactional table format (Delta/Iceberg);
-    on plain parquet the atomic-directory-swap here is the idempotent
-    equivalent. Tie-break (ts, event_id) keeps replays deterministic."""
-    landing_dir, schema = None, None
-    from data_lake_staging_engine_spark.streaming.runner import landing_copy
-
-    landing_dir, schema = landing_copy(spark, sf_dir, "events", n_files=4)
-    state_dir = _tmpdir("upsert_state")
-    checkpoint = _tmpdir("ckpt19")
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
+    Crash recovery: a kill between the two renames of a previous
+    attempt of the SAME batch leaves no 'current' but an intact
+    pre-batch snapshot under old{batch_id} — restore it and recompute
+    (the merge is deterministic, so the replay converges).  Every
+    other interruption point is already safe: mid-write kills leave a
+    partial v{batch_id} that the replay overwrites, and a kill after
+    the final rename replays onto the post-state, where keep-latest is
+    idempotent."""
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.desc(c) for c in order_cols]
     )
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
@@ -529,14 +521,6 @@ def a19_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_rn")
         )
         current_path = os.path.join(state_dir, "current")
-        # Crash recovery (round 11): a kill between the two renames of
-        # a previous attempt of THIS batch leaves no 'current' but an
-        # intact pre-batch snapshot under old{batch_id} — restore it
-        # and recompute (the merge is deterministic, so the replay
-        # converges).  Every other interruption point is already safe:
-        # mid-write kills leave a partial v{batch_id} that the replay
-        # overwrites, and a kill after the final rename replays onto
-        # the post-state, where keep-latest is idempotent.
         tmp_old = os.path.join(state_dir, f"old{batch_id}")
         if not os.path.isdir(current_path) and os.path.isdir(tmp_old):
             os.rename(tmp_old, current_path)
@@ -560,6 +544,37 @@ def a19_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(current_path, tmp_old)
         os.rename(next_path, current_path)
         shutil.rmtree(tmp_old, ignore_errors=True)
+
+    return upsert
+
+
+@query(
+    "a19_stream_upsert",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def a19_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming keyed upsert (CDC-style merge) via foreachBatch: a
+    multi-batch replay maintains a 'current state per user' table —
+    each micro-batch's latest row per key replaces that key's previous
+    state (read current + union batch + keep-latest + atomic swap).
+
+    Equals the batch keep-latest dedup (a07 semantics) regardless of
+    how files were split into micro-batches — the exactly-once upsert
+    argument. At warehouse scale the read-modify-write swap is what
+    MERGE INTO does on a transactional table format (Delta/Iceberg);
+    on plain parquet the atomic-directory-swap here is the idempotent
+    equivalent. Tie-break (ts, event_id) keeps replays deterministic."""
+    from data_lake_staging_engine_spark.streaming.runner import landing_copy
+
+    landing_dir, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    state_dir = _tmpdir("upsert_state")
+    checkpoint = _tmpdir("ckpt19")
+    upsert = make_keyed_upsert(spark, state_dir)
 
     stream = (
         spark.readStream.schema(schema)

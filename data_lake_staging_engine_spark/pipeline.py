@@ -22,9 +22,12 @@ the catalog sync is a driver-side metadata call per batch.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from data_lake_staging_engine_spark.catalog import CatalogSync, SessionCatalogSync
@@ -108,42 +111,47 @@ class StagingPipeline:
             return r.option("header", True).csv(self.landing_dir)
         raise ValueError(f"unsupported landing format {self.fmt!r}")
 
+    #: retained reject-metric entries (continuous ingest must not grow
+    #: driver memory without bound — keep the most recent window)
+    REJECT_METRICS_KEEP = 1024
+
     def _stage_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         persisted = None
-        if self.contracts:
-            from pyspark.sql import functions as F
-
-            # One batch feeds up to len(contracts) reject sinks plus the
-            # staging write; persist it once instead of re-reading (and
-            # re-normalizing) the landing files per sink (ADVICE r10).
-            batch_df = persisted = batch_df.persist()
-            from pyspark.sql import Observation
-
-            rep = validate_ingest(batch_df, **self.contracts)
-            counts: dict[str, int] = {}
-            for reason, frame in rep.rejects().items():
-                # observe() rides the write action below — the per-
-                # contract reject count is a metric of the batch, not
-                # a separate count job.
-                obs = Observation(f"{reason}_b{batch_id}")
-                frame = frame.observe(obs, F.count(F.lit(1)).alias("n"))
-                # Idempotent on _batch_id: a micro-batch RETRY after a
-                # partial failure (one reject sink written, staging
-                # write failed) replaces that batch's partition instead
-                # of blind-appending the same audit rows twice.
-                (
-                    frame.withColumn("_batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .option("partitionOverwriteMode", "dynamic")
-                    .partitionBy("_batch_id")
-                    .parquet(f"{self.rejects_dir}/{reason}")
-                )
-                counts[reason] = obs.get["n"]
-            self.reject_metrics[batch_id] = counts
-            batch_df = rep.clean
         try:
-            from pyspark.sql import functions as F
-
+            if self.contracts:
+                # One batch feeds up to len(contracts) reject sinks plus
+                # the staging write; persist it once instead of
+                # re-reading (and re-normalizing) the landing files per
+                # sink (ADVICE r10).  The try/finally opens BEFORE any
+                # job over the persisted frame so a failing reject write
+                # (or validate_ingest itself) cannot leak the cache
+                # across micro-batch retries.
+                batch_df = persisted = batch_df.persist()
+                rep = validate_ingest(batch_df, **self.contracts)
+                counts: dict[str, int] = {}
+                for reason, frame in rep.rejects().items():
+                    # observe() rides the write action below — the per-
+                    # contract reject count is a metric of the batch,
+                    # not a separate count job.
+                    obs = Observation(f"{reason}_b{batch_id}")
+                    frame = frame.observe(obs, F.count(F.lit(1)).alias("n"))
+                    # Idempotent on _batch_id: a micro-batch RETRY after
+                    # a partial failure (one reject sink written,
+                    # staging write failed) replaces that batch's
+                    # partition instead of blind-appending the same
+                    # audit rows twice.
+                    (
+                        frame.withColumn("_batch_id", F.lit(batch_id))
+                        .write.mode("overwrite")
+                        .option("partitionOverwriteMode", "dynamic")
+                        .partitionBy("_batch_id")
+                        .parquet(f"{self.rejects_dir}/{reason}")
+                    )
+                    counts[reason] = obs.get["n"]
+                self.reject_metrics[batch_id] = counts
+                while len(self.reject_metrics) > self.REJECT_METRICS_KEEP:
+                    self.reject_metrics.pop(next(iter(self.reject_metrics)))
+                batch_df = rep.clean
             out = self.transform(batch_df).withColumn(
                 "_ingest_batch", F.lit(batch_id).cast("long")
             )
@@ -157,9 +165,9 @@ class StagingPipeline:
             # batch's file set in the offsets WAL before running it,
             # and the transform is deterministic.  Exactly-once on
             # plain parquet costs one subdir per (date, batch) —
-            # a10-style compaction folds them; a transactional table
-            # format (Delta/Iceberg) replaces this dance with a real
-            # commit protocol.
+            # compact_staged folds them; a transactional table format
+            # (Delta/Iceberg) replaces this dance with a real commit
+            # protocol.
             # repartition keeps one task per output date => one file
             # per (date, batch) leaf, not tasks x dirs (the
             # small-files guard).
@@ -174,7 +182,19 @@ class StagingPipeline:
             if persisted is not None:
                 persisted.unpersist()
 
+    def _restore_precompact(self) -> None:
+        """Heal the compact_staged crash window (kill between its two
+        renames leaves the WHOLE table under <staged>.precompact and no
+        staged_dir) before anything can recreate staged_dir: called at
+        every pipeline entry that reads or writes the staged table, so
+        a restarted ingest cannot silently start a fresh truncated
+        table while the real one sits in the sibling dir."""
+        old = self.staged_dir + ".precompact"
+        if not os.path.isdir(self.staged_dir) and os.path.isdir(old):
+            os.rename(old, self.staged_dir)
+
     def _writer(self):
+        self._restore_precompact()
         return (
             self._reader()
             .writeStream.foreachBatch(self._stage_batch)
@@ -206,8 +226,6 @@ class StagingPipeline:
         routine at scale) writes no parquet files, and inference over
         the file-less staged dir throws UNABLE_TO_INFER_SCHEMA
         (round-9 empty-input audit)."""
-        from pyspark.sql import functions as F
-
         empty = self.spark.createDataFrame([], self.schema)
         return (
             self.transform(empty)
@@ -216,11 +234,27 @@ class StagingPipeline:
         )
 
     def sync(self) -> DataFrame:
+        self._restore_precompact()
         staged = self.spark.read.schema(self.staged_schema()).parquet(
             self.staged_dir
         )
         self.catalog.sync_table(staged, self.table, list(self.partition_cols))
         return self.catalog.read_table(self.spark, self.table)
+
+    def _last_committed_batch(self) -> int:
+        """Highest micro-batch id the streaming checkpoint has COMMITTED
+        (the ``commits/`` write-ahead markers); -1 when none.  Batches
+        above this may still REPLAY after a crash, so compaction must
+        leave their leaves under their own ids."""
+        commits = os.path.join(self.checkpoint_dir, "commits")
+        ids = [-1]
+        if os.path.isdir(commits):
+            for name in os.listdir(commits):
+                try:
+                    ids.append(int(name))
+                except ValueError:
+                    continue  # .crc / temp files
+        return max(ids)
 
     def compact_staged(self) -> DataFrame:
         """Fold the per-(date, micro-batch) leaves the exactly-once
@@ -228,35 +262,48 @@ class StagingPipeline:
         the a10-style companion that keeps the idempotent layout's
         file and partition counts bounded over a long-running ingest.
 
-        All folded rows land under the reserved compaction epoch
-        ``_ingest_batch=-1`` (real batch ids are non-negative, so the
-        epoch never collides with a future micro-batch and replay
-        idempotence is untouched — committed batches never replay, and
-        an UNcommitted batch's replay overwrites only its own positive
-        id).  The rewrite goes to a sibling directory and is swapped
-        in by rename, so a reader never sees a half-compacted table;
-        run it while the pipeline is stopped (between drains).  On
-        object stores without atomic rename, use a transactional table
-        format instead — same note as the staged write itself.
+        Folded rows land under the reserved compaction epoch
+        ``_ingest_batch=-1`` (real batch ids are non-negative).  Only
+        batches the streaming checkpoint has COMMITTED are folded:
+        a batch whose staged write completed but whose checkpoint
+        commit did not (kill in that window) will REPLAY on restart,
+        and its replay's dynamic overwrite can only replace its own
+        positive id — folding it into the epoch first would duplicate
+        every one of its rows.  Uncommitted leaves pass through the
+        rewrite unchanged under their original ids (round-11 review
+        finding).
+
+        The rewrite goes to a sibling directory and is swapped in by
+        rename, so a reader never sees a half-compacted table; run it
+        while the pipeline is stopped (between drains).  A kill
+        between the two renames parks the table at
+        ``<staged>.precompact``; every pipeline entry point
+        (``_writer``/``sync``/here) restores it before anything can
+        recreate a fresh truncated staged_dir.  A ``.precompact``
+        leftover ALONGSIDE staged_dir is the post-swap crash shape
+        (staged already holds the compacted table) and is discarded.
+        On object stores without atomic rename, use a transactional
+        table format instead — same note as the staged write itself.
         """
-        import os
-        import shutil
-
-        from pyspark.sql import functions as F
-
-        old = self.staged_dir + ".precompact"
-        # Crash recovery: a previous compaction killed between the two
-        # renames left the data under .precompact — restore it.
-        if not os.path.isdir(self.staged_dir) and os.path.isdir(old):
-            os.rename(old, self.staged_dir)
+        self._restore_precompact()
         staged = self.spark.read.schema(self.staged_schema()).parquet(
             self.staged_dir
         )
-        folded = staged.withColumn("_ingest_batch", F.lit(-1).cast("long"))
+        committed = self._last_committed_batch()
+        foldable = (F.col("_ingest_batch") == -1) | (
+            F.col("_ingest_batch") <= committed
+        )
+        rewritten = staged.withColumn(
+            "_ingest_batch",
+            F.when(foldable, F.lit(-1).cast("long")).otherwise(
+                F.col("_ingest_batch")
+            ),
+        )
         tmp = self.staged_dir + ".compacting"
+        old = self.staged_dir + ".precompact"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            folded.repartition(*self.partition_cols)
+            rewritten.repartition(*self.partition_cols)
             .write.mode("overwrite")
             .partitionBy(*self.partition_cols, "_ingest_batch")
             .parquet(tmp)

@@ -136,43 +136,18 @@ def test_upsert_kill_restart_converges(spark, sf_dir):
     """a19's CDC-style keyed upsert: kill after batch 1 of 4, restart
     from the same checkpoint, final state equals the batch keep-latest
     (a07 semantics) over the full landing."""
+    from data_lake_staging_engine_spark.operators.staging import (
+        make_keyed_upsert,
+    )
+
     landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
     state_dir = tempfile.mkdtemp(prefix="dlse_rec19_state_")
     ckpt = tempfile.mkdtemp(prefix="dlse_rec19_ckpt_")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-
-    import shutil
-
-    def upsert(batch_df, batch_id):
-        # Same body as a19 (operators/staging.py) including its crash
-        # recovery; duplicated here because a19's closure is scoped to
-        # the registered query.
-        batch_latest = (
-            batch_df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        current_path = os.path.join(state_dir, "current")
-        tmp_old = os.path.join(state_dir, f"old{batch_id}")
-        if not os.path.isdir(current_path) and os.path.isdir(tmp_old):
-            os.rename(tmp_old, current_path)
-        if os.path.isdir(current_path):
-            current = spark.read.schema(batch_df.schema).parquet(current_path)
-            merged = (
-                current.unionByName(batch_latest)
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
-        else:
-            merged = batch_latest
-        next_path = os.path.join(state_dir, f"v{batch_id}")
-        merged.write.mode("overwrite").parquet(next_path)
-        shutil.rmtree(tmp_old, ignore_errors=True)
-        if os.path.isdir(current_path):
-            os.rename(current_path, tmp_old)
-        os.rename(next_path, current_path)
-        shutil.rmtree(tmp_old, ignore_errors=True)
+    # THE production body (a19 builds its foreachBatch from the same
+    # factory) — the recovery behavior under test is the shipped code,
+    # not a copy that could drift (round-11 review finding).
+    upsert = make_keyed_upsert(spark, state_dir)
 
     def writer():
         return (
@@ -321,6 +296,55 @@ def test_compaction_folds_batch_leaves_and_ingest_resumes(spark, sf_dir):
         normalize_columns(spark.read.schema(schema).parquet(src)), "ts"
     )
     _assert_frames_equal(final, expected)
+
+
+def test_compaction_excludes_uncommitted_batches(spark, sf_dir):
+    """Round-11 review finding: a batch whose staged write completed
+    but whose checkpoint commit did not WILL replay, and its replay's
+    dynamic overwrite can only replace its own positive id — so
+    compaction must not fold it into the -1 epoch (that would turn the
+    replay into a duplication).  Simulate the kill window by deleting
+    the last commit marker, compact, and prove (a) that batch's leaves
+    keep their id and (b) a replay leaves the table unchanged."""
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+
+    landing, schema = landing_copy(spark, sf_dir, "events", n_files=3)
+    staged = tempfile.mkdtemp(prefix="dlse_cmp3_staged_")
+    ckpt = tempfile.mkdtemp(prefix="dlse_cmp3_ckpt_")
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=staged,
+        checkpoint_dir=ckpt,
+        table="staged_events_compaction3",
+        schema=schema,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    pipe.run_available_now(timeout_s=180)
+    n_total = spark.read.schema(pipe.staged_schema()).parquet(staged).count()
+
+    # the kill window: batch 2's staged write survives, its commit is gone
+    os.remove(os.path.join(ckpt, "commits", "2"))
+    compacted = pipe.compact_staged()
+    epochs = set(
+        r._ingest_batch
+        for r in compacted.select("_ingest_batch").distinct().collect()
+    )
+    assert epochs == {-1, 2}
+    assert compacted.count() == n_total
+
+    # the replay: rewriting batch 2 (same pinned data — the offsets WAL
+    # guarantees that) replaces its own leaves, duplicating nothing
+    raw_cols = [f.name for f in schema.fields]
+    replay = (
+        spark.read.schema(pipe.staged_schema())
+        .parquet(staged)
+        .filter(F.col("_ingest_batch") == 2)
+        .select(*raw_cols)
+    )
+    pipe._stage_batch(replay, 2)
+    after = spark.read.schema(pipe.staged_schema()).parquet(staged)
+    assert after.count() == n_total
 
 
 def test_compaction_is_idempotent_and_crash_recoverable(spark, sf_dir):
