@@ -360,5 +360,62 @@ def test_vectors_mode_through_pipeline(spark, tmp_path):
     assert _REG["g13_kmeans_iterations"].fn(spark, d).count() > 0
 
 
+def test_schema_drift_landing_through_pipeline(spark, tmp_path):
+    """Schema-DRIFT landing files (the production reality a pinned
+    reader schema must absorb): one file with the full schema, one
+    MISSING the measure column (upstream dropped it), one with an
+    EXTRA column (upstream added one).  The parquet file source with a
+    pinned schema must read all three — missing column as NULL, extra
+    column ignored — and the contract checkpoint then treats the
+    drift-born NULLs as the portable missing-value form (clean), so
+    nothing is silently dropped OR silently invented."""
+    e = spark.read.parquet(f"{_SRC}/events.parquet")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    full = e.filter(F.col("event_id") % 3 == 0)
+    missing = e.filter(F.col("event_id") % 3 == 1).drop("value")
+    extra = e.filter(F.col("event_id") % 3 == 2).withColumn(
+        "surprise", F.lit("new-upstream-field")
+    )
+    full.coalesce(1).write.parquet(os.path.join(landing, "f1"))
+    missing.coalesce(1).write.parquet(os.path.join(landing, "f2"))
+    extra.coalesce(1).write.parquet(os.path.join(landing, "f3"))
+
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=str(tmp_path / "staged"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table="e2e_schema_drift",
+        schema=e.schema,
+        contracts={"finite_measures": ("value",)},
+        rejects_dir=str(tmp_path / "rejects"),
+        reader_options={
+            "maxFilesPerTrigger": 1,
+            "recursiveFileLookup": "true",
+        },
+    )
+    staged = pipe.run_available_now(timeout_s=180)
+    # every row from every drifted file staged exactly once
+    assert staged.count() == e.count()
+    assert "surprise" not in staged.columns
+    # the dropped column reads as NULL (missing-value form => CLEAN,
+    # not quarantined: the finite-measure contract rejected nothing)
+    n_missing = missing.count()
+    assert (
+        staged.filter(F.col("value").isNull()).count()
+        >= n_missing
+    )
+    assert _metric_totals(pipe) == {"nonfinite": 0}
+    drifted_ids = {r.event_id for r in missing.select("event_id").collect()}
+    got_null_ids = {
+        r.event_id
+        for r in staged.filter(F.col("value").isNull())
+        .select("event_id")
+        .collect()
+    }
+    assert drifted_ids <= got_null_ids
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
