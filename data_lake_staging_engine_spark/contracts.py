@@ -373,6 +373,22 @@ def validate_ingest(
     (tests/test_contracts.py) drives each mode through here and proves
     the previously-failing operators run hash-green on ``clean``.
     """
+    # A bound without its column list would silently check NOTHING —
+    # the same silent-no-op class the zero-column ValueError in
+    # quarantine_nonfinite exists to prevent (ADVICE r11).
+    if measure_max_abs is not None and not finite_measures:
+        raise ValueError(
+            "measure_max_abs is set but finite_measures is empty — the "
+            "bound applies per listed measure column, so this call "
+            "would validate nothing; list the columns to bound"
+        )
+    if vector_max_abs is not None and not finite_vectors:
+        raise ValueError(
+            "vector_max_abs is set but finite_vectors is empty — the "
+            "bound applies per listed vector column, so this call "
+            "would validate nothing; list the columns to bound"
+        )
+
     enabled: list[str] = []
     clean = df
     nonfinite = nonfinite_vector = None

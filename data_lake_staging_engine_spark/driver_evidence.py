@@ -32,6 +32,11 @@ History of the window rotation:
   CHANGED_IN markers in one 50-row window — all clean (no R-tier
   entries landed in this window), 0 failures.  Oldest remaining
   evidence after the fold: r06 (25 names).
+- r11 led with the six round-11 changed markers (the kill/restart +
+  ADVICE-r10 band) and drained the whole r06 band plus the full r07
+  band and part of r08 — 47 hash-green, 3 R-tier rows-only ran (a14
+  b23 g02c), 0 failures.  Oldest remaining evidence after the fold:
+  r08 (27 names), which leads the r12 window.
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -55,8 +60,8 @@ After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
 tests/test_registry_order.py.  ``scripts/fold_evidence.py`` prints the
 ready-to-paste bands.  Source of truth:
-CORRECTNESS_r{01,02,03,05,06,07,08,09,10}.json, folded 2026-08-15 at
-round-11 entry (the fold is machine-checked by
+CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11}.json, folded 2026-08-15
+at round-12 entry (the fold is machine-checked by
 test_last_verified_matches_correctness_artifacts).
 """
 
@@ -65,40 +70,18 @@ from __future__ import annotations
 import types
 
 # fmt: off
-_R06 = (
-    # CORRECTNESS_r06.json greens not re-proven since — the stalest
-    # evidence in the registry; they lead band 1 of the r11 window.
-    "a11_catalog_sync", "a12_incremental_ingest", "a14_bad_records",
-    "a19_stream_upsert", "a21_schema_evolution", "a22_versioned_snapshot",
-    "a28_multi_format_union", "a29_scd2_dimension", "b02_filter_pred",
-    "b03_distinct", "b10_join_inner", "b11_join_left",
-    "b12_join_right_full", "b13_join_semi", "b14_join_anti",
-    "b16_join_theta", "b17_join_range_interval", "b19_join_cross",
-    "b21_agg_having", "b22_agg_countdistinct", "b23_agg_approx_cd",
-    "b24_agg_rollup", "c10_win_sessionize", "d13_fn_url",
-    "g31_dedup_segments",
-)
-_R07 = (
-    # CORRECTNESS_r07.json greens not re-proven since.
-    "b26_agg_grouping_sets", "b29_agg_collect_sorted", "b30_agg_minmax_by",
-    "b32_pivot", "b33_unpivot", "b34_sample_systematic", "c02_win_lag_lead",
-    "c06_win_first_last", "d01_fn_string", "d02_fn_date", "d06_fn_explode",
-    "d11_fn_bitwise", "e05_stream_dedup", "e07_stream_late_data",
-    "f01_udf_python", "f09_multimodal_framesample", "g02c_dedup_simhash",
-    "g25_sequence_pack",
-)
-_R08 = (
-    # CORRECTNESS_r08.json greens not re-proven since.
-    "a15_bucketed_join", "a18_python_datasource", "a27_scan_text",
-    "b01_project_arith", "b15_join_broadcast", "b20_agg_groupby",
-    "b25_agg_cube", "b28_agg_percentile", "b31_agg_salted_skew",
-    "b35_join_salted_skew", "c03_win_running_sum", "c04_win_moving_rows",
-    "c05_win_range_interval", "c09_win_nth_trailing", "d03_fn_math",
-    "d04_fn_cond", "d05_fn_array", "d12_fn_trig", "f02_pandas_udf_scalar",
-    "f05_map_in_pandas", "g04_centroids", "g07_text_tfidf",
-    "g08_text_stats", "g08b_text_quality", "g11_events_user_join",
-    "g18_embed_quantize", "g20_unigram_logprob", "g23_text_repetition",
-    "g29_quality_gate",
+_R08 = (  # CORRECTNESS_r08.json greens not re-proven since — the
+    # stalest evidence in the registry; they lead band 1 of the r12
+    # window.
+    "a27_scan_text", "b01_project_arith", "b15_join_broadcast",
+    "b20_agg_groupby", "b25_agg_cube", "b28_agg_percentile",
+    "b31_agg_salted_skew", "b35_join_salted_skew", "c03_win_running_sum",
+    "c04_win_moving_rows", "c05_win_range_interval", "c09_win_nth_trailing",
+    "d03_fn_math", "d04_fn_cond", "d05_fn_array", "d12_fn_trig",
+    "f02_pandas_udf_scalar", "f05_map_in_pandas", "g04_centroids",
+    "g07_text_tfidf", "g08_text_stats", "g08b_text_quality",
+    "g11_events_user_join", "g18_embed_quantize", "g20_unigram_logprob",
+    "g23_text_repetition", "g29_quality_gate",
 )
 _R09 = (
     # CORRECTNESS_r09.json greens not re-proven since (incl. the
@@ -112,28 +95,23 @@ _R09 = (
     "e10_batch_twin", "e11_stream_dedup_then_window",
     "f03_pandas_udf_grouped_agg", "f04_apply_in_pandas", "f06_udtf",
     "f07_arrow_udf", "f08_multimodal_decode", "f10_cogroup_in_pandas",
-    "g01_dedup_exact", "g02b_dedup_lsh", "g02e_dedup_lsh_shingle",
-    "g03_simsearch_topk", "g03b_simsearch_knn", "g03c_simsearch_lsh",
-    "g03d_embed_neardup", "g03e_simsearch_ivf", "g05_text_tokenize",
-    "g05b_token_bpe", "g13_kmeans_iterations", "g16_event_funnel",
-    "g28_semantic_dedup",
+    "g02b_dedup_lsh", "g02e_dedup_lsh_shingle", "g03_simsearch_topk",
+    "g03b_simsearch_knn", "g03c_simsearch_lsh", "g03d_embed_neardup",
+    "g03e_simsearch_ivf", "g05_text_tokenize", "g05b_token_bpe",
+    "g13_kmeans_iterations", "g16_event_funnel", "g28_semantic_dedup",
 )
 _R10 = (
-    # CORRECTNESS_r10.json — 50-row window, all clean (this window
-    # contained no R-tier entries); drained the whole r03/r05 backlog
-    # and satisfied all 13 round-10 CHANGED_IN markers.
+    # CORRECTNESS_r10.json greens not re-proven since.
     "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
     "a04_normalize_columns", "a05_apply_schema_cast",
     "a06_partition_derive", "a07_dedup_keep_latest",
-    "a08_quality_nullcounts", "a10_compaction",
-    "a13_stream_ingest_foreachbatch", "a23_schema_widening", "a24_sink_orc",
-    "a25_scan_xml", "a26_scan_binaryfile", "b18_join_asof",
+    "a08_quality_nullcounts", "a10_compaction", "a23_schema_widening",
+    "a24_sink_orc", "a25_scan_xml", "a26_scan_binaryfile", "b18_join_asof",
     "b37_null_ordering", "b40_sort_limit_topk", "b41_topk_per_group",
     "b42_group_by_all", "b50_union_all", "b51_intersect", "b52_except",
     "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
-    "b56_join_lateral", "c08_win_forward_fill", "d07_fn_json",
-    "d09_fn_variant", "d10_fn_decimal_interval", "e08_stream_stream_join",
-    "e12_stream_outer_join", "g02_dedup_near", "g02d_dedup_ngram",
+    "b56_join_lateral", "d07_fn_json", "d09_fn_variant",
+    "d10_fn_decimal_interval", "g02_dedup_near", "g02d_dedup_ngram",
     "g06_text_wordcount", "g08c_text_langid", "g08d_text_fingerprint",
     "g09_multimodal_record", "g10_embed_join_docs", "g12_contamination",
     "g14_text_clean", "g15_vocab_prune", "g17_text_bigrams",
@@ -141,51 +119,51 @@ _R10 = (
     "g24_pii_scrub", "g26_dedup_clusters", "g27_corpus_mixture",
     "g30_dedup_incremental",
 )
+_R11 = (
+    # CORRECTNESS_r11.json — 50-row window, 47 hash-green + 3 R-tier
+    # rows-only ran (a14 b23 g02c); led with the six round-11 changed
+    # markers and drained the whole r06/r07 bands plus the oldest r08
+    # entries.
+    "a11_catalog_sync", "a12_incremental_ingest",
+    "a13_stream_ingest_foreachbatch", "a14_bad_records",
+    "a15_bucketed_join", "a18_python_datasource", "a19_stream_upsert",
+    "a21_schema_evolution", "a22_versioned_snapshot",
+    "a28_multi_format_union", "a29_scd2_dimension", "b02_filter_pred",
+    "b03_distinct", "b10_join_inner", "b11_join_left",
+    "b12_join_right_full", "b13_join_semi", "b14_join_anti",
+    "b16_join_theta", "b17_join_range_interval", "b19_join_cross",
+    "b21_agg_having", "b22_agg_countdistinct", "b23_agg_approx_cd",
+    "b24_agg_rollup", "b26_agg_grouping_sets", "b29_agg_collect_sorted",
+    "b30_agg_minmax_by", "b32_pivot", "b33_unpivot",
+    "b34_sample_systematic", "c02_win_lag_lead", "c06_win_first_last",
+    "c08_win_forward_fill", "c10_win_sessionize", "d01_fn_string",
+    "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise", "d13_fn_url",
+    "e05_stream_dedup", "e07_stream_late_data", "e08_stream_stream_join",
+    "e12_stream_outer_join", "f01_udf_python", "f09_multimodal_framesample",
+    "g01_dedup_exact", "g02c_dedup_simhash", "g25_sequence_pack",
+    "g31_dedup_segments",
+)
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
-    **{name: 6 for name in _R06},
-    **{name: 7 for name in _R07},
     **{name: 8 for name in _R08},
     **{name: 9 for name in _R09},
     **{name: 10 for name in _R10},
+    **{name: 11 for name in _R11},
 }
 
 # Queries whose Spark code or oracle text materially changed in the
 # given round.  CHANGED_IN[name] > LAST_VERIFIED[name] => the recorded
 # evidence predates the current text => band 0 (ADVICE r06).  Drop an
-# entry once a later CORRECTNESS round re-proves the query.  All 13
-# round-10 markers were satisfied by CORRECTNESS_r10 and dropped in
-# the round-11 fold; round-11 edits add their markers below as they
+# entry once a later CORRECTNESS round re-proves the query.  All six
+# round-11 markers were satisfied by CORRECTNESS_r11 and dropped in
+# the round-12 fold; round-12 edits add their markers below as they
 # land.
 CHANGED_IN: dict[str, int] = {
-    # c08's final carry join inner -> LEFT (ADVICE r10): grid rows with
-    # NULL event_type were dropped while the oracle kept them with NULL
-    # fill (equi-joins never match NULL on either engine).  No fixture
-    # has NULL event_type, but the text changed materially — re-prove.
-    "c08_win_forward_fill": 11,
-    # StagingPipeline._stage_batch: reject sinks AND the staged write
-    # are now idempotent per batch (dynamic partition overwrite on the
-    # batch-id partition instead of blind append — the kill/restart
-    # exactly-once work, tests/test_streaming_recovery.py), and the
-    # batch is persisted across the multi-sink fan-out (ADVICE r10).
-    # a13 drives the pipeline, so its path changed; its staged table
-    # gains the _ingest_batch lineage column.
-    "a13_stream_ingest_foreachbatch": 11,
-    # a19's read-merge-atomic-swap gained crash recovery: a replay
-    # whose previous attempt was killed between the two renames
-    # restores the pre-batch snapshot instead of silently resetting
-    # state to the batch alone (tests/test_streaming_recovery.py).
-    "a19_stream_upsert": 11,
-    # The event-time gate's bounds are now an import-time snapshot fed
-    # identically to the Spark predicate and the oracle text (ADVICE
-    # r10 de-synchronization) — same default values, changed gate code
-    # text, so the gate consumers re-prove under the policy.
-    "e08_stream_stream_join": 11, "e12_stream_outer_join": 11,
-    # g01 refactored onto the parameterized exact_dedup core (the
-    # portable-casefold remediation, VERDICT r10 #4) — identical plan
-    # and default semantics, changed text, re-prove under the policy.
-    "g01_dedup_exact": 11,
+    # StagingPipeline gained the rejects-sink layout guard, the
+    # URI-path guard, and the active-stream compaction guard (ADVICE
+    # r11); a13 drives the pipeline, so its executed path text changed.
+    "a13_stream_ingest_foreachbatch": 12,
 }
 
 # Convenience view: every query with any first-party driver evidence.
@@ -285,12 +263,12 @@ def sweep_rank(name: str, has_oracle: bool) -> tuple[int, int, str]:
 
     Band 0: evidence does not describe the current text — either never
             driver-verified (none today) or changed-since-verified
-            (``CHANGED_IN`` newer than ``LAST_VERIFIED``; round 11:
-            the four ADVICE-r10 fixes).  Alphabetical.
+            (``CHANGED_IN`` newer than ``LAST_VERIFIED``; round 12:
+            the ADVICE-r11 pipeline fixes).  Alphabetical.
     Band 1: verified on current text — ordered by last-verified round
             ASCENDING (stalest evidence first), then name.  After the
-            r10 fold the r06 band re-enters ahead of the r07 mass,
-            which precedes r08/r09/r10 greens.
+            r11 fold the r08 band re-enters ahead of the r09 mass,
+            which precedes r10/r11 greens.
     ``has_oracle`` kept in the signature for call-site stability; both
     bands order hash tier and rows-only alike.
     """

@@ -22,8 +22,11 @@ the catalog sync is a driver-side metadata call per batch.
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -39,6 +42,12 @@ from data_lake_staging_engine_spark.operators.staging import (
 from data_lake_staging_engine_spark.registry import registry
 from data_lake_staging_engine_spark.session import DEFAULT_SF_DIR, get_spark, tune_session
 from data_lake_staging_engine_spark.sources import TABLES, load, register_views
+
+
+#: URI-schemed path (s3a://, hdfs://, file://, ...) — the compaction /
+#: recovery helpers below use local-POSIX primitives (os.listdir,
+#: os.rename, shutil.rmtree) that silently misbehave or raise on these.
+_URI_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
 
 
 class StagingPipeline:
@@ -90,6 +99,9 @@ class StagingPipeline:
         # write action (no extra count jobs), so contract violations
         # are MEASURED per batch, not just routed to the audit sinks.
         self.reject_metrics: dict[int, dict[str, int]] = {}
+        # Reject-sink layout validated once per reason per pipeline
+        # instance (see _check_rejects_layout).
+        self._rejects_layout_ok: set[str] = set()
         if self.contracts and not rejects_dir:
             raise ValueError(
                 "contracts require a rejects_dir — rejected rows must "
@@ -115,6 +127,37 @@ class StagingPipeline:
     #: driver memory without bound — keep the most recent window)
     REJECT_METRICS_KEEP = 1024
 
+    def _check_rejects_layout(self, reason: str) -> None:
+        """Refuse to mix reject-sink layouts (ADVICE r11).
+
+        Before round 11 the reject sinks blind-APPENDED parquet with
+        ``_batch_id`` as a data column (``part-*`` files directly under
+        ``<rejects_dir>/<reason>``); since round 11 ``_batch_id`` is a
+        PARTITION directory written with dynamic overwrite.  Writing
+        the new layout into an old-layout directory produces a mixed
+        tree that misreads (readers see ``_batch_id`` only via
+        partitioning and old rows lack the dir), so fail loudly instead
+        — migrate by rewriting the old sink with ``partitionBy``, or
+        point ``rejects_dir`` somewhere fresh.  Checked once per reason
+        per pipeline instance; URI-schemed dirs skip the listing (no
+        local listdir) and rely on the writer's own failure modes.
+        """
+        if reason in self._rejects_layout_ok:
+            return
+        root = os.path.join(self.rejects_dir, reason)
+        if not _URI_SCHEME.match(self.rejects_dir) and os.path.isdir(root):
+            flat = [n for n in os.listdir(root) if n.startswith("part-")]
+            if flat:
+                raise RuntimeError(
+                    f"reject sink {root!r} holds pre-round-11 APPEND-"
+                    f"layout parquet directly under the reason dir "
+                    f"({flat[:3]}...); writing the _batch_id-partitioned "
+                    "layout into it would produce a mixed tree that "
+                    "misreads.  Rewrite the old sink partitioned by "
+                    "_batch_id or use a fresh rejects_dir."
+                )
+        self._rejects_layout_ok.add(reason)
+
     def _stage_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         persisted = None
         try:
@@ -130,6 +173,7 @@ class StagingPipeline:
                 rep = validate_ingest(batch_df, **self.contracts)
                 counts: dict[str, int] = {}
                 for reason, frame in rep.rejects().items():
+                    self._check_rejects_layout(reason)
                     # observe() rides the write action below — the per-
                     # contract reject count is a metric of the batch,
                     # not a separate count job.
@@ -188,9 +232,33 @@ class StagingPipeline:
         staged_dir) before anything can recreate staged_dir: called at
         every pipeline entry that reads or writes the staged table, so
         a restarted ingest cannot silently start a fresh truncated
-        table while the real one sits in the sibling dir."""
+        table while the real one sits in the sibling dir.
+
+        A ``.precompact`` ALONGSIDE a live staged_dir is the post-swap
+        crash shape (staged already holds the compacted table) — it is
+        discarded HERE, at every entry point, not just at the next
+        ``compact_staged`` (ADVICE r11): left around, a later operator
+        deleting staged_dir to restart ingest from scratch would have
+        this restore resurrect the obsolete pre-compaction snapshot as
+        the live table.
+
+        URI-schemed dirs (s3a://, hdfs://) no-op: ``compact_staged``
+        refuses to run on them, so no ``.precompact`` can exist there.
+        """
+        if _URI_SCHEME.match(self.staged_dir):
+            return
         old = self.staged_dir + ".precompact"
-        if not os.path.isdir(self.staged_dir) and os.path.isdir(old):
+        if not os.path.isdir(old):
+            return
+        if os.path.isdir(self.staged_dir):
+            warnings.warn(
+                f"discarding stale {old!r} left by a post-swap "
+                "compaction crash (staged_dir already holds the "
+                "compacted table)",
+                stacklevel=2,
+            )
+            shutil.rmtree(old, ignore_errors=True)
+        else:
             os.rename(old, self.staged_dir)
 
     def _writer(self):
@@ -241,6 +309,23 @@ class StagingPipeline:
         self.catalog.sync_table(staged, self.table, list(self.partition_cols))
         return self.catalog.read_table(self.spark, self.table)
 
+    def _active_query_on_checkpoint(self):
+        """The active StreamingQuery draining ``self.checkpoint_dir``,
+        or None.  The checkpoint's ``metadata`` file records the query
+        id at first start; any active query with that id IS this
+        pipeline's ingest stream (query ids are stable across
+        restarts of the same checkpoint)."""
+        meta = os.path.join(self.checkpoint_dir, "metadata")
+        try:
+            with open(meta) as f:
+                qid = json.load(f).get("id")
+        except (OSError, ValueError):
+            return None
+        for q in self.spark.streams.active:
+            if str(q.id) == str(qid):
+                return q
+        return None
+
     def _last_committed_batch(self) -> int:
         """Highest micro-batch id the streaming checkpoint has COMMITTED
         (the ``commits/`` write-ahead markers); -1 when none.  Batches
@@ -274,17 +359,49 @@ class StagingPipeline:
         finding).
 
         The rewrite goes to a sibling directory and is swapped in by
-        rename, so a reader never sees a half-compacted table; run it
-        while the pipeline is stopped (between drains).  A kill
+        rename, so a reader never sees a half-compacted table; the
+        pipeline must be STOPPED (between drains) — an active ingest
+        stream on this checkpoint is REFUSED (ADVICE r11: a micro-batch
+        written between compact's read and the rename swap would be
+        silently discarded by the swap, and the rename would pull
+        staged_dir out from under the in-flight writer).  A kill
         between the two renames parks the table at
         ``<staged>.precompact``; every pipeline entry point
         (``_writer``/``sync``/here) restores it before anything can
         recreate a fresh truncated staged_dir.  A ``.precompact``
         leftover ALONGSIDE staged_dir is the post-swap crash shape
-        (staged already holds the compacted table) and is discarded.
-        On object stores without atomic rename, use a transactional
-        table format instead — same note as the staged write itself.
+        (staged already holds the compacted table) and is discarded at
+        every entry point.
+
+        Local filesystem ONLY (raises otherwise): the commit-marker
+        read, the rename swap, and the crash recovery all use
+        local-POSIX primitives.  On cluster storage (s3a://, hdfs://)
+        rename is not atomic and ``commits/`` listing needs the Hadoop
+        FileSystem API — use a transactional table format
+        (Delta/Iceberg OPTIMIZE) for compaction there; the staged
+        WRITE itself is cluster-safe, only this maintenance helper is
+        local-bound (see DEPLOYMENT.md).
         """
+        for path, what in (
+            (self.staged_dir, "staged_dir"),
+            (self.checkpoint_dir, "checkpoint_dir"),
+        ):
+            if _URI_SCHEME.match(path):
+                raise NotImplementedError(
+                    f"compact_staged requires local filesystem paths "
+                    f"(os.rename swap + commits/ listing); {what} is "
+                    f"{path!r}.  On cluster storage use a transactional "
+                    "table format (Delta/Iceberg) for compaction."
+                )
+        active = self._active_query_on_checkpoint()
+        if active is not None:
+            raise RuntimeError(
+                f"refusing to compact {self.staged_dir!r} while the "
+                f"ingest stream on checkpoint {self.checkpoint_dir!r} "
+                f"is ACTIVE (query id {active.id}): a micro-batch "
+                "landing between the compaction read and the rename "
+                "swap would be silently lost.  Stop the stream first."
+            )
         self._restore_precompact()
         staged = self.spark.read.schema(self.staged_schema()).parquet(
             self.staged_dir

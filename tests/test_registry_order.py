@@ -1,17 +1,16 @@
 """Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r10 greens into
-``LAST_VERIFIED`` (the r10 window drained the whole r03/r05 backlog
-and satisfied all 13 round-10 CHANGED_IN markers), the changed band
-drains to whatever round-11 edits actually touch — added to
+``queries()`` in insertion order.  After folding the r11 greens into
+``LAST_VERIFIED`` (the r11 window drained the whole r06/r07 bands and
+satisfied all six round-11 CHANGED_IN markers), the changed band
+drains to whatever round-12 edits actually touch — added to
 CHANGED_IN commit-by-commit as they land, mirrored here in
 CHANGED_BAND so a drive-by edit to either side fails loudly.
 
-The r11 window therefore leads with the round-11 changed band, then
-rotates onto the stalest remaining evidence: the 25-member r06 band,
-the 18-member r07 band, and the oldest r08 entries filling the
-remaining slots.
+The r12 window therefore leads with the round-12 changed band, then
+rotates onto the stalest remaining evidence: the 27-member r08 band,
+then the 36-member r09 band filling the remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -31,23 +30,14 @@ from data_lake_staging_engine_spark.driver_evidence import (
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 11 (see driver_evidence
-# CHANGED_IN) — the independent mirror.  Round-11 edits add names here
+# Text newer than driver evidence as of round 12 (see driver_evidence
+# CHANGED_IN) — the independent mirror.  Round-12 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
-    "c08_win_forward_fill",  # carry join inner -> left (ADVICE r10)
-    # reject sinks + staged write idempotent per batch, batch persisted
-    # across the multi-sink fan-out (ADVICE r10 + kill/restart work)
+    # StagingPipeline gained the rejects-sink layout guard, URI-path
+    # guard, and active-stream compaction guard (ADVICE r11); a13
+    # drives the pipeline end-to-end.
     "a13_stream_ingest_foreachbatch",
-    # crash-safe swap recovery in the keyed upsert (kill/restart work)
-    "a19_stream_upsert",
-    # event-time gate bounds: import-time snapshot fed to BOTH engines
-    # (ADVICE r10 de-synchronization)
-    "e08_stream_stream_join",
-    "e12_stream_outer_join",
-    # refactored onto the exact_dedup core with the portable-casefold
-    # option (VERDICT r10 #4)
-    "g01_dedup_exact",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -98,41 +88,37 @@ def test_window_fills_with_stalest_evidence():
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # Band 1 is ordered stalest-first: r06, then r07, then r08.
-    assert not any(r <= 5 for r in LAST_VERIFIED.values())
-    stale_r06 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 6 and not changed_since_verified(n)
-    )
-    # the post-r10-fold stalest band is 25 names; members with a
-    # round-11 CHANGED_IN marker (e.g. a19) sit in band 0 instead
-    assert sum(1 for r in LAST_VERIFIED.values() if r == 6) == 25
-    assert len(stale_r06) == 25 - sum(
-        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 6
-    )
-    stale_r07 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 7 and not changed_since_verified(n)
-    )
+    # Band 1 is ordered stalest-first: r08, then r09, then r10/r11.
+    assert not any(r <= 7 for r in LAST_VERIFIED.values())
     stale_r08 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 8 and not changed_since_verified(n)
     )
-    # head + 25 r06 + 18 r07 fill the first 43+len(head) slots; the
-    # oldest r08 entries complete the 50.
-    assert window == (head + stale_r06 + stale_r07 + stale_r08)[:50]
+    # the post-r11-fold stalest band is 27 names; members with a
+    # round-12 CHANGED_IN marker sit in band 0 instead
+    assert sum(1 for r in LAST_VERIFIED.values() if r == 8) == 27
+    assert len(stale_r08) == 27 - sum(
+        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 8
+    )
+    stale_r09 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 9 and not changed_since_verified(n)
+    )
+    # head + 27 r08 fill the first 27+len(head) slots; the oldest r09
+    # entries complete the 50.
+    assert window == (head + stale_r08 + stale_r09)[:50]
     # Everything past the window is ordered by non-decreasing evidence
-    # round (r08 remainder <= r09 <= r10).
+    # round (r09 remainder <= r10 <= r11).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    r06 = sweep_rank("a11_catalog_sync", True)
-    r07 = sweep_rank("b26_agg_grouping_sets", True)
     r08 = sweep_rank("b20_agg_groupby", True)
     r09 = sweep_rank("g16_event_funnel", True)
     r10 = sweep_rank("a01_scan_parquet", True)
-    assert r06 < r07 < r08 < r09 < r10
-    assert r06[0] == 1  # verified, just stale — band 1
-    # Round-11 edits re-enter band 0 ahead of everything.
+    r11 = sweep_rank("a11_catalog_sync", True)
+    assert r08 < r09 < r10 < r11
+    assert r08[0] == 1  # verified, just stale — band 1
+    # Round-12 edits re-enter band 0 ahead of everything.
     for name in CHANGED_BAND:
         assert sweep_rank(name, True)[0] == 0
 
