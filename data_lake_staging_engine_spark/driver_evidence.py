@@ -164,6 +164,10 @@ CHANGED_IN: dict[str, int] = {
     # URI-path guard, and the active-stream compaction guard (ADVICE
     # r11); a13 drives the pipeline, so its executed path text changed.
     "a13_stream_ingest_foreachbatch": 12,
+    # a22's inline manifest machinery promoted to the reusable
+    # versioning.VersionedTable (adds the vacuum retention lifecycle,
+    # VERDICT r11 #6) — same semantics, changed text, re-prove.
+    "a22_versioned_snapshot": 12,
 }
 
 # Convenience view: every query with any first-party driver evidence.

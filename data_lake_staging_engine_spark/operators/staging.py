@@ -711,36 +711,20 @@ def a22_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The query publishes v1 (first half of the month) then v2 (full
     month), reads v1 BACK through the manifest, and the oracle proves
-    the old snapshot is intact after the v2 publish."""
-    import json
+    the old snapshot is intact after the v2 publish.  Round 12
+    promoted the inline manifest machinery to the reusable
+    ``versioning.VersionedTable`` (which adds the ``vacuum`` retention
+    lifecycle — tests/test_versioning.py); this query now drives that
+    surface."""
+    from data_lake_staging_engine_spark.versioning import VersionedTable
 
-    root = _tmpdir("versioned")
-    manifest = os.path.join(root, "manifest.json")
+    table = VersionedTable(_tmpdir("versioned"))
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
 
-    def publish(df: DataFrame, version: int) -> None:
-        vdir = os.path.join(root, f"v{version}")
-        df.write.mode("overwrite").parquet(vdir)
-        entry = {"version": version, "path": vdir}
-        versions = []
-        if os.path.exists(manifest):
-            versions = json.load(open(manifest))["versions"]
-        versions.append(entry)
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"latest": version, "versions": versions}, f)
-        os.replace(tmp, manifest)  # atomic pointer flip
-
-    def read_version(version: int | None = None) -> DataFrame:
-        meta = json.load(open(manifest))
-        version = meta["latest"] if version is None else version
-        path = next(v["path"] for v in meta["versions"] if v["version"] == version)
-        return spark.read.parquet(path)
-
-    publish(e.filter(F.dayofmonth("ts") <= 15), 1)
-    publish(e, 2)
-    assert read_version().count() == e.count()  # latest == v2
-    return read_version(1).select("event_id", "user_id", "value")
+    assert table.publish(e.filter(F.dayofmonth("ts") <= 15)) == 1
+    assert table.publish(e) == 2
+    assert table.read(spark).count() == e.count()  # latest == v2
+    return table.read(spark, 1).select("event_id", "user_id", "value")
 
 
 # ---------------------------------------------------------------------------

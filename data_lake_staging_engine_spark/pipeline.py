@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import shutil
 import warnings
 from collections.abc import Callable
@@ -42,12 +41,7 @@ from data_lake_staging_engine_spark.operators.staging import (
 from data_lake_staging_engine_spark.registry import registry
 from data_lake_staging_engine_spark.session import DEFAULT_SF_DIR, get_spark, tune_session
 from data_lake_staging_engine_spark.sources import TABLES, load, register_views
-
-
-#: URI-schemed path (s3a://, hdfs://, file://, ...) — the compaction /
-#: recovery helpers below use local-POSIX primitives (os.listdir,
-#: os.rename, shutil.rmtree) that silently misbehave or raise on these.
-_URI_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+from data_lake_staging_engine_spark.versioning import _URI_SCHEME
 
 
 class StagingPipeline:

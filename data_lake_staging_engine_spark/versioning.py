@@ -1,0 +1,150 @@
+"""Snapshot-versioned staging layout (time travel lite) + retention.
+
+``VersionedTable`` is the manifest-over-plain-Parquet isolation idea
+the a22 query demonstrates (SURVEY.md §2.A), promoted to a reusable
+surface with the lifecycle piece the round-11 review flagged as
+missing: immutable version dirs accumulate unboundedly without a
+``vacuum``.
+
+Design (same discipline as the table formats it miniaturizes):
+
+- Each ``publish`` writes an IMMUTABLE ``v<N>`` directory, then flips
+  the manifest pointer atomically (``os.replace``).  Readers resolve
+  every access through the manifest, so an in-progress publish can
+  never be half-read and old versions stay queryable.
+- ``vacuum(keep_last=N)`` prunes old versions MANIFEST-FIRST: the
+  pruned manifest is flipped in atomically BEFORE any directory is
+  deleted.  A crash mid-vacuum therefore leaves only orphan dirs no
+  manifest entry points to — invisible to readers, re-collected by the
+  next vacuum (which sweeps unreferenced ``v*`` dirs) — never a
+  manifest entry whose data is gone.
+- Concurrent-reader safety is the same contract as Delta/Iceberg
+  VACUUM: a reader that RESOLVED a version before the vacuum may still
+  be scanning its files when they are deleted.  Retention must exceed
+  the longest running query (``keep_last`` of a publish cadence is the
+  knob); the current and previous versions are always retained
+  (``keep_last`` is floored at 1, and ``latest`` is always kept).
+
+Local-filesystem only, like the pipeline's ``compact_staged`` — the
+manifest flip relies on POSIX ``os.replace`` atomicity and the sweep on
+``os.listdir``.  On object stores use a transactional table format;
+this module is the single-node/dev/NFS shape of that idea.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import warnings
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: URI-schemed path (s3a://, hdfs://, file://, ...) — the manifest /
+#: compaction / recovery helpers in this package use local-POSIX
+#: primitives (os.replace, os.rename, os.listdir) that silently
+#: misbehave or raise on these.  Shared with pipeline.compact_staged.
+_URI_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+
+_VDIR = re.compile(r"^v(\d+)$")
+
+
+class VersionedTable:
+    """Manifest-pointer versioned parquet table rooted at ``root``."""
+
+    def __init__(self, root: str) -> None:
+        if _URI_SCHEME.match(root):
+            raise NotImplementedError(
+                f"VersionedTable requires a local filesystem root "
+                f"(atomic os.replace manifest flip); got {root!r}.  On "
+                "cluster storage use a transactional table format."
+            )
+        self.root = root
+        self.manifest = os.path.join(root, "manifest.json")
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    def _meta(self) -> dict:
+        if not os.path.exists(self.manifest):
+            return {"latest": None, "versions": []}
+        with open(self.manifest) as f:
+            return json.load(f)
+
+    def _flip(self, meta: dict) -> None:
+        tmp = self.manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, self.manifest)  # atomic pointer flip
+
+    def versions(self) -> list[int]:
+        return [v["version"] for v in self._meta()["versions"]]
+
+    def latest(self) -> int | None:
+        return self._meta()["latest"]
+
+    # -- publish / read ---------------------------------------------------
+    def publish(self, df: DataFrame) -> int:
+        """Write the next version directory, then flip the pointer.
+        The data write completes before the manifest references it, so
+        a crash mid-write leaves an orphan dir (swept by vacuum), never
+        a readable half-version."""
+        meta = self._meta()
+        version = (meta["latest"] or 0) + 1
+        vdir = os.path.join(self.root, f"v{version}")
+        df.write.mode("overwrite").parquet(vdir)
+        meta["versions"].append({"version": version, "path": vdir})
+        meta["latest"] = version
+        self._flip(meta)
+        return version
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        meta = self._meta()
+        version = meta["latest"] if version is None else version
+        for v in meta["versions"]:
+            if v["version"] == version:
+                return spark.read.parquet(v["path"])
+        raise ValueError(
+            f"version {version} not in manifest (retained: "
+            f"{[v['version'] for v in meta['versions']]}) — it may have "
+            "been vacuumed"
+        )
+
+    # -- retention --------------------------------------------------------
+    def vacuum(self, keep_last: int) -> list[int]:
+        """Drop all but the newest ``keep_last`` versions; returns the
+        pruned version numbers.
+
+        Manifest-first: readers resolving AFTER the flip can no longer
+        reach a pruned version, so the directory deletes that follow
+        (and any orphan ``v*`` dirs from earlier crashes) are invisible
+        to them.  A reader that resolved BEFORE the flip races the
+        delete — size ``keep_last`` so retention exceeds the longest
+        query, exactly the Delta/Iceberg VACUUM contract.
+        """
+        keep_last = max(1, int(keep_last))
+        meta = self._meta()
+        if meta["latest"] is None:
+            return []
+        keep = meta["versions"][-keep_last:]
+        pruned = meta["versions"][:-keep_last]
+        if pruned:
+            self._flip({"latest": meta["latest"], "versions": keep})
+        kept_dirs = {os.path.basename(v["path"]) for v in keep}
+        dropped: list[int] = [v["version"] for v in pruned]
+        # Sweep everything unreferenced: just-pruned dirs plus orphans
+        # from crashed publishes/vacuums.
+        for name in sorted(os.listdir(self.root)):
+            m = _VDIR.match(name)
+            if m and name not in kept_dirs:
+                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                v = int(m.group(1))
+                if v not in dropped and v not in {
+                    entry["version"] for entry in keep
+                }:
+                    warnings.warn(
+                        f"vacuum swept orphan version dir {name!r} "
+                        "(crashed publish or interrupted vacuum)",
+                        stacklevel=2,
+                    )
+        return dropped

@@ -38,6 +38,9 @@ CHANGED_BAND: set[str] = {
     # guard, and active-stream compaction guard (ADVICE r11); a13
     # drives the pipeline end-to-end.
     "a13_stream_ingest_foreachbatch",
+    # refactored onto versioning.VersionedTable (vacuum lifecycle,
+    # VERDICT r11 #6)
+    "a22_versioned_snapshot",
 }
 
 # Registered only when google.protobuf is available; never-verified by
