@@ -432,3 +432,82 @@ def validate_ingest(
         superseded=superseded,
         enabled=tuple(enabled),
     )
+
+
+# --------------------------------------------------------------------------
+# Per-table DEFAULT domain policy (VERDICT r11 #5): the recommended
+# validate_ingest kwargs for each fixture-domain landing table, so the
+# measure-domain contract is reachable from the default pipeline
+# config — ``StagingPipeline(..., contracts=default_contracts("events"),
+# rejects_dir=...)`` — instead of every deployment hand-assembling the
+# kwargs (and, round-11's lesson, forgetting the magnitude bound until
+# a finite 1e300 kills the decimal money cast 29 queries downstream).
+#
+# Bounds rationale:
+# - money/measure columns feed DECIMAL(18,2) sums => 1e12 leaves six
+#   orders of magnitude of SUM headroom below the 1e16 integral-digit
+#   ceiling (the round-11 numeric-hostile remediation bound);
+# - embedding components are unit-scale by construction => 1e6 is
+#   generous for any normalized or quantized vector while still
+#   rejecting the overflow-scale garbage that breaks distance math;
+# - event time uses the module validity window (EVENT_TIME_VALID_*)
+#   where the table's domain matches it (events); orders carries its
+#   own TPC-H-era window — a per-table policy exists precisely so the
+#   window is the TABLE's domain, not one global constant;
+# - join keys listed are the ones downstream window-emulated joins
+#   group by (NULLs would co-partition and self-match, contract 3).
+#
+# Identity keep-latest normalization is deliberately NOT in the
+# defaults: it is per-micro-batch at the checkpoint (one batch at a
+# time), so it only equals the global rule when redeliveries of a key
+# land in one batch — deployments opt in per-table with their recency
+# order (see tests/test_contracts_pipeline_e2e.py identities case).
+DOMAIN_POLICIES: dict[str, dict] = {
+    "events": {
+        "finite_measures": ("value",),
+        "measure_max_abs": 1e12,
+        "event_time_col": "ts",
+        "join_keys": ("user_id",),
+    },
+    "embeddings": {
+        "finite_vectors": ("embedding",),
+        "vector_max_abs": 1e6,
+    },
+    "lineitem": {
+        "finite_measures": (
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+        ),
+        "measure_max_abs": 1e12,
+        "join_keys": ("l_orderkey", "l_partkey", "l_suppkey"),
+    },
+    "orders": {
+        "finite_measures": ("o_totalprice",),
+        "measure_max_abs": 1e12,
+        "event_time_col": "o_orderdate",
+        # Order dates span the fixture's 1995-01 .. 2001-08 (TPC-H-ish
+        # synthetic; stock TPC-H is 1992-07 .. 1998-08) — the module
+        # default window starts at 2000 and would reject most of the
+        # table, so the policy carries the order-domain window.
+        "valid_lo": "1992-01-01 00:00:00",
+        "valid_hi": "2005-01-01 00:00:00",
+        "join_keys": ("o_custkey",),
+    },
+}
+
+
+def default_contracts(table: str) -> dict:
+    """A fresh copy of the table's default domain policy, ready to pass
+    as ``StagingPipeline(contracts=...)`` or ``validate_ingest(**...)``.
+    Raises KeyError (with the known tables) for an unlisted table —
+    silently returning ``{}`` would be the no-contract no-op this
+    module exists to prevent."""
+    if table not in DOMAIN_POLICIES:
+        raise KeyError(
+            f"no default domain policy for table {table!r}; known: "
+            f"{sorted(DOMAIN_POLICIES)} — pass explicit validate_ingest "
+            "kwargs for other tables"
+        )
+    return {k: v for k, v in DOMAIN_POLICIES[table].items()}

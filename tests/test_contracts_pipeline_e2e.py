@@ -289,6 +289,94 @@ def test_magnitudes_mode_through_pipeline(spark, tmp_path):
     )
 
 
+def test_default_domain_policy_through_pipeline(spark, tmp_path):
+    """The measure-domain contract reachable from the DEFAULT pipeline
+    config (VERDICT r11 #5): ``contracts=default_contracts("events")``
+    — no hand-assembled kwargs — drives the numeric-hostile corpus
+    through the a13 pipeline shape.  Asserts the rejected rows LAND in
+    the audit sink under their reason directories (not just that the
+    observe() metrics counted them), that the sink rows carry the
+    poisoned values, and that the money sentinel runs hash-green on
+    the gated output."""
+    from data_lake_staging_engine_spark.contracts import default_contracts
+
+    corpus = str(tmp_path / "corpus")
+    build(corpus, _SRC, numeric_hostile=True)
+    e = spark.read.parquet(f"{corpus}/events.parquet")
+
+    # Independent expected counts, mirroring the check order (each
+    # check sees the previous check's clean rows).  The numeric mode
+    # rewrites only measure VALUES, so the time/key contracts should
+    # reject nothing — asserted, not assumed.
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    nf, oot, nk = con.execute(
+        f"""
+        WITH src AS (FROM read_parquet('{corpus}/events.parquet')),
+        m AS (SELECT *, coalesce(isnan(value) OR abs(value) > 1e12, FALSE)
+                        AS bad_m FROM src),
+        t AS (SELECT *, NOT coalesce(
+                  ts >= TIMESTAMP '2000-01-01' AND ts < TIMESTAMP '2100-01-01',
+                  FALSE) AS bad_t FROM m WHERE NOT bad_m)
+        SELECT (SELECT count(*) FROM m WHERE bad_m),
+               (SELECT count(*) FROM t WHERE bad_t),
+               (SELECT count(*) FROM t WHERE NOT bad_t AND user_id IS NULL)
+        """
+    ).fetchone()
+    con.close()
+    assert nf > 0 and oot == 0 and nk == 0
+
+    policy = default_contracts("events")
+    assert policy["measure_max_abs"] == 1e12
+    pipe, staged = _drive(spark, e, tmp_path, policy)
+    assert _metric_totals(pipe) == {
+        "nonfinite": nf, "out_of_time": 0, "null_keys": 0
+    }
+    assert staged.count() == e.count() - nf
+
+    # The audit sink itself: rejected rows land under <reason>/ with
+    # the _batch_id partition, values are the poisoned ones, and
+    # rejects + staged partition the corpus exactly.
+    sunk = spark.read.parquet(str(tmp_path / "rejects" / "nonfinite"))
+    assert sunk.count() == nf
+    assert "_batch_id" in sunk.columns
+    assert (
+        sunk.filter(
+            F.isnan("value") | (F.abs("value") > 1e12)
+        ).count()
+        == nf
+    )
+    assert (
+        staged.select("event_id")
+        .intersect(sunk.select("event_id"))
+        .count()
+        == 0
+    )
+
+    d = _downstream_dir(spark, staged, tmp_path, corpus_dir=corpus)
+    _compare_downstream(spark, d, ["c03_win_running_sum"])
+
+
+def test_default_policies_are_clean_on_vanilla_fixtures(spark):
+    """The default domain policies must be usable as defaults: on the
+    un-poisoned fixtures they reject NOTHING (events, orders,
+    embeddings), and an unlisted table raises instead of silently
+    meaning 'no contract'."""
+    from data_lake_staging_engine_spark.contracts import (
+        default_contracts,
+        validate_ingest,
+    )
+
+    for table in ("events", "orders", "embeddings"):
+        df = spark.read.parquet(f"{_SRC}/{table}.parquet")
+        rep = validate_ingest(df, **default_contracts(table))
+        rejects = {k: v.count() for k, v in rep.rejects().items()}
+        assert rep.clean.count() == df.count(), (table, rejects)
+        assert all(v == 0 for v in rejects.values()), (table, rejects)
+    with pytest.raises(KeyError, match="documents"):
+        default_contracts("documents")
+
+
 def test_vectors_mode_through_pipeline(spark, tmp_path):
     """Finite-VECTOR contract (the round-10 extension) through the
     pipeline: NaN/Inf embedding components are counted and quarantined
