@@ -168,6 +168,19 @@ CHANGED_IN: dict[str, int] = {
     # versioning.VersionedTable (adds the vacuum retention lifecycle,
     # VERDICT r11 #6) — same semantics, changed text, re-prove.
     "a22_versioned_snapshot": 12,
+    # _g02_bitmask rebuilt after the 10x scaling study (VERDICT r11
+    # #2): distinct-mask all-pairs (quadratic in distinct sets; 78 s /
+    # OOM at the sf1 replica) replaced by a rep-count runtime pick —
+    # small universes keep the broadcast all-pairs loop, large ones
+    # take prefix-filtered candidates; _BITMAP_MAX_VOCAB 1024 -> 4096.
+    # Same exact semantics (tests/test_strategies.py pins equality),
+    # changed plan text for every _jaccard_pairs consumer — re-prove.
+    "g02_dedup_near": 12,
+    "g02d_dedup_ngram": 12,
+    "g12_contamination": 12,
+    "g21_dedup_agreement": 12,
+    "g26_dedup_clusters": 12,
+    "g30_dedup_incremental": 12,
 }
 
 # Convenience view: every query with any first-party driver evidence.

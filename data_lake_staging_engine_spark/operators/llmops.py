@@ -9,11 +9,13 @@ multimodal column plumbing, and an iterative k-means representative.
 Scale design notes:
 - Exact dedup: hash-groupBy — one shuffle on the digest; digests are
   uniform so no skew.
-- Exact near-dup (`_jaccard_pairs`): runtime strategy pick — small
-  universes (vocab <= 1024) pack token sets into multi-word bitmaps
-  and do popcount Jaccard over DISTINCT bitmaps (pure codegen, no
-  quadratic token shuffle); open universes use the AllPairs-style
-  prefix-filtered join (candidates only from rare-token collisions).
+- Exact near-dup (`_jaccard_pairs`): runtime strategy pick — small/
+  saturated universes (vocab <= 4096) pack token sets into multi-word
+  bitmaps, generate candidates with a prefix-filtered equi-join over
+  one representative per DISTINCT set, and verify with popcount
+  Jaccard (pure codegen, linear in corpus growth — round-12 scaling
+  study); open universes use the AllPairs-style prefix-filtered token
+  join (candidates only from rare-token collisions).
   The approximate 100 TB path is MinHash banding (g02b), whose
   candidates are ALSO verified via the bitmap packing.
 - Similarity: brute-force cosine is O(Q*N) with Q broadcast and norms
@@ -218,7 +220,7 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact token-set Jaccard >= 0.8.
 
     Exact correctness anchor for g02b's MinHash-LSH. Routed through
-    ``_jaccard_pairs``: small universes (vocab <= 1024) take the
+    ``_jaccard_pairs``: small universes (vocab <= 4096) take the
     multi-word bitmap strategy (popcount arithmetic over distinct
     bitmaps, pure codegen), open universes take the prefix-filtered
     token join. Both paths compute shared/union on exact ints then one
@@ -228,10 +230,28 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
 
 
-# Universe-size cutoff for the bitmap strategy: above this, bitmaps get
-# wide and the distinct-bitmap cross join stops paying for itself —
-# fall back to the prefix-filtered token join.
-_BITMAP_MAX_VOCAB = 1024
+# Universe-size cutoff for the bitmap strategy: above this the packed
+# masks get wide (64 longs = 512 B/doc at 4096) and the per-candidate
+# popcount verify stops paying for itself — fall back to the
+# prefix-filtered token join.  4096 (round 12, up from 1024) keeps
+# (see also _ALLPAIRS_MAX_REPS below for the within-bitmap-path pick)
+# SATURATED dense universes — e.g. char-3-gram corpora, whose gram
+# vocabulary stops growing long before the corpus does — on the bitmap
+# path at any corpus size; the token-join path is then only ever
+# selected for genuinely OPEN vocabularies, which are Zipfian in
+# practice and exactly where prefix filtering is effective (a dense
+# universe defeats the prefix filter: every token is frequent, so the
+# 10x scaling study's replicated corpus OOMed the token join in its
+# candidate aggregate — BASELINE.md r12).
+_BITMAP_MAX_VOCAB = 4096
+
+# Within the bitmap path: up to this many DISTINCT token sets, verify
+# by the brute all-pairs popcount theta-join (one tight broadcast-NLJ
+# codegen loop, <= 67M comparisons, no shuffle — measured 2.6 s at
+# sf0.1's 3,935 sets); above it, prefix-filtered candidates (linear in
+# corpus growth; the all-pairs form is quadratic in distinct sets and
+# hit 78 s at the 10x study's 39,350 — BASELINE.md r12).
+_ALLPAIRS_MAX_REPS = 8192
 
 
 # fraction of documents fed to the strategy-probe sketch: keep docs
@@ -331,7 +351,7 @@ def _doc_bitmaps(
     full-stream distinct is not recomputed here): the guard below makes
     the single-partition ``row_number`` token-id assignment provably
     bounded (<= _BITMAP_MAX_VOCAB rows through one task) and caps the
-    plan at ceil(1024/64) = 16 bitmap columns."""
+    plan at ceil(4096/64) = 64 bitmap columns."""
     if vocab_n > _BITMAP_MAX_VOCAB:
         raise ValueError(
             f"bitmap strategy requires vocab <= {_BITMAP_MAX_VOCAB}, got {vocab_n}; "
@@ -373,70 +393,218 @@ def _g02_bitmask(
     Each doc's token set becomes ceil(vocab/64) long columns
     (``bit_or(1 << (tok_id % 64))`` per word); Jaccard is
     ``sum_w bit_count(a_w & b_w) / sum_w bit_count(a_w | b_w)`` — exact
-    integer arithmetic in pure whole-stage-codegen expressions (no
-    interpreted higher-order functions). All-pairs runs over *distinct*
-    bitmaps only (bounded by min(2^vocab, #docs); ~4k at sf0.1 against
-    a ~500M-row token self-join), broadcast one side; qualifying bitmap
-    pairs are then expanded back to doc pairs by two joins. The 3-gram
-    shingle corpus (vocab ~400 => 7 words) went 362s -> ~4s at sf0.1
-    with identical output.
+    integer arithmetic in pure whole-stage-codegen expressions.
 
-    The mask table is STAGED once (eager localCheckpoint) before its
-    three uses (distinct-bitmap pair stage + both expansion sides):
-    masks are 8+8*ceil(vocab/64) bytes per doc vs ~KB of raw text, a
-    >40x reduction, so staging them to executor storage replaces three
-    recomputations of the tokenize+aggregate pipeline — the signature
-    staging write a production dedup does anyway (measured: bitmask
-    stage 7.7 s -> 4.4 s at sf0.1)."""
+    Candidate generation is a PREFIX-FILTERED equi-join over one
+    REPRESENTATIVE per distinct mask, not an all-pairs theta-join over
+    the distinct masks.  The all-pairs form this replaces is quadratic
+    in the distinct-token-SET count, which grows LINEARLY under honest
+    corpus growth (new sub-corpora bring new vocabulary, hence new
+    sets) — the round-12 10x replicated-corpus study measured 2.6 s ->
+    78 s (30x on 10x data, 3,935 -> 39,350 distinct sets = 100x
+    comparisons).  Prefix filtering (AllPairs/PPJoin pigeonhole: a
+    J>=t pair must collide on each side's ``n - ceil(t*n) + 1``
+    globally-rarest tokens) makes cross-sub-corpus set pairs — which
+    share no token — never become candidates, restoring linear-in-
+    corpus growth (23.9M -> 239M candidates, exactly 10x, same study).
+    Within one dense sub-corpus the candidate count stays quadratic-ish
+    in that sub-corpus's distinct sets — a fixed property of the data,
+    not a scaling term.
+
+    Exactness: each distinct mask is identified by the MIN doc_id of
+    its docs (an exact, collision-free 8-byte identity — no hash-as-
+    identity risk); representative token-id sets are re-derived from
+    the mask BITS per row (no corpus rescan, no vocab-wide join);
+    candidates are verified with the exact popcount Jaccard; same-mask
+    doc pairs are emitted with jaccard 1.0 (identical token sets).
+    Equivalence to the naive token join is pinned by
+    tests/test_strategies.py.
+
+    The doc->representative table is STAGED once (eager
+    localCheckpoint) before its three uses (representative derivation +
+    both expansion sides): masks are 16+8*ceil(vocab/64) bytes per doc
+    vs ~KB of raw text, so staging replaces three recomputations of the
+    tokenize+aggregate pipeline."""
     masks, wcols = _doc_bitmaps(toks, vocab_n, vocab=vocab)
-    masks = masks.localCheckpoint(eager=True)
-    dm = masks.select(*wcols).distinct()
-    m1, m2 = dm.alias("m1"), dm.alias("m2")
+    d2r = masks.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy(*wcols))
+    ).localCheckpoint(eager=True)
+    popcnt = sum((F.bit_count(F.col(c)) for c in wcols), F.lit(0))
+    reps = d2r.filter(F.col("doc_id") == F.col("rep")).withColumn("n", popcnt)
+
     shared = sum(
         (
-            F.bit_count(F.col(f"m1.{c}").bitwiseAND(F.col(f"m2.{c}")))
+            F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
             for c in wcols
         ),
         F.lit(0),
     )
     union = sum(
         (
-            F.bit_count(F.col(f"m1.{c}").bitwiseOR(F.col(f"m2.{c}")))
+            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
             for c in wcols
         ),
         F.lit(0),
     )
-    # Ordered mask pairs (both directions + self-pairs): a qualifying doc
-    # pair (d1 < d2) then matches exactly one ordered mask pair.  The
-    # expansion joins key on ONE packed struct, NOT one equality per
-    # word column: Catalyst's constraint propagation is exponential in
-    # the number of conjunct equalities across a join (k word-column
-    # equalities on both expansion sides OOMed the DRIVER during
-    # analysis at k=12 — vocab 710, round-10 text-hostile corpus —
-    # while k=7 fixture plans survived; a plan-ANALYSIS cost that
-    # scales with data vocabulary is a 100 TB killer).  A single
-    # struct equality carries one constraint; the struct is a zero-cost
-    # projection and the join stays a broadcast hash join on the packed
-    # key.  Pinned by tests/test_text_hostile.py.
-    mask_pairs = m1.join(
-        F.broadcast(m2), shared * F.lit(1.0) / union >= threshold
-    ).select(
-        F.struct(*[F.col(f"m1.{c}").alias(c) for c in wcols]).alias("a_key"),
-        F.struct(*[F.col(f"m2.{c}").alias(c) for c in wcols]).alias("b_key"),
-        duck_round(shared * F.lit(1.0) / union, 6).alias("jaccard"),
+    jac = shared * F.lit(1.0) / union
+    rm_a = reps.select(
+        F.col("rep").alias("r1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
     )
-    a = masks.select(
-        F.col("doc_id").alias("d1"), F.struct(*wcols).alias("a_key")
+    rm_b = reps.select(
+        F.col("rep").alias("r2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
     )
-    b = masks.select(
-        F.col("doc_id").alias("d2"), F.struct(*wcols).alias("b_key")
+
+    # One-scalar plan constant off the checkpointed frame (the same
+    # driver-side-count precedent as the vocab/anchor/idf constants).
+    n_reps = reps.count()
+    if n_reps <= _ALLPAIRS_MAX_REPS:
+        # Small distinct-set universe: brute all-pairs popcount verify
+        # in one broadcast-NLJ codegen loop — no candidate machinery,
+        # no shuffle; at most _ALLPAIRS_MAX_REPS^2/2 comparisons.
+        qual = rm_a.join(
+            F.broadcast(rm_b),
+            (F.col("r1") < F.col("r2")) & (jac >= threshold),
+        ).select("r1", "r2", duck_round(jac, 6).alias("jaccard"))
+    else:
+        # Large universe: prefix-filtered candidates.  (rep, tok_id)
+        # membership is enumerated from the mask bits — per-row
+        # codegen+HOF work linear in set size, no second corpus scan.
+        ids_exprs = ", ".join(
+            f"transform(filter(sequence(0, 63), "
+            f"b -> (shiftright({c}, b) & 1) = 1), b -> b + {wi * 64})"
+            for wi, c in enumerate(wcols)
+        )
+        mem = reps.select(
+            "rep",
+            "n",
+            F.explode(F.expr(f"flatten(array({ids_exprs}))")).alias("tok_id"),
+        )
+
+        # Global token order: ascending document frequency over DISTINCT
+        # sets, tok_id tiebreak (any total order is sound; rare-first
+        # minimizes collisions).  The 1e-9 guard keeps float ceil from
+        # rounding an exact t*n UP (0.8*5 = 4.0000000000000002 -> ceil 5
+        # would SHORTEN the prefix and silently drop pairs); threshold
+        # granularity is >> 1e-9, and a too-LONG prefix is always sound.
+        df_ = mem.groupBy("tok_id").agg(F.count(F.lit(1)).alias("df"))
+        ranked = mem.join(df_, "tok_id").withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("rep").orderBy("df", "tok_id")
+            ),
+        )
+        prefix_len = (
+            F.col("n")
+            - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+            + 1
+        )
+        pref = ranked.filter(F.col("rnk") <= prefix_len).select(
+            "rep", "n", "rnk", "tok_id"
+        )
+        p1 = pref.select(
+            F.col("rep").alias("r1"),
+            F.col("n").alias("n1"),
+            F.col("rnk").alias("i1"),
+            "tok_id",
+        ).alias("p1")
+        p2 = pref.select(
+            F.col("rep").alias("r2"),
+            F.col("n").alias("n2"),
+            F.col("rnk").alias("i2"),
+            "tok_id",
+        ).alias("p2")
+        # PPJoin length filter: J >= t forces t*|B| <= |A| <= |B|/t, so
+        # size-incompatible collisions are dropped inside the join
+        # (same 1e-9 float-ceil guard as the prefix length).
+        size_ok = F.least("n1", "n2") >= (
+            F.lit(threshold) * F.greatest("n1", "n2") - F.lit(1e-9)
+        )
+        # PPJoin POSITIONAL filter: a collision at prefix positions
+        # (i1, i2) can still reach the required overlap alpha =
+        # ceil(t/(1+t)*(n1+n2)) only if 1 + min(n1-i1, n2-i2) >= alpha
+        # — true near-dups must collide EARLY in the frequency order.
+        # On the dense-universe shape this kills most of the duplicate
+        # collisions (a pair sharing k prefix tokens otherwise flows
+        # through the verify k times: 1.84G collision rows vs ~124M
+        # viable pairs on the 10x study's gram corpus).
+        alpha = F.lit(threshold / (1.0 + threshold)) * (
+            F.col("n1") + F.col("n2")
+        ) - F.lit(1e-9)
+        pos_ok = (
+            F.least(F.col("n1") - F.col("i1"), F.col("n2") - F.col("i2"))
+            + 1
+        ) >= alpha
+        # NO pre-verify distinct: surviving collisions flow through the
+        # (map-side, see the broadcast note below) popcount verify once
+        # per survivor instead of paying a candidate-stream-sized
+        # shuffle — the dedup happens on the far smaller QUALIFIED
+        # output.  Measured at sf0.1: candidate distinct 14.2 s ->
+        # verify-then-distinct 6.6 s.
+        cands = (
+            p1.join(p2, F.col("p1.tok_id") == F.col("p2.tok_id"))
+            .filter((F.col("r1") < F.col("r2")) & size_ok & pos_ok)
+            .select("r1", "r2")
+        )
+        # The surviving collision stream inherits the join's tok_id
+        # partitioning, so one hot token's collision block (up to
+        # df^2/2 rows) lands in ONE task.  When masks are WIDE the
+        # per-collision popcount verify is the dominant cost and that
+        # imbalance is a straggler cliff — a round-robin rebalance took
+        # the 10x study's gram corpus (30 words) from 1280 s to 513 s.
+        # When masks are NARROW the verify is cheap and the O(
+        # collisions) exchange itself dominates — the same rebalance
+        # took the word corpus (5 words) from 28 s to 85 s.  Rebalance
+        # only when the verify is wide enough to pay for it.
+        if len(wcols) >= 16:
+            cands = cands.repartition(
+                int(
+                    toks.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    )
+                )
+            )
+        # The rep tables are n_reps x (16 + 8*words) bytes — tiny next
+        # to the candidate stream, but right at Spark's 10 MB default
+        # broadcast threshold at the 10x-study scale, where missing the
+        # broadcast turns the verify into a sort-merge join that SORTS
+        # the full candidate stream (measured: g02d's sf1 verify ran
+        # 20+ min as SMJ).  Hint the broadcast explicitly while the
+        # table is provably small; past ~200 MB let AQE pick (a shuffle
+        # join is then genuinely required).
+        rep_bytes = n_reps * (16 + 8 * len(wcols))
+        if rep_bytes <= 200 * 1024 * 1024:
+            rm_a, rm_b = F.broadcast(rm_a), F.broadcast(rm_b)
+        qual = (
+            cands.join(rm_a, "r1")
+            .join(rm_b, "r2")
+            .filter(jac >= threshold)
+            .select("r1", "r2", duck_round(jac, 6).alias("jaccard"))
+            .distinct()
+        )
+
+    # Expand qualifying representative pairs to doc pairs; reps are
+    # distinct masks, so the two doc groups are disjoint and
+    # least/greatest yields d1 < d2 directly.
+    e1 = d2r.select(F.col("rep").alias("r1"), F.col("doc_id").alias("da"))
+    e2 = d2r.select(F.col("rep").alias("r2"), F.col("doc_id").alias("db"))
+    cross = (
+        qual.join(e1, "r1")
+        .join(e2, "r2")
+        .select(
+            F.least("da", "db").alias("d1"),
+            F.greatest("da", "db").alias("d2"),
+            "jaccard",
+        )
     )
-    return (
-        a.join(F.broadcast(mask_pairs), "a_key")
-        .join(b, "b_key")
+    # Docs sharing one mask have IDENTICAL token sets: jaccard 1.0.
+    g1 = d2r.select("rep", F.col("doc_id").alias("d1")).alias("g1")
+    g2 = d2r.select("rep", F.col("doc_id").alias("d2")).alias("g2")
+    same = (
+        g1.join(g2, F.col("g1.rep") == F.col("g2.rep"))
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "jaccard")
+        .select("d1", "d2", duck_round(F.lit(1.0), 6).alias("jaccard"))
     )
+    return cross.unionByName(same)
 
 
 def _g02_token_join(toks: DataFrame, threshold: float = 0.8) -> DataFrame:

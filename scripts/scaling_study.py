@@ -89,7 +89,28 @@ def main() -> None:
 
     ap.add_argument("--reps", type=_positive_int, default=2)
     ap.add_argument("--queries", type=str, default="")
+    ap.add_argument(
+        "--sf-dirs",
+        type=str,
+        default="",
+        help=(
+            "comma-separated label=path overrides for the SF ladder, "
+            "smallest first (e.g. sf0.1=/root/testdata/sf0.1,"
+            "sf1=/tmp/sf1_replica built by make_replicated_copy.py); "
+            "the ratio column is last-dir / second-to-last-dir"
+        ),
+    )
     args = ap.parse_args()
+    sf_dirs = SF_DIRS
+    if args.sf_dirs:
+        sf_dirs = []
+        for spec in args.sf_dirs.split(","):
+            label, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--sf-dirs entry {spec!r} is not label=path")
+            sf_dirs.append((label.strip(), path.strip()))
+        if len(sf_dirs) < 2:
+            raise SystemExit("--sf-dirs needs at least two dirs for a ratio")
     names = (
         [q.strip() for q in args.queries.split(",") if q.strip()]
         if args.queries
@@ -108,14 +129,14 @@ def main() -> None:
     # does, so the smallest SF's numbers aren't startup-polluted.
     from data_lake_staging_engine_spark.streaming.runner import landing_copy
 
-    materialize(reg["b20_agg_groupby"].fn(spark, SF_DIRS[0][1]))
-    landing_copy(spark, SF_DIRS[0][1], "events")
-    reg["e01_stream_tumbling"].fn(spark, SF_DIRS[0][1]).count()
+    materialize(reg["b20_agg_groupby"].fn(spark, sf_dirs[0][1]))
+    landing_copy(spark, sf_dirs[0][1], "events")
+    reg["e01_stream_tumbling"].fn(spark, sf_dirs[0][1]).count()
 
     results: dict[str, dict[str, float]] = {}
     for name in names:
         results[name] = {}
-        for sf_label, sf_dir in SF_DIRS:
+        for sf_label, sf_dir in sf_dirs:
             best = None
             for _ in range(args.reps):
                 t0 = time.perf_counter()
@@ -125,23 +146,21 @@ def main() -> None:
             results[name][sf_label] = round(best, 3)
             print(f"  {name} {sf_label}: {best:.3f}s", file=sys.stderr)
 
+    lo_label, hi_label = sf_dirs[-2][0], sf_dirs[-1][0]
     table = []
     for name in names:
         r = results[name]
-        ratio = round(r["sf0.1"] / r["sf0.01"], 2) if r["sf0.01"] > 0 else None
-        table.append((name, r["sf0.001"], r["sf0.01"], r["sf0.1"], ratio))
-    print(
-        f"\n{'query':32s} {'sf0.001':>8s} {'sf0.01':>8s} {'sf0.1':>8s} "
-        f"{'x10 ratio':>9s}",
-        file=sys.stderr,
-    )
-    for name, a, b, c, ratio in table:
-        flag = "  <-- SUPERLINEAR" if ratio is not None and ratio > 13 else ""
-        ratio_s = f"{ratio:9.2f}" if ratio is not None else f"{'n/a':>9s}"
-        print(
-            f"{name:32s} {a:8.3f} {b:8.3f} {c:8.3f} {ratio_s}{flag}",
-            file=sys.stderr,
+        ratio = (
+            round(r[hi_label] / r[lo_label], 2) if r[lo_label] > 0 else None
         )
+        table.append((name, [r[lbl] for lbl, _ in sf_dirs], ratio))
+    header = "".join(f"{lbl:>9s}" for lbl, _ in sf_dirs)
+    print(f"\n{'query':32s}{header} {'step ratio':>10s}", file=sys.stderr)
+    for name, cells, ratio in table:
+        flag = "  <-- SUPERLINEAR" if ratio is not None and ratio > 13 else ""
+        cells_s = "".join(f"{v:9.3f}" for v in cells)
+        ratio_s = f"{ratio:10.2f}" if ratio is not None else f"{'n/a':>10s}"
+        print(f"{name:32s}{cells_s} {ratio_s}{flag}", file=sys.stderr)
     print(json.dumps({"metric": "scaling_study", "reps": args.reps,
                       "results": results}))
 

@@ -41,6 +41,15 @@ CHANGED_BAND: set[str] = {
     # refactored onto versioning.VersionedTable (vacuum lifecycle,
     # VERDICT r11 #6)
     "a22_versioned_snapshot",
+    # _g02_bitmask rebuilt after the 10x scaling study (rep-count
+    # strategy pick; all-pairs -> prefix candidates at scale;
+    # _BITMAP_MAX_VOCAB 4096) — every _jaccard_pairs consumer
+    "g02_dedup_near",
+    "g02d_dedup_ngram",
+    "g12_contamination",
+    "g21_dedup_agreement",
+    "g26_dedup_clusters",
+    "g30_dedup_incremental",
 }
 
 # Registered only when google.protobuf is available; never-verified by

@@ -24,7 +24,7 @@ def _open_vocab_docs(spark):
     shared => jaccard 39/41 ~ 0.9512)."""
     rows = [
         (i, " ".join(f"t{j}" for j in range(25 * i, 25 * i + 40)))
-        for i in range(60)
+        for i in range(220)  # ~5.5k distinct tokens > the 4096 cutoff
     ]
     rows.append((9999, " ".join(["zzz"] + [f"t{j}" for j in range(1, 40)])))
     return spark.createDataFrame(rows, "doc_id long, text string")
@@ -58,6 +58,42 @@ def test_g02_multiword_bitmap_equals_token_join(spark, sf_dir):
     fast = {tuple(r) for r in _g02_bitmask(shingles, vocab_n, 0.8).collect()}
     slow = {tuple(r) for r in _g02_token_join(shingles, 0.8).collect()}
     assert fast == slow
+
+def test_bitmask_prefix_branch_equals_allpairs(spark, sf_dir, monkeypatch):
+    """The bitmap path's two candidate strategies are the same operator:
+    the prefix-filtered branch (large distinct-set universes; round-12
+    10x-study fix, incl. the PPJoin length+position filters) must emit
+    bit-identical pairs to the small-universe all-pairs branch.  The
+    fixture rep count is under _ALLPAIRS_MAX_REPS, so the prefix branch
+    is forced by zeroing the cutoff."""
+    import data_lake_staging_engine_spark.operators.llmops as llmops
+
+    for make in (_tokens, _fixture_shingles):
+        toks = make(load(spark, sf_dir, "documents"))
+        vocab_n = toks.select("tok").distinct().count()
+        base = {tuple(r) for r in _g02_bitmask(toks, vocab_n, 0.8).collect()}
+        monkeypatch.setattr(llmops, "_ALLPAIRS_MAX_REPS", 0)
+        pref = {
+            tuple(r)
+            for r in llmops._g02_bitmask(toks, vocab_n, 0.8).collect()
+        }
+        monkeypatch.undo()
+        assert pref == base, make.__name__
+        assert len(base) > 0
+
+
+def _fixture_shingles(d):
+    positions = F.when(
+        F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        d.select("doc_id", "text", F.explode(positions).alias("i"))
+        .select(
+            "doc_id", F.col("text").substr(F.col("i"), F.lit(3)).alias("tok")
+        )
+        .distinct()
+    )
+
 
 def test_open_vocab_probe_refuses_bitmap(spark):
     """An open vocabulary (> _BITMAP_MAX_VOCAB) must be rejected by the
