@@ -177,6 +177,11 @@ CHANGED_IN: dict[str, int] = {
     # changed plan text for every _jaccard_pairs consumer — re-prove.
     "g02_dedup_near": 12,
     "g02d_dedup_ngram": 12,
+    # g28's IVF codebook now scales nlist ~ sqrt(N) (fixed k=16 made
+    # bucket occupancy linear in corpus and the in-bucket exact-cosine
+    # self-join quadratic: 10.4 s -> 544 s on the 10x study; 31.7 s
+    # after).  Rows-only tier, re-prove the run.
+    "g28_semantic_dedup": 12,
     "g12_contamination": 12,
     "g21_dedup_agreement": 12,
     "g26_dedup_clusters": 12,

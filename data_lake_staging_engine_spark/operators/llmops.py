@@ -27,6 +27,7 @@ Scale design notes:
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -2746,7 +2747,14 @@ def g28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("ve"), lambda x: x / F.col("nrm")).alias("u"),
         )
     )
-    k = 16
+    # nlist ~ sqrt(N) (floor 16): the standard IVF sizing — with a
+    # FIXED codebook, bucket occupancy grows linearly with the corpus
+    # and the in-bucket exact-cosine stage goes quadratic (the round-12
+    # 10x study measured 10.4 s -> 544 s on 10x vectors at k=16; k ~
+    # sqrt(N) keeps sum(|bucket|^2) ~ N^1.5 / ... ~ linear-ish in N).
+    # One driver-side scalar off a one-scan lineage — the same plan-
+    # constant precedent as the vocab/anchor/idf counts.
+    k = max(16, math.isqrt(max(vn.count(), 1)))
     seeds = (
         vn.select(F.md5(F.col("vec_id").cast("string")).alias("dg"), "vec_id", "u")
         .orderBy("dg", "vec_id")

@@ -46,6 +46,8 @@ CHANGED_BAND: set[str] = {
     # _BITMAP_MAX_VOCAB 4096) — every _jaccard_pairs consumer
     "g02_dedup_near",
     "g02d_dedup_ngram",
+    # IVF codebook scales nlist ~ sqrt(N) (10x-study quadratic fix)
+    "g28_semantic_dedup",
     "g12_contamination",
     "g21_dedup_agreement",
     "g26_dedup_clusters",
