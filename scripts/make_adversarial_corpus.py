@@ -463,6 +463,87 @@ TRANSFORMS_NUMERIC = {
 }
 
 
+# ---------------------------------------------------------------------------
+# SKEW-HOSTILE corpus (round 12): the eighth hostile axis — KEY
+# DISTRIBUTION.  The default adversarial corpus plants ONE hot key
+# (80% on one user); real 100 TB key distributions are ZIPFIAN: the
+# rank-k key owns ~1/k of the rows, so there is a whole HEAD of hot
+# keys (straggler spread across partitions, not one splittable giant)
+# and a long tail of singletons.  Every grouping/join/window key is
+# remapped through the Zipf(1) inverse-CDF floor(pow(U+1, u)) - 1,
+# where u is a deterministic uniform from hash(row key) and U the
+# table's dense key domain — P(key = k) ~ 1/((k+1) ln(U+1)), rank-0
+# key owns ~ln(2)/ln(U+1) of all rows, reproducible byte-for-byte.
+#
+# documents get the TOKEN-frequency twin: a dominant token appended to
+# 70% of docs and a mid-frequency token to a further 20%.  This
+# attacks the open-vocabulary token-join branch of the near-dup family
+# — a high-document-frequency token placed in every candidate doc is
+# exactly the input that makes an unfiltered token self-join quadratic
+# (C(0.7N, 2) candidate pairs from one token); the prefix-filter is
+# the machinery that must absorb it.  n_chars stays consistent.
+#
+# Clocks, measures, text content (beyond the appended tokens), and
+# dims stay sane: this axis isolates DISTRIBUTION.
+# ---------------------------------------------------------------------------
+
+def _zipf(row_key: str, domain_sql: str) -> str:
+    """SQL for a Zipf(1) draw into [0, U-1] where U = ``domain_sql``
+    (the dense key-domain size), driven by a deterministic
+    hash-uniform of ``row_key`` — the ROW's identity, not the column
+    being remapped (hashing the remapped column itself would be a
+    relabeling of the original distribution: only as many distinct
+    uniforms as distinct input keys)."""
+    u = f"((hash({row_key}) % 1000000) / 1000000.0)"
+    return (
+        f"CAST(floor(pow(({domain_sql})::DOUBLE + 1.0, {u})) AS BIGINT) - 1"
+    )
+
+
+TRANSFORMS_SKEW_HOSTILE = {
+    "events": f"""
+        SELECT event_id, ts,
+          CASE WHEN user_id IS NULL THEN NULL
+               ELSE {_zipf('event_id', '(SELECT max(user_id) + 1 FROM src)')}
+          END AS user_id,
+          event_type, value, props
+        FROM src
+    """,
+    "orders": f"""
+        SELECT o_orderkey,
+          {_zipf('o_orderkey', '(SELECT max(o_custkey) + 1 FROM src)')}
+            AS o_custkey,
+          o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM src
+    """,
+    "lineitem": f"""
+        SELECT
+          {_zipf('l_orderkey * 31 + l_linenumber',
+                 '(SELECT max(l_orderkey) + 1 FROM src)')}
+            AS l_orderkey,
+          l_partkey, l_suppkey, l_linenumber, l_quantity,
+          l_extendedprice, l_discount, l_tax, l_returnflag,
+          l_linestatus, l_shipdate
+        FROM src
+    """,
+    "documents": """
+        WITH rewritten AS (
+          SELECT doc_id,
+            CASE
+              WHEN doc_id % 10 < 7 THEN text || ' zipfcommon'
+              WHEN doc_id % 10 < 9 THEN text || ' zipfmid'
+              ELSE text
+            END AS text,
+            lang, source
+          FROM src
+        )
+        SELECT doc_id, text, lang, source,
+               length(text)::BIGINT AS n_chars
+        FROM rewritten
+    """,
+}
+
+
 def build(
     out_dir: str,
     src_dir: str,
@@ -471,6 +552,7 @@ def build(
     null_keys: bool = False,
     text_hostile: bool = False,
     numeric_hostile: bool = False,
+    skew_hostile: bool = False,
 ) -> None:
     """skew_only=True applies only the RELATIONAL skew rewrites (hot
     keys, tie storms, NULL values) and copies documents/embeddings
@@ -492,9 +574,15 @@ def build(
 
     numeric_hostile=True applies the MEASURE-VALUE rewrites only (see
     the TRANSFORMS_NUMERIC comment block) and copies every other table
-    unchanged."""
+    unchanged.
+
+    skew_hostile=True applies the ZIPFIAN key-distribution rewrites
+    plus the dominant-token document rewrite (see the
+    TRANSFORMS_SKEW_HOSTILE comment block) and copies every other
+    table unchanged."""
     assert (
-        skew_only + time_hostile + null_keys + text_hostile + numeric_hostile
+        skew_only + time_hostile + null_keys + text_hostile
+        + numeric_hostile + skew_hostile
     ) <= 1, "pick one mode"
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -509,6 +597,8 @@ def build(
         if text_hostile
         else TRANSFORMS_NUMERIC
         if numeric_hostile
+        else TRANSFORMS_SKEW_HOSTILE
+        if skew_hostile
         else TRANSFORMS
     )
     for table in COPY_AS_IS + tuple(TRANSFORMS):
@@ -534,7 +624,7 @@ def build(
 
 _KNOWN_FLAGS = {
     "--skew-only", "--time-hostile", "--null-keys", "--text-hostile",
-    "--numeric-hostile",
+    "--numeric-hostile", "--skew-hostile",
 }
 
 if __name__ == "__main__":
@@ -559,4 +649,5 @@ if __name__ == "__main__":
         null_keys="--null-keys" in sys.argv,
         text_hostile="--text-hostile" in sys.argv,
         numeric_hostile="--numeric-hostile" in sys.argv,
+        skew_hostile="--skew-hostile" in sys.argv,
     )
