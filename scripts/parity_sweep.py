@@ -73,6 +73,16 @@ def main() -> int:
         "multi-file copy (scripts/make_shuffled_copy.py) and the oracle "
         "keeps the original single-file layout (same multiset)",
     )
+    ap.add_argument(
+        "--rows-only",
+        action="store_true",
+        help="execute every query (count rows) WITHOUT oracle compare — "
+        "the scale-robustness smoke for SF dirs where the DuckDB "
+        "oracles are intractable (e.g. the 10x replica: g26's "
+        "recursive CTE, the near-dup oracles); proves every operator "
+        "RUNS at the scale (no OOM, no crash), which is the class the "
+        "round-12 study caught on g02d",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", default=None)
     ap.add_argument(
@@ -131,7 +141,11 @@ def main() -> int:
                 pass
     else:
         spark = get_spark(max_partition_bytes=fixture_split_bytes())
-    con = duck_connection(args.oracle_sf_dir or args.sf_dir)
+    # --rows-only never touches the oracle, and the target dir may be
+    # directory-form parquet DuckDB's single-file views cannot read.
+    con = None if args.rows_only else duck_connection(
+        args.oracle_sf_dir or args.sf_dir
+    )
     reg = registry()
 
     if args.only is not None:
@@ -152,7 +166,7 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         try:
-            if rq.oracle is None:
+            if rq.oracle is None or args.rows_only:
                 n = rq.fn(spark, args.sf_dir).count()
                 dt = time.monotonic() - t0
                 print(f"{name}: rows-only ran, {n} rows  ({dt:.1f}s)", flush=True)
