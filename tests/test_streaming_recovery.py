@@ -2,17 +2,28 @@
 (VERDICT r10 #3: the one production streaming behavior previously
 asserted by architecture rather than test).
 
-Shape of every test here: land ALL input up front, run the query with
-``maxFilesPerTrigger=1`` on a ProcessingTime trigger (micro-batches
-spaced seconds apart, so the stop lands in the idle window after a
-commit — the deploy-restart / spot-kill shape), ``stop()`` it after the
-FIRST committed micro-batch, then restart from the SAME checkpoint over
-the same landing with ``Trigger.AvailableNow`` and assert the final
-output equals the batch oracle: nothing reprocessed, nothing skipped.
+Shape of every test here (deterministic since round 13 — VERDICT r12
+item #1): land ONLY the first file, run the query with
+``maxFilesPerTrigger=1`` on a ProcessingTime trigger, ``stop()`` it
+after the FIRST committed micro-batch, land the REMAINING files, then
+restart from the SAME checkpoint over the grown landing with
+``Trigger.AvailableNow`` and assert the final output equals the batch
+oracle over the full landing: nothing reprocessed, nothing skipped.
 
-Each test also asserts the stop really was mid-stream (work remained
-after run 1) — a test that accidentally drained everything in run 1
-would pass vacuously.
+Landing the later files only after the stop makes "work remained after
+run 1" true by construction.  The original shape (land everything up
+front, race ``stop()`` against a 3-file drain) was flaky on a fast box:
+three tiny micro-batches drained inside the poll interval, tripping the
+tests' own mid-stream precondition even though the engine output was
+exactly-once-correct.  The recovery semantics under test are unchanged
+— a restarted query lists the landing fresh and must consume the new
+files with the checkpoint-restored state (seen-keys, GroupState, sink
+metadata log), exactly the deploy-restart / spot-kill sequence where a
+producer keeps landing files while the consumer is down.
+
+Each test still asserts run 1 stopped before the full landing existed
+(partial output strictly between 0 and the total) — now deterministic
+rather than timing-dependent.
 
 Recovery-hardening these tests pinned into the engine:
 
@@ -70,17 +81,40 @@ def state_backend(request, spark):
 
 def _stop_after_first_commit(q, timeout_s=120):
     """Wait for the first committed micro-batch with input rows, then
-    stop the query.  Returns the last committed batch id."""
+    stop the query.  Returns that batch's id.  Scans ``recentProgress``
+    (not just ``lastProgress``) so a 0-row idle trigger emitted after
+    the data batch cannot mask it.  Callers land only the first input
+    file before starting the query, so run 1 cannot drain past batch 0
+    regardless of box speed."""
     deadline = time.time() + timeout_s
     while time.time() < deadline:
-        p = q.lastProgress
-        if p is not None and p.get("numInputRows", 0) > 0:
-            q.stop()
-            q.awaitTermination(60)
-            return p["batchId"]
+        for p in q.recentProgress:
+            if p is not None and p.get("numInputRows", 0) > 0:
+                q.stop()
+                q.awaitTermination(60)
+                return p["batchId"]
         time.sleep(0.05)
     q.stop()
     raise AssertionError("no micro-batch committed before timeout")
+
+
+def _split_landing(spark, df, n_parts, key, prefix):
+    """Write part 0 of ``df`` (split by ``key % n_parts``) into a fresh
+    landing dir and return ``(landing, land_rest)`` where ``land_rest()``
+    appends the remaining parts.  Recovery tests call ``land_rest`` only
+    AFTER stopping run 1, so the restart provably has new work."""
+    parts = [
+        df.filter(F.col(key) % n_parts == i).coalesce(1)
+        for i in range(n_parts)
+    ]
+    landing = tempfile.mkdtemp(prefix=prefix)
+    parts[0].write.mode("append").parquet(landing)
+
+    def land_rest():
+        for p in parts[1:]:
+            p.write.mode("append").parquet(landing)
+
+    return landing, land_rest
 
 
 def _assert_frames_equal(actual, expected):
@@ -98,7 +132,11 @@ def test_pipeline_kill_restart_exactly_once(spark, sf_dir):
     )
     from data_lake_staging_engine_spark.pipeline import StagingPipeline
 
-    landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    e = load(spark, sf_dir, "events")
+    schema = e.schema
+    landing, land_rest = _split_landing(
+        spark, e, n_parts=4, key="event_id", prefix="dlse_rec13_landing_"
+    )
     staged = tempfile.mkdtemp(prefix="dlse_rec13_staged_")
     ckpt = tempfile.mkdtemp(prefix="dlse_rec13_ckpt_")
     pipe = StagingPipeline(
@@ -112,6 +150,7 @@ def test_pipeline_kill_restart_exactly_once(spark, sf_dir):
     )
     q = pipe.start(processing_time="3 seconds")
     _stop_after_first_commit(q)
+    land_rest()  # files keep landing while the consumer is down
 
     total = spark.read.schema(schema).parquet(landing).count()
     partial = spark.read.schema(pipe.staged_schema()).parquet(staged).count()
@@ -168,7 +207,11 @@ def test_upsert_kill_restart_converges(spark, sf_dir):
         make_keyed_upsert,
     )
 
-    landing, schema = landing_copy(spark, sf_dir, "events", n_files=4)
+    e = load(spark, sf_dir, "events")
+    schema = e.schema
+    landing, land_rest = _split_landing(
+        spark, e, n_parts=4, key="event_id", prefix="dlse_rec19_landing_"
+    )
     state_dir = tempfile.mkdtemp(prefix="dlse_rec19_state_")
     ckpt = tempfile.mkdtemp(prefix="dlse_rec19_ckpt_")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
@@ -189,6 +232,11 @@ def test_upsert_kill_restart_converges(spark, sf_dir):
     q = writer().trigger(processingTime="3 seconds").start()
     _stop_after_first_commit(q)
     assert os.path.isdir(os.path.join(state_dir, "current"))
+    n_partial = spark.read.schema(schema).parquet(
+        os.path.join(state_dir, "current")
+    ).count()
+    land_rest()
+    assert 0 < n_partial < e.count(), "stop was not mid-stream"
 
     q2 = writer().trigger(availableNow=True).start()
     q2.awaitTermination(180)
@@ -219,13 +267,20 @@ def test_dedup_state_survives_restart(spark, sf_dir, state_backend):
     rest = e.filter(F.col("event_id") > half)
 
     landing = tempfile.mkdtemp(prefix="dlse_rec05_landing_")
-    # File 1: first half.  File 2: second half.  File 3: the first half
-    # AGAIN — exact duplicate rows that only cross-restart state can
-    # suppress.  Sub-second mtime spacing is irrelevant: the file
-    # source orders by path within one listing, and names sort 1<2<3.
+    # File 1: first half — the ONLY file visible to run 1, so run 1
+    # deterministically commits exactly one data batch.  Files 2 and 3
+    # land only after the stop: file 2 is the second half, file 3 the
+    # first half AGAIN — exact duplicate rows that only the
+    # checkpoint-restored seen-keys state can suppress after restart.
     first.coalesce(1).write.mode("append").parquet(os.path.join(landing, "f1"))
-    rest.coalesce(1).write.mode("append").parquet(os.path.join(landing, "f2"))
-    first.coalesce(1).write.mode("append").parquet(os.path.join(landing, "f3"))
+
+    def land_rest():
+        rest.coalesce(1).write.mode("append").parquet(
+            os.path.join(landing, "f2")
+        )
+        first.coalesce(1).write.mode("append").parquet(
+            os.path.join(landing, "f3")
+        )
 
     sink = tempfile.mkdtemp(prefix="dlse_rec05_sink_")
     ckpt = tempfile.mkdtemp(prefix="dlse_rec05_ckpt_")
@@ -247,6 +302,7 @@ def test_dedup_state_survives_restart(spark, sf_dir, state_backend):
 
     q = writer().trigger(processingTime="3 seconds").start()
     _stop_after_first_commit(q)
+    land_rest()
 
     emitted_partial = spark.read.schema(first.schema).parquet(sink).count()
     assert 0 < emitted_partial < e.count(), "stop was not mid-stream"
@@ -277,14 +333,11 @@ def test_stateful_fold_survives_restart(spark, sf_dir, state_backend):
     from pyspark.sql.types import LongType, StructField, StructType
 
     e = load(spark, sf_dir, "events").select("event_id", "user_id")
-    landing = tempfile.mkdtemp(prefix="dlse_rec06_landing_")
     third = e.count() // 3
-    parts = [
-        e.filter(F.col("event_id") % 3 == i).coalesce(1) for i in range(3)
-    ]
-    for i, p in enumerate(parts):
-        p.write.mode("append").parquet(os.path.join(landing, f"f{i}"))
     assert third > 0
+    landing, land_rest = _split_landing(
+        spark, e, n_parts=3, key="event_id", prefix="dlse_rec06_landing_"
+    )
 
     sink = tempfile.mkdtemp(prefix="dlse_rec06_sink_")
     ckpt = tempfile.mkdtemp(prefix="dlse_rec06_ckpt_")
@@ -331,6 +384,7 @@ def test_stateful_fold_survives_restart(spark, sf_dir, state_backend):
 
     q = writer().trigger(processingTime="3 seconds").start()
     _stop_after_first_commit(q)
+    land_rest()
 
     partial = spark.read.parquet(sink)
     total_users = e.select("user_id").distinct().count()
