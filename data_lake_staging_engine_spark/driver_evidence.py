@@ -36,7 +36,14 @@ History of the window rotation:
   ADVICE-r10 band) and drained the whole r06 band plus the full r07
   band and part of r08 — 47 hash-green, 3 R-tier rows-only ran (a14
   b23 g02c), 0 failures.  Oldest remaining evidence after the fold:
-  r08 (27 names), which leads the r12 window.
+  r08 (27 names), which led the r12 window.
+- r12 led with the nine round-12 changed markers (pipeline guards,
+  VersionedTable, the near-dup strategy rebuild, the g28 IVF scaling
+  fix) and drained the whole r08 band plus the oldest r09 entries —
+  49 hash-green, 1 R-tier rows-only ran (g28), 0 failures.  Oldest
+  remaining evidence after the fold: r09 (21 names — the whole
+  f03-f10 UDF family and the ANN/dedup scale paths), which leads the
+  r13 window.
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -45,10 +52,10 @@ first-party row (hash-green, or rows-only-ran for R-tier).
 MATERIALLY in a given round (ADVICE r06): when ``CHANGED_IN[name] >
 LAST_VERIFIED[name]`` the recorded evidence no longer describes the
 current text, so the query re-enters the window AHEAD of every
-untouched entry.  Round-10 members are the queries this round's
-packaging/hardening work actually touched (added commit-by-commit as
-the edits land); all 46 round-8/9 markers were satisfied by
-CORRECTNESS_r09 and dropped in the r10 fold.
+untouched entry.  Members are the queries the current round's work
+actually touched (added commit-by-commit as the edits land); all nine
+round-12 markers were satisfied by CORRECTNESS_r12 and dropped in the
+r13 fold.
 
 The mechanical backstop remains: ``round_mirror_users()`` below walks
 each registered callable's static call graph and source text for the
@@ -60,8 +67,8 @@ After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
 tests/test_registry_order.py.  ``scripts/fold_evidence.py`` prints the
 ready-to-paste bands.  Source of truth:
-CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11}.json, folded 2026-08-15
-at round-12 entry (the fold is machine-checked by
+CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12}.json, folded
+2026-08-16 at round-13 entry (the fold is machine-checked by
 test_last_verified_matches_correctness_artifacts).
 """
 
@@ -70,35 +77,18 @@ from __future__ import annotations
 import types
 
 # fmt: off
-_R08 = (  # CORRECTNESS_r08.json greens not re-proven since — the
-    # stalest evidence in the registry; they lead band 1 of the r12
-    # window.
-    "a27_scan_text", "b01_project_arith", "b15_join_broadcast",
-    "b20_agg_groupby", "b25_agg_cube", "b28_agg_percentile",
-    "b31_agg_salted_skew", "b35_join_salted_skew", "c03_win_running_sum",
-    "c04_win_moving_rows", "c05_win_range_interval", "c09_win_nth_trailing",
-    "d03_fn_math", "d04_fn_cond", "d05_fn_array", "d12_fn_trig",
-    "f02_pandas_udf_scalar", "f05_map_in_pandas", "g04_centroids",
-    "g07_text_tfidf", "g08_text_stats", "g08b_text_quality",
-    "g11_events_user_join", "g18_embed_quantize", "g20_unigram_logprob",
-    "g23_text_repetition", "g29_quality_gate",
-)
 _R09 = (
     # CORRECTNESS_r09.json greens not re-proven since (incl. the
-    # rows-only R-tier runs g02b g02e g03c g03e g13 g28).
-    "a09_sink_parquet_partitioned", "a16_partition_pruned_scan",
-    "a17_dynamic_partition_overwrite", "a20_observed_metrics",
-    "b27_agg_stats", "b36_histogram", "b38_sql_cte_chain",
-    "c01_win_ranking", "c07_gapfill", "d08_fn_struct",
-    "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
-    "e04_stream_watermark", "e06_stream_stateful", "e09_stream_static_join",
-    "e10_batch_twin", "e11_stream_dedup_then_window",
-    "f03_pandas_udf_grouped_agg", "f04_apply_in_pandas", "f06_udtf",
-    "f07_arrow_udf", "f08_multimodal_decode", "f10_cogroup_in_pandas",
-    "g02b_dedup_lsh", "g02e_dedup_lsh_shingle", "g03_simsearch_topk",
-    "g03b_simsearch_knn", "g03c_simsearch_lsh", "g03d_embed_neardup",
-    "g03e_simsearch_ivf", "g05_text_tokenize", "g05b_token_bpe",
-    "g13_kmeans_iterations", "g16_event_funnel", "g28_semantic_dedup",
+    # rows-only R-tier runs g02b g02e g03c g03e g13) — the stalest
+    # evidence in the registry; they lead band 1 of the r13 window.
+    "e06_stream_stateful", "e09_stream_static_join", "e10_batch_twin",
+    "e11_stream_dedup_then_window", "f03_pandas_udf_grouped_agg",
+    "f04_apply_in_pandas", "f06_udtf", "f07_arrow_udf",
+    "f08_multimodal_decode", "f10_cogroup_in_pandas", "g02b_dedup_lsh",
+    "g02e_dedup_lsh_shingle", "g03_simsearch_topk", "g03b_simsearch_knn",
+    "g03c_simsearch_lsh", "g03d_embed_neardup", "g03e_simsearch_ivf",
+    "g05_text_tokenize", "g05b_token_bpe", "g13_kmeans_iterations",
+    "g16_event_funnel",
 )
 _R10 = (
     # CORRECTNESS_r10.json greens not re-proven since.
@@ -111,25 +101,19 @@ _R10 = (
     "b42_group_by_all", "b50_union_all", "b51_intersect", "b52_except",
     "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
     "b56_join_lateral", "d07_fn_json", "d09_fn_variant",
-    "d10_fn_decimal_interval", "g02_dedup_near", "g02d_dedup_ngram",
-    "g06_text_wordcount", "g08c_text_langid", "g08d_text_fingerprint",
-    "g09_multimodal_record", "g10_embed_join_docs", "g12_contamination",
+    "d10_fn_decimal_interval", "g06_text_wordcount", "g08c_text_langid",
+    "g08d_text_fingerprint", "g09_multimodal_record", "g10_embed_join_docs",
     "g14_text_clean", "g15_vocab_prune", "g17_text_bigrams",
-    "g19_stratified_sample", "g21_dedup_agreement", "g22_corpus_split",
-    "g24_pii_scrub", "g26_dedup_clusters", "g27_corpus_mixture",
-    "g30_dedup_incremental",
+    "g19_stratified_sample", "g22_corpus_split", "g24_pii_scrub",
+    "g27_corpus_mixture",
 )
 _R11 = (
-    # CORRECTNESS_r11.json — 50-row window, 47 hash-green + 3 R-tier
-    # rows-only ran (a14 b23 g02c); led with the six round-11 changed
-    # markers and drained the whole r06/r07 bands plus the oldest r08
-    # entries.
-    "a11_catalog_sync", "a12_incremental_ingest",
-    "a13_stream_ingest_foreachbatch", "a14_bad_records",
+    # CORRECTNESS_r11.json greens not re-proven since (incl. the
+    # rows-only R-tier runs a14 b23 g02c).
+    "a11_catalog_sync", "a12_incremental_ingest", "a14_bad_records",
     "a15_bucketed_join", "a18_python_datasource", "a19_stream_upsert",
-    "a21_schema_evolution", "a22_versioned_snapshot",
-    "a28_multi_format_union", "a29_scd2_dimension", "b02_filter_pred",
-    "b03_distinct", "b10_join_inner", "b11_join_left",
+    "a21_schema_evolution", "a28_multi_format_union", "a29_scd2_dimension",
+    "b02_filter_pred", "b03_distinct", "b10_join_inner", "b11_join_left",
     "b12_join_right_full", "b13_join_semi", "b14_join_anti",
     "b16_join_theta", "b17_join_range_interval", "b19_join_cross",
     "b21_agg_having", "b22_agg_countdistinct", "b23_agg_approx_cd",
@@ -143,50 +127,45 @@ _R11 = (
     "g01_dedup_exact", "g02c_dedup_simhash", "g25_sequence_pack",
     "g31_dedup_segments",
 )
+_R12 = (
+    # CORRECTNESS_r12.json — 50-row window, 49 hash-green + 1 R-tier
+    # rows-only ran (g28); led with the nine round-12 changed markers
+    # and drained the whole r08 band plus the oldest r09 entries.
+    "a09_sink_parquet_partitioned", "a13_stream_ingest_foreachbatch",
+    "a16_partition_pruned_scan", "a17_dynamic_partition_overwrite",
+    "a20_observed_metrics", "a22_versioned_snapshot", "a27_scan_text",
+    "b01_project_arith", "b15_join_broadcast", "b20_agg_groupby",
+    "b25_agg_cube", "b27_agg_stats", "b28_agg_percentile",
+    "b31_agg_salted_skew", "b35_join_salted_skew", "b36_histogram",
+    "b38_sql_cte_chain", "c01_win_ranking", "c03_win_running_sum",
+    "c04_win_moving_rows", "c05_win_range_interval", "c07_gapfill",
+    "c09_win_nth_trailing", "d03_fn_math", "d04_fn_cond", "d05_fn_array",
+    "d08_fn_struct", "d12_fn_trig", "e01_stream_tumbling",
+    "e02_stream_sliding", "e03_stream_session", "e04_stream_watermark",
+    "f02_pandas_udf_scalar", "f05_map_in_pandas", "g02_dedup_near",
+    "g02d_dedup_ngram", "g04_centroids", "g07_text_tfidf", "g08_text_stats",
+    "g08b_text_quality", "g11_events_user_join", "g12_contamination",
+    "g18_embed_quantize", "g20_unigram_logprob", "g21_dedup_agreement",
+    "g23_text_repetition", "g26_dedup_clusters", "g28_semantic_dedup",
+    "g29_quality_gate", "g30_dedup_incremental",
+)
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
-    **{name: 8 for name in _R08},
     **{name: 9 for name in _R09},
     **{name: 10 for name in _R10},
     **{name: 11 for name in _R11},
+    **{name: 12 for name in _R12},
 }
 
 # Queries whose Spark code or oracle text materially changed in the
 # given round.  CHANGED_IN[name] > LAST_VERIFIED[name] => the recorded
 # evidence predates the current text => band 0 (ADVICE r06).  Drop an
-# entry once a later CORRECTNESS round re-proves the query.  All six
-# round-11 markers were satisfied by CORRECTNESS_r11 and dropped in
-# the round-12 fold; round-12 edits add their markers below as they
+# entry once a later CORRECTNESS round re-proves the query.  All nine
+# round-12 markers were satisfied by CORRECTNESS_r12 and dropped in
+# the round-13 fold; round-13 edits add their markers below as they
 # land.
-CHANGED_IN: dict[str, int] = {
-    # StagingPipeline gained the rejects-sink layout guard, the
-    # URI-path guard, and the active-stream compaction guard (ADVICE
-    # r11); a13 drives the pipeline, so its executed path text changed.
-    "a13_stream_ingest_foreachbatch": 12,
-    # a22's inline manifest machinery promoted to the reusable
-    # versioning.VersionedTable (adds the vacuum retention lifecycle,
-    # VERDICT r11 #6) — same semantics, changed text, re-prove.
-    "a22_versioned_snapshot": 12,
-    # _g02_bitmask rebuilt after the 10x scaling study (VERDICT r11
-    # #2): distinct-mask all-pairs (quadratic in distinct sets; 78 s /
-    # OOM at the sf1 replica) replaced by a rep-count runtime pick —
-    # small universes keep the broadcast all-pairs loop, large ones
-    # take prefix-filtered candidates; _BITMAP_MAX_VOCAB 1024 -> 4096.
-    # Same exact semantics (tests/test_strategies.py pins equality),
-    # changed plan text for every _jaccard_pairs consumer — re-prove.
-    "g02_dedup_near": 12,
-    "g02d_dedup_ngram": 12,
-    # g28's IVF codebook now scales nlist ~ sqrt(N) (fixed k=16 made
-    # bucket occupancy linear in corpus and the in-bucket exact-cosine
-    # self-join quadratic: 10.4 s -> 544 s on the 10x study; 31.7 s
-    # after).  Rows-only tier, re-prove the run.
-    "g28_semantic_dedup": 12,
-    "g12_contamination": 12,
-    "g21_dedup_agreement": 12,
-    "g26_dedup_clusters": 12,
-    "g30_dedup_incremental": 12,
-}
+CHANGED_IN: dict[str, int] = {}
 
 # Convenience view: every query with any first-party driver evidence.
 DRIVER_VERIFIED: frozenset[str] = frozenset(LAST_VERIFIED)

@@ -1,16 +1,17 @@
 """Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r11 greens into
-``LAST_VERIFIED`` (the r11 window drained the whole r06/r07 bands and
-satisfied all six round-11 CHANGED_IN markers), the changed band
-drains to whatever round-12 edits actually touch — added to
+``queries()`` in insertion order.  After folding the r12 greens into
+``LAST_VERIFIED`` (the r12 window drained the whole r08 band and
+satisfied all nine round-12 CHANGED_IN markers), the changed band
+drains to whatever round-13 edits actually touch — added to
 CHANGED_IN commit-by-commit as they land, mirrored here in
 CHANGED_BAND so a drive-by edit to either side fails loudly.
 
-The r12 window therefore leads with the round-12 changed band, then
-rotates onto the stalest remaining evidence: the 27-member r08 band,
-then the 36-member r09 band filling the remaining slots.
+The r13 window therefore leads with the round-13 changed band, then
+rotates onto the stalest remaining evidence: the 21-member r09 band
+(the whole f03-f10 UDF family and the ANN/dedup scale paths), then
+the 40-member r10 band filling the remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -30,29 +31,10 @@ from data_lake_staging_engine_spark.driver_evidence import (
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 12 (see driver_evidence
-# CHANGED_IN) — the independent mirror.  Round-12 edits add names here
+# Text newer than driver evidence as of round 13 (see driver_evidence
+# CHANGED_IN) — the independent mirror.  Round-13 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
-CHANGED_BAND: set[str] = {
-    # StagingPipeline gained the rejects-sink layout guard, URI-path
-    # guard, and active-stream compaction guard (ADVICE r11); a13
-    # drives the pipeline end-to-end.
-    "a13_stream_ingest_foreachbatch",
-    # refactored onto versioning.VersionedTable (vacuum lifecycle,
-    # VERDICT r11 #6)
-    "a22_versioned_snapshot",
-    # _g02_bitmask rebuilt after the 10x scaling study (rep-count
-    # strategy pick; all-pairs -> prefix candidates at scale;
-    # _BITMAP_MAX_VOCAB 4096) — every _jaccard_pairs consumer
-    "g02_dedup_near",
-    "g02d_dedup_ngram",
-    # IVF codebook scales nlist ~ sqrt(N) (10x-study quadratic fix)
-    "g28_semantic_dedup",
-    "g12_contamination",
-    "g21_dedup_agreement",
-    "g26_dedup_clusters",
-    "g30_dedup_incremental",
-}
+CHANGED_BAND: set[str] = set()
 
 # Registered only when google.protobuf is available; never-verified by
 # construction wherever it registers.
@@ -102,37 +84,37 @@ def test_window_fills_with_stalest_evidence():
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # Band 1 is ordered stalest-first: r08, then r09, then r10/r11.
-    assert not any(r <= 7 for r in LAST_VERIFIED.values())
-    stale_r08 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 8 and not changed_since_verified(n)
-    )
-    # the post-r11-fold stalest band is 27 names; members with a
-    # round-12 CHANGED_IN marker sit in band 0 instead
-    assert sum(1 for r in LAST_VERIFIED.values() if r == 8) == 27
-    assert len(stale_r08) == 27 - sum(
-        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 8
-    )
+    # Band 1 is ordered stalest-first: r09, then r10, then r11/r12.
+    assert not any(r <= 8 for r in LAST_VERIFIED.values())
     stale_r09 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 9 and not changed_since_verified(n)
     )
-    # head + 27 r08 fill the first 27+len(head) slots; the oldest r09
+    # the post-r12-fold stalest band is 21 names; members with a
+    # round-13 CHANGED_IN marker sit in band 0 instead
+    assert sum(1 for r in LAST_VERIFIED.values() if r == 9) == 21
+    assert len(stale_r09) == 21 - sum(
+        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 9
+    )
+    stale_r10 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 10 and not changed_since_verified(n)
+    )
+    # head + 21 r09 fill the first 21+len(head) slots; the oldest r10
     # entries complete the 50.
-    assert window == (head + stale_r08 + stale_r09)[:50]
+    assert window == (head + stale_r09 + stale_r10)[:50]
     # Everything past the window is ordered by non-decreasing evidence
-    # round (r09 remainder <= r10 <= r11).
+    # round (r10 remainder <= r11 <= r12).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    r08 = sweep_rank("b20_agg_groupby", True)
     r09 = sweep_rank("g16_event_funnel", True)
     r10 = sweep_rank("a01_scan_parquet", True)
     r11 = sweep_rank("a11_catalog_sync", True)
-    assert r08 < r09 < r10 < r11
-    assert r08[0] == 1  # verified, just stale — band 1
-    # Round-12 edits re-enter band 0 ahead of everything.
+    r12 = sweep_rank("b20_agg_groupby", True)
+    assert r09 < r10 < r11 < r12
+    assert r09[0] == 1  # verified, just stale — band 1
+    # Round-13 edits re-enter band 0 ahead of everything.
     for name in CHANGED_BAND:
         assert sweep_rank(name, True)[0] == 0
 
