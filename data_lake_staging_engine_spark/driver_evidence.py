@@ -165,7 +165,30 @@ LAST_VERIFIED: dict[str, int] = {
 # round-12 markers were satisfied by CORRECTNESS_r12 and dropped in
 # the round-13 fold; round-13 edits add their markers below as they
 # land.
-CHANGED_IN: dict[str, int] = {}
+CHANGED_IN: dict[str, int] = {
+    # _g02_bitmask's wide-mask rebalance now tolerates a non-numeric
+    # spark.sql.shuffle.partitions ('auto' on AQE auto-optimized
+    # platforms, ADVICE r12) — executed-path text of every
+    # _jaccard_pairs consumer changed.
+    "g02_dedup_near": 13,
+    "g02d_dedup_ngram": 13,
+    "g12_contamination": 13,
+    "g21_dedup_agreement": 13,
+    "g26_dedup_clusters": 13,
+    "g30_dedup_incremental": 13,
+    # scaled_state_partitions gained the same 'auto' fallback — every
+    # stateful streaming query sizes its state store through it.
+    "e01_stream_tumbling": 13,
+    "e02_stream_sliding": 13,
+    "e03_stream_session": 13,
+    "e04_stream_watermark": 13,
+    "e05_stream_dedup": 13,
+    "e06_stream_stateful": 13,
+    "e08_stream_stream_join": 13,
+    "e09_stream_static_join": 13,
+    "e11_stream_dedup_then_window": 13,
+    "e12_stream_outer_join": 13,
+}
 
 # Convenience view: every query with any first-party driver evidence.
 DRIVER_VERIFIED: frozenset[str] = frozenset(LAST_VERIFIED)

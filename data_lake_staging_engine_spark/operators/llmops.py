@@ -557,13 +557,17 @@ def _g02_bitmask(
         # took the word corpus (5 words) from 28 s to 85 s.  Rebalance
         # only when the verify is wide enough to pay for it.
         if len(wcols) >= 16:
-            cands = cands.repartition(
-                int(
-                    toks.sparkSession.conf.get(
-                        "spark.sql.shuffle.partitions"
-                    )
-                )
+            # Platforms with AQE auto-optimized shuffle report the conf
+            # as the non-numeric string 'auto' (ADVICE r12) — fall back
+            # to the cluster's default parallelism rather than crash.
+            conf_val = toks.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"
             )
+            try:
+                n_parts = int(conf_val)
+            except (TypeError, ValueError):
+                n_parts = toks.sparkSession.sparkContext.defaultParallelism
+            cands = cands.repartition(n_parts)
         # The rep tables are n_reps x (16 + 8*words) bytes — tiny next
         # to the candidate stream, but right at Spark's 10 MB default
         # broadcast threshold at the 10x-study scale, where missing the

@@ -308,7 +308,9 @@ class StagingPipeline:
         or None.  The checkpoint's ``metadata`` file records the query
         id at first start; any active query with that id IS this
         pipeline's ingest stream (query ids are stable across
-        restarts of the same checkpoint)."""
+        restarts of the same checkpoint).  Scans only THIS session's
+        ``spark.streams.active`` — a drain from another session or
+        process is invisible here (see compact_staged)."""
         meta = os.path.join(self.checkpoint_dir, "metadata")
         try:
             with open(meta) as f:
@@ -358,7 +360,13 @@ class StagingPipeline:
         stream on this checkpoint is REFUSED (ADVICE r11: a micro-batch
         written between compact's read and the rename swap would be
         silently discarded by the swap, and the rename would pull
-        staged_dir out from under the in-flight writer).  A kill
+        staged_dir out from under the in-flight writer).  That refusal
+        is SAME-SESSION scope only (ADVICE r12): it scans
+        ``spark.streams.active``, so an ingest stream draining this
+        checkpoint from another SparkSession or process is invisible to
+        it — cross-process safety relies on the orchestrator's
+        one-writer rule (DEPLOYMENT.md), same as every file-based
+        maintenance op here.  A kill
         between the two renames parks the table at
         ``<staged>.precompact``; every pipeline entry point
         (``_writer``/``sync``/here) restores it before anything can

@@ -72,7 +72,12 @@ def scaled_state_partitions(spark: SparkSession, landing: str) -> int:
     for root, _dirs, files in os.walk(landing):
         for f in files:
             total += os.path.getsize(os.path.join(root, f))
-    session_cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        session_cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        # AQE auto-optimized shuffle platforms report 'auto' (ADVICE
+        # r12) — fall back to the cluster's default parallelism.
+        session_cap = spark.sparkContext.defaultParallelism
     return max(min(8, session_cap), min(session_cap, total // (32 << 20) + 1))
 
 

@@ -121,6 +121,11 @@ class VersionedTable:
         to them.  A reader that resolved BEFORE the flip races the
         delete — size ``keep_last`` so retention exceeds the longest
         query, exactly the Delta/Iceberg VACUUM contract.
+
+        Concurrent PUBLISHES are safe too: the orphan sweep only
+        touches version numbers <= the latest this vacuum observed, so
+        a publish mid-write at ``v{latest+1}`` is never deleted out
+        from under its upcoming manifest flip (ADVICE r12).
         """
         keep_last = max(1, int(keep_last))
         meta = self._meta()
@@ -132,11 +137,17 @@ class VersionedTable:
             self._flip({"latest": meta["latest"], "versions": keep})
         kept_dirs = {os.path.basename(v["path"]) for v in keep}
         dropped: list[int] = [v["version"] for v in pruned]
-        # Sweep everything unreferenced: just-pruned dirs plus orphans
-        # from crashed publishes/vacuums.
+        # Sweep unreferenced dirs: just-pruned dirs plus orphans from
+        # crashed publishes/vacuums — but ONLY at version numbers <=
+        # the latest this vacuum read (ADVICE r12): a v{latest+1} dir
+        # may be a CONCURRENT publish mid-write, and deleting it would
+        # flip a manifest entry whose data is gone.  A crashed publish
+        # above latest is harmless — the next publish targets the same
+        # number and overwrites it.
+        latest = meta["latest"]
         for name in sorted(os.listdir(self.root)):
             m = _VDIR.match(name)
-            if m and name not in kept_dirs:
+            if m and name not in kept_dirs and int(m.group(1)) <= latest:
                 shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
                 v = int(m.group(1))
                 if v not in dropped and v not in {

@@ -97,10 +97,24 @@ def main() -> None:
             "comma-separated label=path overrides for the SF ladder, "
             "smallest first (e.g. sf0.1=/root/testdata/sf0.1,"
             "sf1=/tmp/sf1_replica built by make_replicated_copy.py); "
-            "the ratio column is last-dir / second-to-last-dir"
+            "the ratio column is last-dir / second-to-last-dir — pass "
+            "--step when that step is not the default 10x, or the "
+            "SUPERLINEAR flag mislabels results"
+        ),
+    )
+    ap.add_argument(
+        "--step",
+        type=float,
+        default=10.0,
+        help=(
+            "data multiple between the last two SF dirs (default 10). "
+            "The SUPERLINEAR flag fires at ratio > 1.3 * step — 13 for "
+            "the default 10x ladder (ADVICE r12: the threshold derives "
+            "from the step, not a constant)"
         ),
     )
     args = ap.parse_args()
+    superlinear_at = 1.3 * args.step
     sf_dirs = SF_DIRS
     if args.sf_dirs:
         sf_dirs = []
@@ -157,7 +171,11 @@ def main() -> None:
     header = "".join(f"{lbl:>9s}" for lbl, _ in sf_dirs)
     print(f"\n{'query':32s}{header} {'step ratio':>10s}", file=sys.stderr)
     for name, cells, ratio in table:
-        flag = "  <-- SUPERLINEAR" if ratio is not None and ratio > 13 else ""
+        flag = (
+            "  <-- SUPERLINEAR"
+            if ratio is not None and ratio > superlinear_at
+            else ""
+        )
         cells_s = "".join(f"{v:9.3f}" for v in cells)
         ratio_s = f"{ratio:10.2f}" if ratio is not None else f"{'n/a':>10s}"
         print(f"{name:32s}{cells_s} {ratio_s}{flag}", file=sys.stderr)

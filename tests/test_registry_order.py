@@ -34,7 +34,28 @@ from data_lake_staging_engine_spark.registry import registry
 # Text newer than driver evidence as of round 13 (see driver_evidence
 # CHANGED_IN) — the independent mirror.  Round-13 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
-CHANGED_BAND: set[str] = set()
+CHANGED_BAND: set[str] = {
+    # 'auto' shuffle-partitions fallback in _g02_bitmask's wide-mask
+    # rebalance (ADVICE r12) — every _jaccard_pairs consumer
+    "g02_dedup_near",
+    "g02d_dedup_ngram",
+    "g12_contamination",
+    "g21_dedup_agreement",
+    "g26_dedup_clusters",
+    "g30_dedup_incremental",
+    # same fallback in scaled_state_partitions — every stateful
+    # streaming query sizes its state store through it
+    "e01_stream_tumbling",
+    "e02_stream_sliding",
+    "e03_stream_session",
+    "e04_stream_watermark",
+    "e05_stream_dedup",
+    "e06_stream_stateful",
+    "e08_stream_stream_join",
+    "e09_stream_static_join",
+    "e11_stream_dedup_then_window",
+    "e12_stream_outer_join",
+}
 
 # Registered only when google.protobuf is available; never-verified by
 # construction wherever it registers.

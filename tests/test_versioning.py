@@ -96,6 +96,36 @@ def test_crashed_publish_orphan_is_invisible_then_swept(spark, tmp_path):
     assert table.read(spark, 2).count() == 7
 
 
+def test_vacuum_spares_inflight_publish_above_latest(spark, tmp_path):
+    """ADVICE r12: a concurrent publish mid-write at v{latest+1} looks
+    exactly like a crashed-publish orphan, but deleting it would flip a
+    manifest entry whose data is gone.  vacuum must only sweep version
+    numbers <= the latest it observed; the in-flight dir survives and
+    its manifest flip lands on intact data."""
+    import warnings
+
+    table = VersionedTable(str(tmp_path / "vt"))
+    _pub(spark, table, 5)
+    _pub(spark, table, 6)
+    _pub(spark, table, 7)
+    # Simulate a concurrent publish that has written v4's data but not
+    # yet flipped the manifest.
+    spark.range(9).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "vt" / "v4"))
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert table.vacuum(keep_last=2) == [1]
+    assert os.path.exists(str(tmp_path / "vt" / "v4"))  # spared
+    assert not os.path.exists(str(tmp_path / "vt" / "v1"))  # pruned
+    assert not any("v4" in str(w.message) for w in caught)
+    # The concurrent publish's flip (next publish takes version 4 and
+    # overwrites the same dir) lands on data that is still there.
+    assert _pub(spark, table, 9) == 4
+    assert table.read(spark, 4).count() == 9
+
+
 def test_uri_root_refused(tmp_path):
     with pytest.raises(NotImplementedError, match="local filesystem"):
         VersionedTable("s3a://bucket/table")
