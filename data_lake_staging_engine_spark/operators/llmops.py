@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import math
 import os
+import warnings
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -254,6 +255,27 @@ _BITMAP_MAX_VOCAB = 4096
 # hit 78 s at the 10x study's 39,350 — BASELINE.md r12).
 _ALLPAIRS_MAX_REPS = 8192
 
+# Collision budget for the prefix-filtered branch (VERDICT r12 #6): a
+# SATURATED dense universe defeats prefix filtering — every token is
+# frequent, so the predicted collision volume (sum over prefix tokens
+# of C(df, 2), an exact plan-time prediction of the equi-join's output)
+# goes quadratic in distinct sets.  When the prediction exceeds
+# max(ABS, PER_REP * n_reps), exact J>=t verification is provably the
+# slow path (no subquadratic exact candidate set exists there) and
+# candidate generation routes to MinHash banding (the g02b/g02e
+# machinery) with the same exact popcount verify: precision stays 1,
+# recall becomes the banding curve (~0.88 at J=0.8 with 4x4 bands).
+# Calibration (round-12 10x study, re-measured round 13): the HONEST
+# 10x corpus predicts 239M collisions over 39,350 reps = ~6.1k/rep —
+# linear growth, stays exact; the DEGENERATE duplicate-storm gram
+# corpus predicts 1.84G over ~50k reps = ~37k/rep — routes.  16,384
+# sits between with ~2.7x margin each way; the 64M absolute floor
+# keeps small corpora exact even when proportionally dense (a 64M-row
+# collision verify is seconds of codegen popcount work, cheaper than
+# banding's extra corpus aggregate).
+_DEGENERATE_ABS_COLLISIONS = 64_000_000
+_DEGENERATE_COLLISIONS_PER_REP = 16_384
+
 
 # fraction of documents fed to the strategy-probe sketch: keep docs
 # whose doc_id digest starts below this hex char (1/16). Digest
@@ -328,16 +350,35 @@ def _bitmap_vocab_n(toks: DataFrame, probe: DataFrame | None = None) -> int | No
 
 
 def _jaccard_pairs(
-    toks: DataFrame, threshold: float, probe: DataFrame | None = None
+    toks: DataFrame,
+    threshold: float,
+    probe: DataFrame | None = None,
+    collision_budget: int | float | None = None,
 ) -> DataFrame:
-    """Exact Jaccard>=t pairs with a runtime strategy pick (sketch probe
+    """Jaccard>=t pairs with a runtime strategy pick (sketch probe
     + at most one small exact count): small universes go through the
     multi-word-bitmap path, open universes through the prefix-filtered
-    token join."""
+    token join.
+
+    Exact except on DEGENERATE dense universes: when the bitmap path's
+    plan-time collision prediction exceeds ``collision_budget``
+    (default ``max(_DEGENERATE_ABS_COLLISIONS,
+    _DEGENERATE_COLLISIONS_PER_REP * n_reps)``), candidate generation
+    auto-routes to MinHash banding with the same exact verify —
+    precision 1, recall the banding curve — and a RuntimeWarning
+    documents the switch (VERDICT r12 #6).  Pass
+    ``collision_budget=math.inf`` to force the exact path regardless
+    of cost."""
     hit = _bitmap_vocab(toks, probe=probe)
     if hit is not None:
         vocab, vocab_n = hit
-        return _g02_bitmask(toks, vocab_n, threshold, vocab=vocab)
+        return _g02_bitmask(
+            toks,
+            vocab_n,
+            threshold,
+            vocab=vocab,
+            collision_budget=collision_budget,
+        )
     return _g02_token_join(toks, threshold)
 
 
@@ -388,6 +429,7 @@ def _g02_bitmask(
     vocab_n: int,
     threshold: float,
     vocab: DataFrame | None = None,
+    collision_budget: int | float | None = None,
 ) -> DataFrame:
     """Small-universe bitmap strategy, generalized to multi-word masks.
 
@@ -466,6 +508,7 @@ def _g02_bitmask(
             F.broadcast(rm_b),
             (F.col("r1") < F.col("r2")) & (jac >= threshold),
         ).select("r1", "r2", duck_round(jac, 6).alias("jaccard"))
+        return _expand_mask_pairs(qual, d2r)
     else:
         # Large universe: prefix-filtered candidates.  (rep, tok_id)
         # membership is enumerated from the mask bits — per-row
@@ -499,9 +542,63 @@ def _g02_bitmask(
             - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
             + 1
         )
-        pref = ranked.filter(F.col("rnk") <= prefix_len).select(
-            "rep", "n", "rnk", "tok_id"
+        # Staged once (reps x prefix_len rows — linear, tiny next to
+        # the collision stream): read by the collision-budget probe
+        # below and by BOTH join sides, instead of re-running the
+        # membership window three times.
+        pref = (
+            ranked.filter(F.col("rnk") <= prefix_len)
+            .select("rep", "n", "rnk", "tok_id")
+            .localCheckpoint(eager=True)
         )
+        # Plan-time collision prediction: the prefix equi-join emits
+        # EXACTLY sum over prefix tokens of C(df, 2) rows, computable
+        # from the (small) pref frame before paying for any of them.
+        # A saturated dense universe (every token frequent) is the one
+        # shape where exact J>=t is inherently quadratic — route its
+        # candidate generation to MinHash banding (VERDICT r12 #6)
+        # with the identical exact popcount verify downstream.
+        predicted = int(
+            pref.groupBy("tok_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(
+                    F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2)
+                ).alias("s")
+            )
+            .first()[0]
+            or 0
+        )
+        budget = (
+            collision_budget
+            if collision_budget is not None
+            else max(
+                _DEGENERATE_ABS_COLLISIONS,
+                _DEGENERATE_COLLISIONS_PER_REP * n_reps,
+            )
+        )
+        if predicted > budget:
+            warnings.warn(
+                f"degenerate dense universe: the exact prefix-filtered "
+                f"join would emit ~{predicted:,} collision rows over "
+                f"{n_reps:,} distinct token sets (budget {budget:,.0f}); "
+                "routing candidate generation to MinHash banding — "
+                "precision stays exact (popcount verify), recall is the "
+                "banding curve. Pass collision_budget=math.inf for the "
+                "exact path regardless of cost.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            cands = _minhash_lsh_candidates(
+                mem.select(
+                    F.col("rep").alias("doc_id"),
+                    F.col("tok_id").alias("tok"),
+                )
+            ).select(F.col("d1").alias("r1"), F.col("d2").alias("r2"))
+            return _finish_bitmask_verify(
+                cands, d2r, rm_a, rm_b, wcols, jac, threshold,
+                n_reps, toks.sparkSession,
+            )
         p1 = pref.select(
             F.col("rep").alias("r1"),
             F.col("n").alias("n1"),
@@ -546,50 +643,73 @@ def _g02_bitmask(
             .filter((F.col("r1") < F.col("r2")) & size_ok & pos_ok)
             .select("r1", "r2")
         )
-        # The surviving collision stream inherits the join's tok_id
-        # partitioning, so one hot token's collision block (up to
-        # df^2/2 rows) lands in ONE task.  When masks are WIDE the
-        # per-collision popcount verify is the dominant cost and that
-        # imbalance is a straggler cliff — a round-robin rebalance took
-        # the 10x study's gram corpus (30 words) from 1280 s to 513 s.
-        # When masks are NARROW the verify is cheap and the O(
-        # collisions) exchange itself dominates — the same rebalance
-        # took the word corpus (5 words) from 28 s to 85 s.  Rebalance
-        # only when the verify is wide enough to pay for it.
-        if len(wcols) >= 16:
-            # Platforms with AQE auto-optimized shuffle report the conf
-            # as the non-numeric string 'auto' (ADVICE r12) — fall back
-            # to the cluster's default parallelism rather than crash.
-            conf_val = toks.sparkSession.conf.get(
-                "spark.sql.shuffle.partitions"
-            )
-            try:
-                n_parts = int(conf_val)
-            except (TypeError, ValueError):
-                n_parts = toks.sparkSession.sparkContext.defaultParallelism
-            cands = cands.repartition(n_parts)
-        # The rep tables are n_reps x (16 + 8*words) bytes — tiny next
-        # to the candidate stream, but right at Spark's 10 MB default
-        # broadcast threshold at the 10x-study scale, where missing the
-        # broadcast turns the verify into a sort-merge join that SORTS
-        # the full candidate stream (measured: g02d's sf1 verify ran
-        # 20+ min as SMJ).  Hint the broadcast explicitly while the
-        # table is provably small; past ~200 MB let AQE pick (a shuffle
-        # join is then genuinely required).
-        rep_bytes = n_reps * (16 + 8 * len(wcols))
-        if rep_bytes <= 200 * 1024 * 1024:
-            rm_a, rm_b = F.broadcast(rm_a), F.broadcast(rm_b)
-        qual = (
-            cands.join(rm_a, "r1")
-            .join(rm_b, "r2")
-            .filter(jac >= threshold)
-            .select("r1", "r2", duck_round(jac, 6).alias("jaccard"))
-            .distinct()
+        return _finish_bitmask_verify(
+            cands, d2r, rm_a, rm_b, wcols, jac, threshold,
+            n_reps, toks.sparkSession,
         )
 
-    # Expand qualifying representative pairs to doc pairs; reps are
-    # distinct masks, so the two doc groups are disjoint and
-    # least/greatest yields d1 < d2 directly.
+
+def _finish_bitmask_verify(
+    cands: DataFrame,
+    d2r: DataFrame,
+    rm_a: DataFrame,
+    rm_b: DataFrame,
+    wcols: list[str],
+    jac: Column,
+    threshold: float,
+    n_reps: int,
+    spark: SparkSession,
+) -> DataFrame:
+    """Shared verify+expand tail of the bitmap strategy: exact popcount
+    verification of (r1, r2) candidate pairs — from the prefix join or
+    the degenerate-universe banding route — then representative->doc
+    expansion."""
+    # The surviving collision stream inherits the upstream join's key
+    # partitioning, so one hot key's collision block (up to df^2/2
+    # rows) lands in ONE task.  When masks are WIDE the per-collision
+    # popcount verify is the dominant cost and that imbalance is a
+    # straggler cliff — a round-robin rebalance took the 10x study's
+    # gram corpus (30 words) from 1280 s to 513 s.  When masks are
+    # NARROW the verify is cheap and the O(collisions) exchange itself
+    # dominates — the same rebalance took the word corpus (5 words)
+    # from 28 s to 85 s.  Rebalance only when the verify is wide
+    # enough to pay for it.
+    if len(wcols) >= 16:
+        # Platforms with AQE auto-optimized shuffle report the conf
+        # as the non-numeric string 'auto' (ADVICE r12) — fall back
+        # to the cluster's default parallelism rather than crash.
+        conf_val = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            n_parts = int(conf_val)
+        except (TypeError, ValueError):
+            n_parts = spark.sparkContext.defaultParallelism
+        cands = cands.repartition(n_parts)
+    # The rep tables are n_reps x (16 + 8*words) bytes — tiny next
+    # to the candidate stream, but right at Spark's 10 MB default
+    # broadcast threshold at the 10x-study scale, where missing the
+    # broadcast turns the verify into a sort-merge join that SORTS
+    # the full candidate stream (measured: g02d's sf1 verify ran
+    # 20+ min as SMJ).  Hint the broadcast explicitly while the
+    # table is provably small; past ~200 MB let AQE pick (a shuffle
+    # join is then genuinely required).
+    rep_bytes = n_reps * (16 + 8 * len(wcols))
+    if rep_bytes <= 200 * 1024 * 1024:
+        rm_a, rm_b = F.broadcast(rm_a), F.broadcast(rm_b)
+    qual = (
+        cands.join(rm_a, "r1")
+        .join(rm_b, "r2")
+        .filter(jac >= threshold)
+        .select("r1", "r2", duck_round(jac, 6).alias("jaccard"))
+        .distinct()
+    )
+    return _expand_mask_pairs(qual, d2r)
+
+
+def _expand_mask_pairs(qual: DataFrame, d2r: DataFrame) -> DataFrame:
+    """Expand qualifying representative pairs to doc pairs; reps are
+    distinct masks, so the two doc groups are disjoint and
+    least/greatest yields d1 < d2 directly.  Docs sharing one mask
+    have IDENTICAL token sets: jaccard 1.0."""
     e1 = d2r.select(F.col("rep").alias("r1"), F.col("doc_id").alias("da"))
     e2 = d2r.select(F.col("rep").alias("r2"), F.col("doc_id").alias("db"))
     cross = (
@@ -601,7 +721,6 @@ def _g02_bitmask(
             "jaccard",
         )
     )
-    # Docs sharing one mask have IDENTICAL token sets: jaccard 1.0.
     g1 = d2r.select("rep", F.col("doc_id").alias("d1")).alias("g1")
     g2 = d2r.select("rep", F.col("doc_id").alias("d2")).alias("g2")
     same = (

@@ -82,6 +82,48 @@ def test_bitmask_prefix_branch_equals_allpairs(spark, sf_dir, monkeypatch):
         assert len(base) > 0
 
 
+def test_degenerate_universe_routes_to_banding(spark, sf_dir, monkeypatch):
+    """VERDICT r12 #6: when the prefix branch's plan-time collision
+    prediction exceeds the budget (a degenerate dense universe — no
+    subquadratic exact candidate set exists), candidate generation
+    auto-routes to MinHash banding without the caller doing anything.
+    Forced here by zeroing both the all-pairs cutoff and the budget:
+    (a) a RuntimeWarning documents the switch; (b) the routed result is
+    a SUBSET of the exact pairs (the popcount verify keeps precision
+    1); (c) recall on the duplicate-heavy fixture is high (same-mask
+    duplicates are emitted unconditionally; only cross-mask pairs ride
+    the banding curve); (d) the default budget keeps the fixture on
+    the exact path, warning-free and bit-identical."""
+    import warnings as _w
+
+    import data_lake_staging_engine_spark.operators.llmops as llmops
+
+    toks = _tokens(load(spark, sf_dir, "documents"))
+    vocab_n = toks.select("tok").distinct().count()
+    exact = {tuple(r) for r in _g02_bitmask(toks, vocab_n, 0.8).collect()}
+    monkeypatch.setattr(llmops, "_ALLPAIRS_MAX_REPS", 0)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        routed = {
+            tuple(r)
+            for r in llmops._g02_bitmask(
+                toks, vocab_n, 0.8, collision_budget=0
+            ).collect()
+        }
+    assert any("MinHash banding" in str(w.message) for w in caught)
+    assert routed <= exact  # precision 1
+    assert len(routed) >= 0.5 * len(exact)  # banding recall, dup-heavy
+    with _w.catch_warnings(record=True) as caught2:
+        _w.simplefilter("always")
+        dflt = {
+            tuple(r)
+            for r in llmops._g02_bitmask(toks, vocab_n, 0.8).collect()
+        }
+    monkeypatch.undo()
+    assert dflt == exact
+    assert not any("MinHash banding" in str(w.message) for w in caught2)
+
+
 def _fixture_shingles(d):
     positions = F.when(
         F.length("text") >= 3, F.sequence(F.lit(1), F.length("text") - 2)
