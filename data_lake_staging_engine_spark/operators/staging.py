@@ -949,7 +949,14 @@ def a26_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     and this loop disappears; the operator itself is a map-only scan).
     binaryFile streams each object as one row, so partitioning follows
     the file listing: one task per object up to maxPartitionBytes
-    packing, which is the right unit for whole-file codecs."""
+    packing, which is the right unit for whole-file codecs.
+
+    ZERO-BYTE objects are silently absent from the scan — Spark's file
+    sources drop 0-length files at split planning (pinned by the
+    round-13 binary-hostile axis, tests/test_binary_hostile.py).  When
+    a zero-byte object means upstream failure, reconcile the raw file
+    LISTING count against the scanned row count; the scan alone cannot
+    see them.  >=256 MB objects round-trip whole (same test)."""
     out = _tmpdir("bin")
     names = [
         r.r_name

@@ -496,6 +496,42 @@ def make_decoder():
     return decode_payload
 
 
+def make_safe_decoder():
+    """Quarantining twin of ``make_decoder`` (round-13 binary-hostile
+    axis): returns ``(features, error)`` instead of raising, so ONE
+    corrupt blob in a 100 TB landing quarantines as an error row
+    instead of killing the whole decode stage — the a14 bad-records
+    philosophy applied at the binary boundary.  ``features`` is the
+    all-None dict when ``error`` is set; short/truncated payloads are
+    caught the same way as bad magic (``struct.unpack_from`` raises on
+    a header shorter than its format).  Strict ``make_decoder`` stays
+    the fixture-parity decoder (a malformed blob in the SYNTHESIZED
+    fixture is a bug and must crash loudly); this is the one to ship
+    against real object stores."""
+    decode = make_decoder()
+    none = {
+        "width": None,
+        "height": None,
+        "channels": None,
+        "sample_rate": None,
+        "n_samples": None,
+    }
+
+    def decode_or_quarantine(
+        payload: bytes | None, modality: str
+    ) -> tuple[dict, str | None]:
+        if payload is None and modality in ("image", "audio"):
+            return dict(none), "null payload"
+        try:
+            return decode(payload, modality), None
+        except NotImplementedError as exc:
+            return dict(none), str(exc)
+        except Exception as exc:  # malformed container, truncated bytes
+            return dict(none), f"{type(exc).__name__}: {exc}"
+
+    return decode_or_quarantine
+
+
 @query(
     "f08_multimodal_decode",
     oracle="""

@@ -544,6 +544,48 @@ TRANSFORMS_SKEW_HOSTILE = {
 }
 
 
+# BINARY-HOSTILE corpus (round 13): the ninth hostile axis — PAYLOAD
+# SHAPE through the multimodal/binary family (a26/f08/f09/g09) and
+# every text operator that feeds it.  The fixture documents are polite
+# ~100-char ASCII lines; a real object-store landing has zero-byte
+# objects (failed uploads), NULL records, multi-hundred-KB payloads
+# (the Arrow batch boundary must carry them), and control bytes
+# embedded in "text" (NUL, SOH, DEL — valid UTF-8, hostile to any
+# C-string or printable-ASCII assumption in an operator or its
+# oracle).  Blob-level corruption (bad magic, truncated headers,
+# >=256 MB objects) cannot be expressed through a parquet text column
+# — tests/test_binary_hostile.py drives those directly at the
+# decoder and the binaryFile scan.
+#
+# doc_id % 23 classes: 0 -> empty string (zero-byte payload), 1 ->
+# NULL, 2 -> ~100 KB repeat (huge payload through the JVM<->Arrow
+# boundary and the shingler), 3 -> control bytes appended.  Keys,
+# clocks, measures, and every other table stay sane: this axis
+# isolates PAYLOAD SHAPE.
+# ---------------------------------------------------------------------------
+
+TRANSFORMS_BINARY_HOSTILE = {
+    "documents": """
+        WITH rewritten AS (
+          SELECT doc_id,
+            CASE
+              WHEN doc_id % 23 = 0 THEN ''
+              WHEN doc_id % 23 = 1 THEN NULL
+              WHEN doc_id % 23 = 2 THEN repeat(text, 800)
+              WHEN doc_id % 23 = 3
+                THEN text || chr(0) || chr(1) || chr(127) || 'ctlbytes'
+              ELSE text
+            END AS text,
+            lang, source
+          FROM src
+        )
+        SELECT doc_id, text, lang, source,
+               length(text)::BIGINT AS n_chars
+        FROM rewritten
+    """,
+}
+
+
 def build(
     out_dir: str,
     src_dir: str,
@@ -553,6 +595,7 @@ def build(
     text_hostile: bool = False,
     numeric_hostile: bool = False,
     skew_hostile: bool = False,
+    binary_hostile: bool = False,
 ) -> None:
     """skew_only=True applies only the RELATIONAL skew rewrites (hot
     keys, tie storms, NULL values) and copies documents/embeddings
@@ -579,10 +622,15 @@ def build(
     skew_hostile=True applies the ZIPFIAN key-distribution rewrites
     plus the dominant-token document rewrite (see the
     TRANSFORMS_SKEW_HOSTILE comment block) and copies every other
+    table unchanged.
+
+    binary_hostile=True applies the PAYLOAD-SHAPE document rewrites
+    (zero-byte / NULL / ~100 KB / control-byte texts — see the
+    TRANSFORMS_BINARY_HOSTILE comment block) and copies every other
     table unchanged."""
     assert (
         skew_only + time_hostile + null_keys + text_hostile
-        + numeric_hostile + skew_hostile
+        + numeric_hostile + skew_hostile + binary_hostile
     ) <= 1, "pick one mode"
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
@@ -599,6 +647,8 @@ def build(
         if numeric_hostile
         else TRANSFORMS_SKEW_HOSTILE
         if skew_hostile
+        else TRANSFORMS_BINARY_HOSTILE
+        if binary_hostile
         else TRANSFORMS
     )
     for table in COPY_AS_IS + tuple(TRANSFORMS):
@@ -624,7 +674,7 @@ def build(
 
 _KNOWN_FLAGS = {
     "--skew-only", "--time-hostile", "--null-keys", "--text-hostile",
-    "--numeric-hostile", "--skew-hostile",
+    "--numeric-hostile", "--skew-hostile", "--binary-hostile",
 }
 
 if __name__ == "__main__":
@@ -650,4 +700,5 @@ if __name__ == "__main__":
         text_hostile="--text-hostile" in sys.argv,
         numeric_hostile="--numeric-hostile" in sys.argv,
         skew_hostile="--skew-hostile" in sys.argv,
+        binary_hostile="--binary-hostile" in sys.argv,
     )
