@@ -176,6 +176,10 @@ CHANGED_IN: dict[str, int] = {
     "g21_dedup_agreement": 13,
     "g26_dedup_clusters": 13,
     "g30_dedup_incremental": 13,
+    # a23's narrow float32 leg gained the out-of-range loud-failure
+    # guard (round-13 hostile matrix finding: Spark saturates -1e300
+    # to -Inf where DuckDB refuses the cast).
+    "a23_schema_widening": 13,
     # scaled_state_partitions gained the same 'auto' fallback — every
     # stateful streaming query sizes its state store through it.
     "e01_stream_tumbling": 13,

@@ -847,12 +847,30 @@ def a23_schema_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).isNull(),
         F.col("user_id"),
     ).cast("int")
+    # Same loud-failure posture for the narrow FLOAT leg: Spark's
+    # non-ANSI double->float cast saturates an out-of-float32-range
+    # value to +-Infinity (silent corruption of the staged feed), and
+    # DuckDB refuses the same cast outright — the round-13 hostile
+    # matrix caught the divergence on the numeric-hostile corpus's
+    # -1e300 class.  Guard in-pass (distributed, same scan); NULLs and
+    # already-infinite feed values pass through untouched.
+    val_float32 = F.when(
+        F.assert_true(
+            F.col("value").isNull()
+            | F.isnan("value")
+            | F.col("value").isin(float("inf"), float("-inf"))
+            | (F.abs(F.col("value")) <= F.lit(3.4028234663852886e38)),
+            "a23: value exceeds float32 range; narrow staging write "
+            "would saturate to Infinity",
+        ).isNull(),
+        F.col("value"),
+    ).cast("float")
     (
         e.filter(F.col("event_id") % 2 == 0)
         .select(
             "event_id",
             uid_int32.alias("user_id"),
-            F.col("value").cast("float").alias("value"),
+            val_float32.alias("value"),
         )
         .write.parquet(old_dir)
     )

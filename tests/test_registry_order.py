@@ -43,6 +43,8 @@ CHANGED_BAND: set[str] = {
     "g21_dedup_agreement",
     "g26_dedup_clusters",
     "g30_dedup_incremental",
+    # a23 narrow-float32 out-of-range guard (round-13 hostile matrix)
+    "a23_schema_widening",
     # same fallback in scaled_state_partitions — every stateful
     # streaming query sizes its state store through it
     "e01_stream_tumbling",
