@@ -180,6 +180,12 @@ CHANGED_IN: dict[str, int] = {
     # guard (round-13 hostile matrix finding: Spark saturates -1e300
     # to -Inf where DuckDB refuses the cast).
     "a23_schema_widening": 13,
+    # Maintenance ops lifted onto the fs backend abstraction (VERDICT
+    # r12 #9): a13 drives StagingPipeline (restore/commit-listing text
+    # changed), a22 drives VersionedTable (manifest flip/read text
+    # changed).
+    "a13_stream_ingest_foreachbatch": 13,
+    "a22_versioned_snapshot": 13,
     # scaled_state_partitions gained the same 'auto' fallback — every
     # stateful streaming query sizes its state store through it.
     "e01_stream_tumbling": 13,

@@ -25,10 +25,17 @@ Design (same discipline as the table formats it miniaturizes):
   knob); the current and previous versions are always retained
   (``keep_last`` is floored at 1, and ``latest`` is always kept).
 
-Local-filesystem only, like the pipeline's ``compact_staged`` — the
-manifest flip relies on POSIX ``os.replace`` atomicity and the sweep on
-``os.listdir``.  On object stores use a transactional table format;
-this module is the single-node/dev/NFS shape of that idea.
+Storage backends (round 13, VERDICT r12 #9): bare paths use POSIX
+primitives (``os.replace`` manifest flip — atomic), URI-schemed roots
+(hdfs://, s3a://, file://) go through the Hadoop FileSystem gateway
+(``fs.HadoopFS``) and require a live SparkSession at construction.
+The Hadoop flip is ``.tmp`` + delete + rename — atomic per-op on
+HDFS-class stores but with a crash window where the manifest is
+missing and ``manifest.json.tmp`` holds the NEW content; ``_meta``
+ADOPTS the tmp in that state, so the journal protocol stays
+crash-safe.  Single-writer discipline (one publisher/vacuumer at a
+time) is the documented contract on every backend; for concurrent
+multi-writer commits use a transactional table format.
 """
 
 from __future__ import annotations
@@ -36,16 +43,15 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
-#: URI-schemed path (s3a://, hdfs://, file://, ...) — the manifest /
-#: compaction / recovery helpers in this package use local-POSIX
-#: primitives (os.replace, os.rename, os.listdir) that silently
-#: misbehave or raise on these.  Shared with pipeline.compact_staged.
-_URI_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://")
+from data_lake_staging_engine_spark.fs import (
+    URI_SCHEME as _URI_SCHEME,
+    filesystem_for,
+    write_json_replace,
+)
 
 _VDIR = re.compile(r"^v(\d+)$")
 
@@ -53,29 +59,33 @@ _VDIR = re.compile(r"^v(\d+)$")
 class VersionedTable:
     """Manifest-pointer versioned parquet table rooted at ``root``."""
 
-    def __init__(self, root: str) -> None:
-        if _URI_SCHEME.match(root):
-            raise NotImplementedError(
-                f"VersionedTable requires a local filesystem root "
-                f"(atomic os.replace manifest flip); got {root!r}.  On "
-                "cluster storage use a transactional table format."
-            )
+    def __init__(self, root: str, spark: SparkSession | None = None) -> None:
         self.root = root
+        # URI roots (hdfs://, s3a://, file://) go through the Hadoop
+        # FileSystem gateway and need a live session; bare paths keep
+        # the POSIX primitives and need none (pre-round-13 behavior).
+        self._fs = filesystem_for(root, spark)
         self.manifest = os.path.join(root, "manifest.json")
-        os.makedirs(root, exist_ok=True)
+        self._fs.makedirs(root)
 
     # -- manifest ---------------------------------------------------------
     def _meta(self) -> dict:
-        if not os.path.exists(self.manifest):
-            return {"latest": None, "versions": []}
-        with open(self.manifest) as f:
-            return json.load(f)
+        if not self._fs.exists(self.manifest):
+            # Hadoop-backend crash window: the flip's delete landed but
+            # its rename did not — the .tmp holds the COMPLETE new
+            # manifest (written before the delete), so adopt it.  On
+            # the POSIX backend os.replace is atomic and a stray .tmp
+            # next to a live manifest is just pre-replace debris
+            # (ignored here because the manifest exists).
+            tmp = self.manifest + ".tmp"
+            if self._fs.exists(tmp):
+                self._fs.rename(tmp, self.manifest)
+            else:
+                return {"latest": None, "versions": []}
+        return json.loads(self._fs.read_text(self.manifest))
 
     def _flip(self, meta: dict) -> None:
-        tmp = self.manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, self.manifest)  # atomic pointer flip
+        write_json_replace(self._fs, self.manifest, meta)
 
     def versions(self) -> list[int]:
         return [v["version"] for v in self._meta()["versions"]]
@@ -145,10 +155,10 @@ class VersionedTable:
         # above latest is harmless — the next publish targets the same
         # number and overwrites it.
         latest = meta["latest"]
-        for name in sorted(os.listdir(self.root)):
+        for name in sorted(self._fs.listdir(self.root)):
             m = _VDIR.match(name)
             if m and name not in kept_dirs and int(m.group(1)) <= latest:
-                shutil.rmtree(os.path.join(self.root, name), ignore_errors=True)
+                self._fs.rmtree(os.path.join(self.root, name))
                 v = int(m.group(1))
                 if v not in dropped and v not in {
                     entry["version"] for entry in keep

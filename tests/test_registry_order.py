@@ -45,6 +45,9 @@ CHANGED_BAND: set[str] = {
     "g30_dedup_incremental",
     # a23 narrow-float32 out-of-range guard (round-13 hostile matrix)
     "a23_schema_widening",
+    # maintenance ops lifted onto the fs backend abstraction
+    "a13_stream_ingest_foreachbatch",
+    "a22_versioned_snapshot",
     # same fallback in scaled_state_partitions — every stateful
     # streaming query sizes its state store through it
     "e01_stream_tumbling",
