@@ -132,6 +132,7 @@ def run_to_memory(
     finally:
         if saved_shuffle is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
+    _capture_run_stats(q, checkpoint)
     sink = spark.table(name)
     rows = sink.collect()
     schema = sink.schema
@@ -139,3 +140,36 @@ def run_to_memory(
     spark.streams.resetTerminated()
     shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.createDataFrame(rows, schema)
+
+
+#: Stats of the most recent ``run_to_memory`` drain — state-store rows
+#: (from the progress events) and on-disk state dir bytes (measured
+#: before the checkpoint is released).  Consumed by
+#: scripts/state_growth_study.py; best-effort and never raises.
+LAST_RUN_STATS: dict | None = None
+
+
+def _capture_run_stats(q, checkpoint: str) -> None:
+    global LAST_RUN_STATS
+    try:
+        state_rows = 0
+        batches = 0
+        for p in q.recentProgress:
+            batches += 1
+            for so in p.get("stateOperators") or []:
+                state_rows = max(state_rows, int(so.get("numRowsTotal") or 0))
+        state_bytes = 0
+        sdir = os.path.join(checkpoint, "state")
+        for root, _dirs, files in os.walk(sdir):
+            for f in files:
+                try:
+                    state_bytes += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        LAST_RUN_STATS = {
+            "state_rows": state_rows,
+            "state_dir_bytes": state_bytes,
+            "batches": batches,
+        }
+    except Exception:  # pragma: no cover - diagnostics only
+        LAST_RUN_STATS = None
