@@ -1,0 +1,90 @@
+"""Recall floors for the banding dedup scale paths (VERDICT r12 #4).
+
+The ANN floors (g03c >= 0.80 vs the exact cos>=0.4 anchor, g03e >= 0.80
+recall@5) live in tests/test_ann_recall.py since round 2; the BANDING
+DEDUP paths (g02b/g02e/g02c) had precision/subset pins but no recall
+floor — "use banding at 100 TB" was fast but unquantified.  Measured
+round 13 (scripts/recall_study.py, deterministic seeded hashes — the
+values are constants per fixture):
+
+| path                     | sf0.01 | sf0.1  | sf1 (10x replica) |
+| g02b vs exact g02        | 0.9649 | 0.9549 | see BASELINE.md   |
+| g02e vs exact g02d       | 1.0    | 1.0    | see BASELINE.md   |
+| g02c candidates vs g02d  | 0.68   | 0.6719 | see BASELINE.md   |
+
+Floors sit measured-minus-margin so a parameter regression (fewer
+bands, broken seeding, a banding bug) fails loudly rather than riding
+slack.  The sf1 pins run whenever the 10x replica exists at
+/tmp/sf1_replica (scripts/make_replicated_copy.py builds it) and skip
+otherwise — the full ladder numbers are recorded in BASELINE.md r13.
+"""
+
+import os
+
+import pytest
+
+from data_lake_staging_engine_spark.registry import registry
+
+_REG = registry()
+_SF1 = "/tmp/sf1_replica"
+
+
+def _pairs(df):
+    return df.select("d1", "d2")
+
+
+def _recall(approx, exact, subset=True):
+    n_exact = exact.count()
+    assert n_exact > 0
+    n_hit = approx.join(exact, ["d1", "d2"]).count()
+    if subset:
+        assert approx.join(exact, ["d1", "d2"], "left_anti").count() == 0
+    return n_hit / n_exact
+
+
+def test_g02b_recall_floor(spark, sf_dir):
+    exact = _pairs(_REG["g02_dedup_near"].fn(spark, sf_dir))
+    band = _pairs(_REG["g02b_dedup_lsh"].fn(spark, sf_dir))
+    r = _recall(band, exact)
+    assert r >= 0.90, f"g02b recall vs exact g02 fell to {r:.4f}"
+
+
+def test_g02e_recall_floor(spark, sf_dir):
+    exact = _pairs(_REG["g02d_dedup_ngram"].fn(spark, sf_dir))
+    band = _pairs(_REG["g02e_dedup_lsh_shingle"].fn(spark, sf_dir))
+    r = _recall(band, exact)
+    assert r >= 0.90, f"g02e recall vs exact g02d fell to {r:.4f}"
+
+
+def test_g02c_candidate_recall_floor(spark, sf_dir):
+    """SimHash emits UNVERIFIED candidate pairs (no subset property);
+    its value is cheap blocking, so the pin is candidate recall."""
+    exact = _pairs(_REG["g02d_dedup_ngram"].fn(spark, sf_dir))
+    sim = _pairs(_REG["g02c_dedup_simhash"].fn(spark, sf_dir))
+    r = _recall(sim, exact, subset=False)
+    assert r >= 0.55, f"g02c candidate recall vs g02d fell to {r:.4f}"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF1), reason="10x replica not built (see docstring)"
+)
+def test_g02b_recall_floor_at_10x(spark):
+    """The 10x step is where banding recall could silently sag (more
+    docs per band bucket, more near-miss pairs).  Exact g02 at the
+    replica is ~40 s, g02b ~2 min — gated on the replica existing."""
+    exact = _pairs(_REG["g02_dedup_near"].fn(spark, _SF1))
+    band = _pairs(_REG["g02b_dedup_lsh"].fn(spark, _SF1))
+    r = _recall(band, exact)
+    assert r >= 0.90, f"g02b 10x recall fell to {r:.4f}"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(_SF1), reason="10x replica not built (see docstring)"
+)
+def test_g03e_recall_at5_floor_at_10x(spark):
+    knn = _REG["g03b_simsearch_knn"].fn(spark, _SF1).select("qid", "cid")
+    ivf = _REG["g03e_simsearch_ivf"].fn(spark, _SF1).select("qid", "cid")
+    n = knn.count()
+    assert n > 0
+    r = ivf.join(knn, ["qid", "cid"]).count() / n
+    assert r >= 0.80, f"g03e 10x recall@5 fell to {r:.4f}"
