@@ -66,6 +66,9 @@ class LocalFS:
     def rmtree(self, path: str) -> None:
         shutil.rmtree(path, ignore_errors=True)
 
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
     def read_text(self, path: str) -> str:
         with open(path) as f:
             return f.read()
@@ -128,6 +131,9 @@ class HadoopFS:
         p = self._p(path)
         if self._fs.exists(p):
             self._fs.delete(p, True)
+
+    def size(self, path: str) -> int:
+        return int(self._fs.getFileStatus(self._p(path)).getLen())
 
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._p(path))

@@ -995,6 +995,66 @@ def a26_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a30_landing_reconcile",
+    oracle="""
+    SELECT doc_id || '.bin' AS file_name,
+           CAST(coalesce(strlen(text), 0) AS BIGINT) AS listed_bytes,
+           CAST(CASE WHEN coalesce(strlen(text), 0) > 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS scanned
+    FROM documents
+    """,
+)
+def a30_landing_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-vs-scan reconciliation — productizes the round-13
+    binary-hostile axis finding (tests/test_binary_hostile.py): Spark's
+    file sources drop 0-length objects at split planning, so a failed
+    upload is silently INVISIBLE to the a26 binaryFile scan.  This
+    operator joins the raw file LISTING (metadata: name + byte length,
+    via the fs backend — POSIX locally, Hadoop listStatus on
+    hdfs://s3a://, or an object-store inventory feed at 100 TB)
+    against the scan, emitting one row per LISTED object with
+    ``scanned`` = whether the scan can see it — the guard a pipeline
+    runs when zero-byte objects mean upstream failure.
+
+    The listing is a metadata-scale input (names+sizes, not content) —
+    parallelized into a DataFrame and joined distributed; the scan side
+    projects file identity only, so the content bytes never move for
+    the reconcile.  Fixture: one blob per document (utf-8 text;
+    empty/NULL texts land zero-byte objects — the failure class under
+    reconciliation)."""
+    from data_lake_staging_engine_spark.fs import filesystem_for
+
+    out = _tmpdir("reconcile")
+    rows = (
+        load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    )  # fixture landing write (dim-bounded here; real landings exist)
+    for r in rows:
+        with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as fh:
+            fh.write((r.text or "").encode("utf-8"))
+    fs = filesystem_for(out, spark)
+    listing = spark.createDataFrame(
+        [
+            (name, fs.size(os.path.join(out, name)))
+            for name in fs.listdir(out)
+        ],
+        "file_name string, listed_bytes long",
+    )
+    scanned = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.lit(1).cast("long").alias("scanned"),
+        )
+    )
+    return listing.join(scanned, "file_name", "left").select(
+        "file_name",
+        "listed_bytes",
+        F.coalesce("scanned", F.lit(0).cast("long")).alias("scanned"),
+    )
+
+
+@query(
     "a27_scan_text",
     oracle="SELECT doc_id, text FROM documents",
 )

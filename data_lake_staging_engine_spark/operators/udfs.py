@@ -621,6 +621,124 @@ def f08_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f08b_multimodal_quarantine",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, doc_id % 3 AS m, strlen(text) AS tb,
+             doc_id % 61 + 1 AS w, doc_id % 47 + 1 AS h,
+             doc_id % 2 + 1 AS ch, 8000 + (doc_id % 8) * 1000 AS rate,
+             doc_id % 32 + 1 AS ns,
+             CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS corrupt
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE m WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'text' END AS modality,
+           CAST(CASE m WHEN 0 THEN 54 + (w*3 + (4 - (w*3) % 4) % 4) * h
+                       WHEN 1 THEN 44 + ns * ch * 2
+                       ELSE tb END AS BIGINT) AS payload_bytes,
+           CAST(CASE WHEN m = 0 AND corrupt = 0 THEN w END AS BIGINT)
+             AS width,
+           CAST(CASE WHEN m = 0 AND corrupt = 0 THEN h END AS BIGINT)
+             AS height,
+           CAST(CASE WHEN m = 1 AND corrupt = 0 THEN ch END AS BIGINT)
+             AS channels,
+           CAST(CASE WHEN m = 1 AND corrupt = 0 THEN rate END AS BIGINT)
+             AS sample_rate,
+           CAST(CASE WHEN m = 1 AND corrupt = 0 THEN ns END AS BIGINT)
+             AS n_samples,
+           CAST(CASE WHEN corrupt = 1 AND m < 2 THEN 1 ELSE 0 END
+                AS BIGINT) AS is_quarantined
+    FROM m
+    """,
+)
+def f08b_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f08's decode stage against a DIRTY landing: a deterministic
+    subset of container payloads (doc_id % 7 == 0) has its magic bytes
+    corrupted in flight, and the decode runs through
+    ``make_safe_decoder`` — malformed blobs become quarantine rows
+    (features NULL, is_quarantined = 1) instead of killing the stage.
+    Productizes the round-13 binary-hostile posture as a registered
+    operator: the strict decoder (f08) is the fixture-parity twin, this
+    is the shape to ship against a real object store where one corrupt
+    blob must not fail a 100 TB decode.
+
+    Same two narrow Arrow-batched stages as f08 (no shuffle, scan
+    partitioning); the oracle recomputes every field — including WHICH
+    rows quarantine — from the doc_id formulas, so the corrupt->catch->
+    NULL-features round trip is what hash-matches.  Text payloads are
+    corrupted too but carry no container magic, so they pass through
+    undamaged (opaque bytes) — quarantine applies to containers only."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    encode_payload = make_encoder()
+    safe_decode = make_safe_decoder()
+
+    def encode_and_corrupt(batches):
+        for pdf in batches:
+            enc = [
+                encode_payload(i, t) for i, t in zip(pdf["doc_id"], pdf["text"])
+            ]
+            # Length-preserving corruption: XOR-flip the first <=2
+            # bytes IN PLACE (breaks BMP/RIFF magic), never append —
+            # a zero/one-byte payload (empty hostile text) must keep
+            # its byte count or the oracle's strlen algebra diverges
+            # (caught by the binary-hostile corpus, round 13).
+            payloads = [
+                (
+                    bytes(b ^ 0xFF for b in p[:2]) + p[2:]
+                    if (p is not None and i % 7 == 0)
+                    else p
+                )
+                for i, (_m, p) in zip(pdf["doc_id"], enc)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": [m for m, _ in enc],
+                    "payload": payloads,
+                }
+            )
+
+    encoded = d.mapInPandas(
+        encode_and_corrupt, "doc_id bigint, modality string, payload binary"
+    )
+
+    def extract(batches):
+        for pdf in batches:
+            decoded = [
+                safe_decode(p, m)
+                for p, m in zip(pdf["payload"], pdf["modality"])
+            ]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "modality": pdf["modality"],
+                "payload_bytes": pd.array(
+                    [None if p is None else len(p) for p in pdf["payload"]],
+                    dtype="Int64",
+                ),
+            }
+            for field in (
+                "width", "height", "channels", "sample_rate", "n_samples"
+            ):
+                out[field] = pd.array(
+                    [f[field] for f, _err in decoded], dtype="Int64"
+                )
+            out["is_quarantined"] = pd.array(
+                [0 if err is None else 1 for _f, err in decoded],
+                dtype="Int64",
+            )
+            yield pd.DataFrame(out)
+
+    schema = StructType(
+        MULTIMODAL_FEATURE_SCHEMA.fields
+        + [StructField("is_quarantined", LongType())]
+    )
+    return encoded.mapInPandas(extract, schema)
+
+
+@query(
     "f09_multimodal_framesample",
     oracle="""
     WITH p AS (

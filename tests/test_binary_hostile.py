@@ -98,7 +98,9 @@ def test_corpus_has_all_payload_classes(bin_duck):
 _BINARY_FAMILY = [
     "a26_scan_binaryfile",
     "a27_scan_text",
+    "a30_landing_reconcile",
     "f08_multimodal_decode",
+    "f08b_multimodal_quarantine",
     "f09_multimodal_framesample",
     "g09_multimodal_record",
     "g05_text_tokenize",

@@ -66,6 +66,11 @@ CHANGED_BAND: set[str] = {
 # construction wherever it registers.
 ENV_GATED = {"e10_transform_with_state"}
 
+# Freshly registered this round — no driver row can exist yet; they sit
+# in band 0 (never-verified) and lead the sweep window.  Fold into
+# LAST_VERIFIED (and empty this set) once CORRECTNESS_r13 lands.
+NEW_IN_ROUND = {"a30_landing_reconcile", "f08b_multimodal_quarantine"}
+
 
 def _band0(reg):
     return sorted(n for n in reg if changed_since_verified(n))
@@ -76,7 +81,7 @@ def test_changed_band_heads_the_window():
     names = list(reg)
     head = _band0(reg)
     assert names[: len(head)] == head
-    assert set(head) - ENV_GATED == CHANGED_BAND
+    assert set(head) - ENV_GATED == CHANGED_BAND | NEW_IN_ROUND
     # Every changed marker refers to a real, already-verified query.
     assert set(CHANGED_IN) <= DRIVER_VERIFIED
 
@@ -151,7 +156,7 @@ def test_all_queries_have_driver_evidence():
     # Every registered query is evidenced, modulo a freshly-registered
     # env-gated variant; every evidenced name is really registered —
     # no typo can silently drop a query out of the rotation.
-    assert set(reg) - known <= ENV_GATED
+    assert set(reg) - known <= ENV_GATED | NEW_IN_ROUND
     assert known <= set(reg)
     assert len(reg) >= len(known)
 
