@@ -1002,6 +1002,7 @@ def a26_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN coalesce(strlen(text), 0) > 0 THEN 1 ELSE 0 END
                 AS BIGINT) AS scanned
     FROM documents
+    WHERE doc_id < 64
     """,
 )
 def a30_landing_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1019,15 +1020,21 @@ def a30_landing_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The listing is a metadata-scale input (names+sizes, not content) —
     parallelized into a DataFrame and joined distributed; the scan side
     projects file identity only, so the content bytes never move for
-    the reconcile.  Fixture: one blob per document (utf-8 text;
-    empty/NULL texts land zero-byte objects — the failure class under
-    reconciliation)."""
+    the reconcile.  Fixture: one blob per document of a CONSTANT
+    64-doc slice (utf-8 text; empty/NULL texts land zero-byte objects
+    — the failure class under reconciliation).  The slice keeps the
+    fixture write bounded like a26's dimension loop — at 100 TB the
+    landing already exists in object storage and this loop disappears;
+    the OPERATOR is the listing + scan + distributed join."""
     from data_lake_staging_engine_spark.fs import filesystem_for
 
     out = _tmpdir("reconcile")
     rows = (
-        load(spark, sf_dir, "documents").select("doc_id", "text").collect()
-    )  # fixture landing write (dim-bounded here; real landings exist)
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 64)
+        .collect()
+    )  # constant-bounded fixture landing write (see docstring)
     for r in rows:
         with open(os.path.join(out, f"{r.doc_id}.bin"), "wb") as fh:
             fh.write((r.text or "").encode("utf-8"))

@@ -222,9 +222,10 @@ def test_no_driver_collect_in_operator_bodies():
     import pathlib
 
     pkg = pathlib.Path(__file__).resolve().parents[1] / "data_lake_staging_engine_spark"
-    # a12 scalar split point + a26's 5-row dimension fixture write
-    # (bounded by dim cardinality, not fact scale — documented in-op)
-    budget = {"operators/staging.py": 2}
+    # a12 scalar split point + a26's 5-row dimension fixture write +
+    # a30's constant 64-doc fixture landing write (all bounded by a
+    # constant or dim cardinality, never fact scale — documented in-op)
+    budget = {"operators/staging.py": 3}
     for rel in [
         "operators/llmops.py",
         "operators/relational.py",
