@@ -65,6 +65,30 @@ def test_g02c_candidate_recall_floor(spark, sf_dir):
     assert r >= 0.55, f"g02c candidate recall vs g02d fell to {r:.4f}"
 
 
+def test_banding_recall_under_duplicate_storm(spark, tmp_path):
+    """The 10x replica's Caesar vocabulary keeps cross-copy near-dups
+    away BY DESIGN, so it cannot probe the regime banding exists for:
+    a crawler bug landing one boilerplate page hundreds of times.  The
+    default adversarial corpus is exactly that (60% one duplicated
+    text, 20% a token-Jaccard~0.9 near-dup of it) — measured round 13:
+    recall 1.0 for BOTH banding paths over it (g02b: 72,917 exact
+    token pairs, 0 missed; g02e: 44,356 exact shingle pairs, 0
+    missed), with 0 extras (precision 1).  Deterministic seeded
+    hashes, so pinned at 0.95 to absorb only fixture drift."""
+    from scripts.make_adversarial_corpus import build
+
+    d = str(tmp_path / "dupstorm")
+    build(d, "/root/testdata/sf0.001")
+    for approx, exact in [
+        ("g02b_dedup_lsh", "g02_dedup_near"),
+        ("g02e_dedup_lsh_shingle", "g02d_dedup_ngram"),
+    ]:
+        e = _pairs(_REG[exact].fn(spark, d))
+        a = _pairs(_REG[approx].fn(spark, d))
+        r = _recall(a, e)
+        assert r >= 0.95, f"{approx} dup-storm recall fell to {r:.4f}"
+
+
 @pytest.mark.skipif(
     not os.path.isdir(_SF1), reason="10x replica not built (see docstring)"
 )
