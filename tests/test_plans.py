@@ -242,6 +242,20 @@ def test_no_driver_collect_in_operator_bodies():
         assert n_collects <= budget.get(rel, 0), f"{rel}: {n_collects} .collect calls"
 
 
+def test_a30_reconcile_never_reads_content(spark, sf_dir):
+    """a30: the listing-vs-scan join must be a (broadcast) hash join on
+    file_name with the binaryFile side pruned to `path` alone — a plan
+    that reads `content` would move every blob's bytes to reconcile
+    METADATA, which cannot survive a 100 TB landing."""
+    plan = _plan("a30_landing_reconcile", spark, sf_dir)
+    kinds = join_kinds(plan)
+    assert kinds and all(
+        k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for k in kinds
+    ), kinds
+    assert "content" not in plan, "reconcile plan reads blob content"
+
+
 def test_lateral_join_decorrelates_to_hash_joins(spark, sf_dir):
     """b56: the LATERAL correlated aggregate must be decorrelated by
     Catalyst into aggregate-then-join — per-outer-row subquery execution
