@@ -873,13 +873,14 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_lsh_neardup(_tokens(d), probe=_tokens_raw(d))
 
 
-def _minhash_lsh_candidates(
+def _band_signatures(
     toks: DataFrame, n_hashes: int = 16, bands: int = 4
 ) -> DataFrame:
-    """MinHash banding candidate generation over any (doc_id, tok) set
-    stream: k seeded xxhash64 minhashes, hashed per band; docs sharing
-    any band signature become a candidate (d1 < d2) pair via an
-    equi-join on (band, sig). Shuffle volume O(docs * bands)."""
+    """(doc_id, band, sig) MinHash band signatures over any (doc_id,
+    tok) set stream — the unit the banding family joins on, and the
+    thing a production signature STORE persists (g32 probes new
+    batches against exactly this frame).  One corpus scan, one agg
+    shuffle (see the posexplode note below)."""
     rows_per_band = n_hashes // bands
     # minhash_i(doc) = min over tokens of hash_i(tok). Hash the (cheap
     # to re-read, expensive to hash) string ONCE per row, then derive
@@ -908,9 +909,19 @@ def _minhash_lsh_candidates(
         )
         for b in range(bands)
     ]
-    sigs = minhashes.select(
+    return minhashes.select(
         "doc_id", F.posexplode(F.array(*band_sigs)).alias("band", "sig")
     )
+
+
+def _minhash_lsh_candidates(
+    toks: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """MinHash banding candidate generation over any (doc_id, tok) set
+    stream: docs sharing any band signature (``_band_signatures``)
+    become a candidate (d1 < d2) pair via an equi-join on (band, sig).
+    Shuffle volume O(docs * bands)."""
+    sigs = _band_signatures(toks, n_hashes=n_hashes, bands=bands)
     a, b_ = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(
@@ -3229,3 +3240,81 @@ def g31_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+
+
+def incremental_band_probe(
+    newdocs: DataFrame, corpus: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Banding-index probe — the 100 TB INCREMENTAL near-dup path that
+    g30's docstring prescribes, as a callable core: the corpus's band
+    signatures are computed ONCE (the stored index; the eager
+    localCheckpoint stands in for the signature store a production
+    pipeline persists between batches), each new batch computes only
+    its OWN signatures and probes the index by (band, sig), and the
+    surviving candidates get the exact strategy-switched Jaccard
+    verify.  Cost per batch is O(batch x bucket occupancy) — the
+    corpus is never re-banded, never self-joined, and the only
+    corpus-sized work after index build is the candidate-bounded
+    verify join.
+
+    Output: one row per batch doc — (doc_id, verdict near|unique,
+    match_id = MIN matching corpus doc or NULL).  Approximate on
+    recall exactly like g02b (same bands, same seeded hashes; recall
+    floors in tests/test_dedup_recall.py); precision 1 (exact verify).
+    Batch-internal duplicates are intentionally out of scope, same as
+    ``incremental_dedup`` — the batch joins the corpus after the
+    probe, so the next batch sees it."""
+    new_toks = _tokens(newdocs)
+    # The index: banded once, reused across probes.
+    index = _band_signatures(_tokens(corpus)).localCheckpoint(eager=True)
+    probe = _band_signatures(new_toks)
+    cands = (
+        probe.alias("p")
+        .join(index.alias("i"), ["band", "sig"])
+        .select(
+            F.col("p.doc_id").alias("d1"), F.col("i.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    # Exact verify over the union token stream (both sides' sets are
+    # needed); strategy-switched like every banding verify.
+    alldocs = newdocs.select("doc_id", "text").unionByName(
+        corpus.select("doc_id", "text")
+    )
+    toks = _tokens(alldocs)
+    hit = _bitmap_vocab(toks, probe=_tokens_raw(alldocs))
+    if hit is not None:
+        vocab, vocab_n = hit
+        verified = _verify_pairs_bitmap(
+            cands, toks, vocab_n, threshold, vocab=vocab
+        )
+    else:
+        verified = _verify_pairs_token_join(cands, toks, threshold)
+    near = verified.groupBy("d1").agg(F.min("d2").alias("near_m"))
+    return (
+        newdocs.select("doc_id")
+        .join(near, newdocs["doc_id"] == near["d1"], "left")
+        .select(
+            newdocs["doc_id"],
+            F.when(F.col("near_m").isNotNull(), "near")
+            .otherwise("unique")
+            .alias("verdict"),
+            F.col("near_m").alias("match_id"),
+        )
+    )
+
+
+@query("g32_dedup_band_probe", oracle=None)  # approximate — rows-only tier
+def g32_dedup_band_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g30's near layer at its designed 100 TB shape: the new batch
+    (doc_id % 7 = 0, same split as g30) probes the corpus's band-
+    signature INDEX instead of running exact Jaccard over the union —
+    index built once, probe cost O(batch), exact verify on the
+    candidates only.  Rows-only tier (banding recall, like g02b);
+    g30 is the exact twin carrying the hash burden, and
+    tests/test_dedup_recall.py pins this probe's agreement with g30's
+    exact near layer."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    newdocs = d.filter(F.col("doc_id") % 7 == 0)
+    corpus = d.filter(F.col("doc_id") % 7 != 0)
+    return incremental_band_probe(newdocs, corpus, threshold=0.8)

@@ -65,6 +65,29 @@ def test_g02c_candidate_recall_floor(spark, sf_dir):
     assert r >= 0.55, f"g02c candidate recall vs g02d fell to {r:.4f}"
 
 
+def test_g32_band_probe_agrees_with_exact_incremental(spark, sf_dir):
+    """g32 (batch probes the corpus band-signature index) vs g30 (exact
+    Jaccard over the union, restricted to batch x corpus): the probe's
+    near set must be a SUBSET of g30's exact near/exact set (precision
+    1 — banding candidates are exactly verified), with recall >= 0.90
+    (measured 1.0 at sf0.01: 54/54 flagged docs agree)."""
+    g30 = {
+        r.doc_id: r.verdict
+        for r in _REG["g30_dedup_incremental"].fn(spark, sf_dir).collect()
+    }
+    g32 = {
+        r.doc_id: r.verdict
+        for r in _REG["g32_dedup_band_probe"].fn(spark, sf_dir).collect()
+    }
+    assert set(g30) == set(g32)  # one row per batch doc, both ops
+    exact_near = {k for k, v in g30.items() if v in ("near", "exact")}
+    probe_near = {k for k, v in g32.items() if v == "near"}
+    assert exact_near  # anchor must not be vacuous
+    assert probe_near <= exact_near  # precision 1
+    r = len(probe_near & exact_near) / len(exact_near)
+    assert r >= 0.90, f"g32 probe recall vs exact incremental fell to {r:.4f}"
+
+
 def test_banding_recall_under_duplicate_storm(spark, tmp_path):
     """The 10x replica's Caesar vocabulary keeps cross-copy near-dups
     away BY DESIGN, so it cannot probe the regime banding exists for:

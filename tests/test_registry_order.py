@@ -69,7 +69,11 @@ ENV_GATED = {"e10_transform_with_state"}
 # Freshly registered this round — no driver row can exist yet; they sit
 # in band 0 (never-verified) and lead the sweep window.  Fold into
 # LAST_VERIFIED (and empty this set) once CORRECTNESS_r13 lands.
-NEW_IN_ROUND = {"a30_landing_reconcile", "f08b_multimodal_quarantine"}
+NEW_IN_ROUND = {
+    "a30_landing_reconcile",
+    "f08b_multimodal_quarantine",
+    "g32_dedup_band_probe",
+}
 
 
 def _band0(reg):
@@ -103,7 +107,11 @@ def test_round_mirror_users_all_marked_or_reproven():
     stale = {
         n
         for n in users
-        if LAST_VERIFIED.get(n, 0) < ROUND_MIRROR_CHANGED
+        # never-verified names (fresh registrations, env-gated) carry
+        # no PRE-change evidence to invalidate — they are band 0 and
+        # get first-party evidence on current text by construction
+        if n in LAST_VERIFIED
+        and LAST_VERIFIED[n] < ROUND_MIRROR_CHANGED
         and CHANGED_IN.get(n, 0) < ROUND_MIRROR_CHANGED
         and n not in ENV_GATED
     }
