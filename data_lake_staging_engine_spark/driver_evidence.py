@@ -186,6 +186,11 @@ CHANGED_IN: dict[str, int] = {
     # changed).
     "a13_stream_ingest_foreachbatch": 13,
     "a22_versioned_snapshot": 13,
+    # Band-signature generation factored out of the candidate
+    # self-join for g32's index/probe split — identical (band, sig)
+    # values, changed plan text for the banding consumers.
+    "g02b_dedup_lsh": 13,
+    "g02e_dedup_lsh_shingle": 13,
     # scaled_state_partitions gained the same 'auto' fallback — every
     # stateful streaming query sizes its state store through it.
     "e01_stream_tumbling": 13,

@@ -43,6 +43,9 @@ CHANGED_BAND: set[str] = {
     "g21_dedup_agreement",
     "g26_dedup_clusters",
     "g30_dedup_incremental",
+    # band-signature factor-out for the g32 index/probe split
+    "g02b_dedup_lsh",
+    "g02e_dedup_lsh_shingle",
     # a23 narrow-float32 out-of-range guard (round-13 hostile matrix)
     "a23_schema_widening",
     # maintenance ops lifted onto the fs backend abstraction
