@@ -44,6 +44,13 @@ History of the window rotation:
   remaining evidence after the fold: r09 (21 names — the whole
   f03-f10 UDF family and the ANN/dedup scale paths), which leads the
   r13 window.
+- r13 led with the 24 round-13 changed markers (the 'auto'
+  shuffle-partitions fallback, the fs-backend lift, the g32 banding
+  factor-out) plus the three new operators and drained the whole r09
+  band — 44 hash-green, 6 R-tier rows-only ran (g02b g02e g03c g03e
+  g13 g32), 0 failures.  Oldest remaining evidence after the fold:
+  r10 (29 names — the b40-b56 relational tail, d07/d09/d10, a25/a26,
+  and the g06-g27 text/corpus singles), which leads the r14 window.
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -67,8 +74,8 @@ After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
 tests/test_registry_order.py.  ``scripts/fold_evidence.py`` prints the
 ready-to-paste bands.  Source of truth:
-CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12}.json, folded
-2026-08-16 at round-13 entry (the fold is machine-checked by
+CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12,13}.json, folded
+2026-08-16 at round-14 entry (the fold is machine-checked by
 test_last_verified_matches_correctness_artifacts).
 """
 
@@ -77,26 +84,10 @@ from __future__ import annotations
 import types
 
 # fmt: off
-_R09 = (
-    # CORRECTNESS_r09.json greens not re-proven since (incl. the
-    # rows-only R-tier runs g02b g02e g03c g03e g13) — the stalest
-    # evidence in the registry; they lead band 1 of the r13 window.
-    "e06_stream_stateful", "e09_stream_static_join", "e10_batch_twin",
-    "e11_stream_dedup_then_window", "f03_pandas_udf_grouped_agg",
-    "f04_apply_in_pandas", "f06_udtf", "f07_arrow_udf",
-    "f08_multimodal_decode", "f10_cogroup_in_pandas", "g02b_dedup_lsh",
-    "g02e_dedup_lsh_shingle", "g03_simsearch_topk", "g03b_simsearch_knn",
-    "g03c_simsearch_lsh", "g03d_embed_neardup", "g03e_simsearch_ivf",
-    "g05_text_tokenize", "g05b_token_bpe", "g13_kmeans_iterations",
-    "g16_event_funnel",
-)
-_R10 = (
-    # CORRECTNESS_r10.json greens not re-proven since.
-    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
-    "a04_normalize_columns", "a05_apply_schema_cast",
-    "a06_partition_derive", "a07_dedup_keep_latest",
-    "a08_quality_nullcounts", "a10_compaction", "a23_schema_widening",
-    "a24_sink_orc", "a25_scan_xml", "a26_scan_binaryfile", "b18_join_asof",
+_R10 = (  # CORRECTNESS_r10.json greens not re-proven since — the
+    # stalest evidence in the registry; they lead band 1 of the r14
+    # window (VERDICT r13 #2: clear the r10 band).
+    "a25_scan_xml", "a26_scan_binaryfile", "b18_join_asof",
     "b37_null_ordering", "b40_sort_limit_topk", "b41_topk_per_group",
     "b42_group_by_all", "b50_union_all", "b51_intersect", "b52_except",
     "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
@@ -122,87 +113,77 @@ _R11 = (
     "b34_sample_systematic", "c02_win_lag_lead", "c06_win_first_last",
     "c08_win_forward_fill", "c10_win_sessionize", "d01_fn_string",
     "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise", "d13_fn_url",
-    "e05_stream_dedup", "e07_stream_late_data", "e08_stream_stream_join",
-    "e12_stream_outer_join", "f01_udf_python", "f09_multimodal_framesample",
+    "e07_stream_late_data", "f01_udf_python", "f09_multimodal_framesample",
     "g01_dedup_exact", "g02c_dedup_simhash", "g25_sequence_pack",
     "g31_dedup_segments",
 )
 _R12 = (
-    # CORRECTNESS_r12.json — 50-row window, 49 hash-green + 1 R-tier
-    # rows-only ran (g28); led with the nine round-12 changed markers
-    # and drained the whole r08 band plus the oldest r09 entries.
-    "a09_sink_parquet_partitioned", "a13_stream_ingest_foreachbatch",
-    "a16_partition_pruned_scan", "a17_dynamic_partition_overwrite",
-    "a20_observed_metrics", "a22_versioned_snapshot", "a27_scan_text",
-    "b01_project_arith", "b15_join_broadcast", "b20_agg_groupby",
-    "b25_agg_cube", "b27_agg_stats", "b28_agg_percentile",
-    "b31_agg_salted_skew", "b35_join_salted_skew", "b36_histogram",
-    "b38_sql_cte_chain", "c01_win_ranking", "c03_win_running_sum",
-    "c04_win_moving_rows", "c05_win_range_interval", "c07_gapfill",
-    "c09_win_nth_trailing", "d03_fn_math", "d04_fn_cond", "d05_fn_array",
-    "d08_fn_struct", "d12_fn_trig", "e01_stream_tumbling",
-    "e02_stream_sliding", "e03_stream_session", "e04_stream_watermark",
-    "f02_pandas_udf_scalar", "f05_map_in_pandas", "g02_dedup_near",
-    "g02d_dedup_ngram", "g04_centroids", "g07_text_tfidf", "g08_text_stats",
-    "g08b_text_quality", "g11_events_user_join", "g12_contamination",
-    "g18_embed_quantize", "g20_unigram_logprob", "g21_dedup_agreement",
-    "g23_text_repetition", "g26_dedup_clusters", "g28_semantic_dedup",
-    "g29_quality_gate", "g30_dedup_incremental",
+    # CORRECTNESS_r12.json greens not re-proven since.
+    "a09_sink_parquet_partitioned", "a16_partition_pruned_scan",
+    "a17_dynamic_partition_overwrite", "a20_observed_metrics",
+    "a27_scan_text", "b01_project_arith", "b15_join_broadcast",
+    "b20_agg_groupby", "b25_agg_cube", "b27_agg_stats",
+    "b28_agg_percentile", "b31_agg_salted_skew", "b35_join_salted_skew",
+    "b36_histogram", "b38_sql_cte_chain", "c01_win_ranking",
+    "c03_win_running_sum", "c04_win_moving_rows", "c05_win_range_interval",
+    "c07_gapfill", "c09_win_nth_trailing", "d03_fn_math", "d04_fn_cond",
+    "d05_fn_array", "d08_fn_struct", "d12_fn_trig", "f02_pandas_udf_scalar",
+    "f05_map_in_pandas", "g04_centroids", "g07_text_tfidf",
+    "g08_text_stats", "g08b_text_quality", "g11_events_user_join",
+    "g18_embed_quantize", "g20_unigram_logprob", "g23_text_repetition",
+    "g28_semantic_dedup", "g29_quality_gate",
+)
+_R13 = (
+    # CORRECTNESS_r13.json — 50-row window, 44 hash-green + 6 R-tier
+    # rows-only ran (g02b g02e g03c g03e g13 g32); led with the
+    # round-13 changed markers (the 'auto' shuffle-partitions fallback,
+    # fs-backend lift, g32 banding factor-out) and the two new
+    # operators; all markers satisfied, band drained to empty.
+    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
+    "a04_normalize_columns", "a05_apply_schema_cast",
+    "a06_partition_derive", "a07_dedup_keep_latest",
+    "a08_quality_nullcounts", "a10_compaction",
+    "a13_stream_ingest_foreachbatch", "a22_versioned_snapshot",
+    "a23_schema_widening", "a24_sink_orc", "a30_landing_reconcile",
+    "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
+    "e04_stream_watermark", "e05_stream_dedup", "e06_stream_stateful",
+    "e08_stream_stream_join", "e09_stream_static_join", "e10_batch_twin",
+    "e11_stream_dedup_then_window", "e12_stream_outer_join",
+    "f03_pandas_udf_grouped_agg", "f04_apply_in_pandas", "f06_udtf",
+    "f07_arrow_udf", "f08_multimodal_decode", "f08b_multimodal_quarantine",
+    "f10_cogroup_in_pandas", "g02_dedup_near", "g02b_dedup_lsh",
+    "g02d_dedup_ngram", "g02e_dedup_lsh_shingle", "g03_simsearch_topk",
+    "g03b_simsearch_knn", "g03c_simsearch_lsh", "g03d_embed_neardup",
+    "g03e_simsearch_ivf", "g05_text_tokenize", "g05b_token_bpe",
+    "g12_contamination", "g13_kmeans_iterations", "g16_event_funnel",
+    "g21_dedup_agreement", "g26_dedup_clusters", "g30_dedup_incremental",
+    "g32_dedup_band_probe",
 )
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
-    **{name: 9 for name in _R09},
     **{name: 10 for name in _R10},
     **{name: 11 for name in _R11},
     **{name: 12 for name in _R12},
+    **{name: 13 for name in _R13},
 }
 
 # Queries whose Spark code or oracle text materially changed in the
 # given round.  CHANGED_IN[name] > LAST_VERIFIED[name] => the recorded
 # evidence predates the current text => band 0 (ADVICE r06).  Drop an
-# entry once a later CORRECTNESS round re-proves the query.  All nine
-# round-12 markers were satisfied by CORRECTNESS_r12 and dropped in
-# the round-13 fold; round-13 edits add their markers below as they
+# entry once a later CORRECTNESS round re-proves the query.  All
+# round-13 markers were satisfied by CORRECTNESS_r13 and dropped in
+# the round-14 fold; round-14 edits add their markers below as they
 # land.
 CHANGED_IN: dict[str, int] = {
-    # _g02_bitmask's wide-mask rebalance now tolerates a non-numeric
-    # spark.sql.shuffle.partitions ('auto' on AQE auto-optimized
-    # platforms, ADVICE r12) — executed-path text of every
-    # _jaccard_pairs consumer changed.
-    "g02_dedup_near": 13,
-    "g02d_dedup_ngram": 13,
-    "g12_contamination": 13,
-    "g21_dedup_agreement": 13,
-    "g26_dedup_clusters": 13,
-    "g30_dedup_incremental": 13,
-    # a23's narrow float32 leg gained the out-of-range loud-failure
-    # guard (round-13 hostile matrix finding: Spark saturates -1e300
-    # to -Inf where DuckDB refuses the cast).
-    "a23_schema_widening": 13,
-    # Maintenance ops lifted onto the fs backend abstraction (VERDICT
-    # r12 #9): a13 drives StagingPipeline (restore/commit-listing text
-    # changed), a22 drives VersionedTable (manifest flip/read text
-    # changed).
-    "a13_stream_ingest_foreachbatch": 13,
-    "a22_versioned_snapshot": 13,
-    # Band-signature generation factored out of the candidate
-    # self-join for g32's index/probe split — identical (band, sig)
-    # values, changed plan text for the banding consumers.
-    "g02b_dedup_lsh": 13,
-    "g02e_dedup_lsh_shingle": 13,
-    # scaled_state_partitions gained the same 'auto' fallback — every
-    # stateful streaming query sizes its state store through it.
-    "e01_stream_tumbling": 13,
-    "e02_stream_sliding": 13,
-    "e03_stream_session": 13,
-    "e04_stream_watermark": 13,
-    "e05_stream_dedup": 13,
-    "e06_stream_stateful": 13,
-    "e08_stream_stream_join": 13,
-    "e09_stream_static_join": 13,
-    "e11_stream_dedup_then_window": 13,
-    "e12_stream_outer_join": 13,
+    # VersionedTable._meta's tmp-adoption now tolerates losing the
+    # adoption race / read-only readers (ADVICE r13) — executed-path
+    # text of the manifest reader a22 drives.  (The other two ADVICE
+    # fixes do not re-mark anything: _active_query_on_checkpoint is
+    # reached only from compact_staged, which no registered query
+    # calls, and _capture_run_stats is post-drain diagnostics that
+    # writes a module global and cannot affect a returned DataFrame.)
+    "a22_versioned_snapshot": 14,
 }
 
 # Convenience view: every query with any first-party driver evidence.

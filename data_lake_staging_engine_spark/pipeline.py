@@ -337,10 +337,18 @@ class StagingPipeline:
         ``spark.streams.active`` — a drain from another session or
         process is invisible here (see compact_staged)."""
         meta = os.path.join(self.checkpoint_dir, "metadata")
+        # ADVICE r13: only the not-found / invalid-content cases mean
+        # "no query ever started here".  A transient gateway failure
+        # (s3a throttle, auth, Py4J) on an EXISTING metadata file must
+        # propagate — swallowing it would bypass the active-stream
+        # guard and let compact_staged discard a live micro-batch.
+        if not self._ckpt_fs.exists(meta):
+            return None
         try:
             qid = json.loads(self._ckpt_fs.read_text(meta)).get("id")
-        except Exception:
-            # missing/unreadable metadata: no query ever started here
+        except (ValueError, AttributeError):
+            # metadata exists but is not valid JSON / not an object —
+            # a half-written first-start file; no query id to match
             return None
         for q in self.spark.streams.active:
             if str(q.id) == str(qid):

@@ -14,6 +14,7 @@ landing bucket would have.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -155,6 +156,14 @@ def _capture_run_stats(q, checkpoint: str) -> None:
         state_rows = 0
         batches = 0
         for p in q.recentProgress:
+            # PySpark returns progress entries as dicts on some
+            # versions and StreamingQueryProgress objects on others
+            # (ADVICE r13) — normalize through the JSON form so a
+            # non-dict entry degrades to parsed stats, not to the
+            # blanket-except None that state_growth_study would
+            # silently record as a measured zero.
+            if not isinstance(p, dict):
+                p = json.loads(p.json())
             batches += 1
             for so in p.get("stateOperators") or []:
                 state_rows = max(state_rows, int(so.get("numRowsTotal") or 0))

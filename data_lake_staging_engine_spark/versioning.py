@@ -78,10 +78,22 @@ class VersionedTable:
             # next to a live manifest is just pre-replace debris
             # (ignored here because the manifest exists).
             tmp = self.manifest + ".tmp"
-            if self._fs.exists(tmp):
-                self._fs.rename(tmp, self.manifest)
-            else:
+            if not self._fs.exists(tmp):
                 return {"latest": None, "versions": []}
+            try:
+                self._fs.rename(tmp, self.manifest)
+            except Exception:
+                # ADVICE r13: two readers can race the adoption (the
+                # loser's rename fails once the winner consumed the
+                # .tmp), and a read-only reader may lack write
+                # permission on the root.  Either way the CONTENT is
+                # still reachable — re-check the manifest (winner's
+                # rename landed) and fall back to reading the .tmp
+                # directly without mutating.
+                if not self._fs.exists(self.manifest):
+                    if self._fs.exists(tmp):
+                        return json.loads(self._fs.read_text(tmp))
+                    return {"latest": None, "versions": []}
         return json.loads(self._fs.read_text(self.manifest))
 
     def _flip(self, meta: dict) -> None:

@@ -100,6 +100,15 @@ def main() -> None:
                 t0 = time.perf_counter()
                 n = reg[name].fn(spark, sf_dir).count()
                 dt = time.perf_counter() - t0
+                if runner.LAST_RUN_STATS is None:
+                    # ADVICE r13: a broken stats capture must not pass
+                    # as a measured zero — say so on the results row.
+                    print(
+                        f"  WARNING: {name} [{provider}] {label}: "
+                        "LAST_RUN_STATS is None (stats capture failed); "
+                        "state_rows/state_bytes below are UNMEASURED",
+                        file=sys.stderr,
+                    )
                 stats = runner.LAST_RUN_STATS or {}
                 row = {
                     "drain_s": round(dt, 2),

@@ -1,23 +1,24 @@
 """Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r12 greens into
-``LAST_VERIFIED`` (the r12 window drained the whole r08 band and
-satisfied all nine round-12 CHANGED_IN markers), the changed band
-drains to whatever round-13 edits actually touch — added to
+``queries()`` in insertion order.  After folding the r13 greens into
+``LAST_VERIFIED`` (the r13 window drained the whole r09 band and
+satisfied all 24 round-13 CHANGED_IN markers), the changed band
+drains to whatever round-14 edits actually touch — added to
 CHANGED_IN commit-by-commit as they land, mirrored here in
 CHANGED_BAND so a drive-by edit to either side fails loudly.
 
-The r13 window therefore leads with the round-13 changed band, then
-rotates onto the stalest remaining evidence: the 21-member r09 band
-(the whole f03-f10 UDF family and the ANN/dedup scale paths), then
-the 40-member r10 band filling the remaining slots.
+The r14 window therefore leads with the round-14 changed band, then
+rotates onto the stalest remaining evidence: the 29-member r10 band
+(the b40-b56 relational tail, d07/d09/d10, a25/a26, and the g06-g27
+text/corpus singles — VERDICT r13 #2's explicit list), then the
+oldest r11 entries filling the remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
 environment it is legitimately never-verified and joins the window
 head; the assertions below derive the expected head from what is
-ACTUALLY registered instead of hard-coding this env's 159 names.
+ACTUALLY registered instead of hard-coding this env's 162 names.
 """
 
 from data_lake_staging_engine_spark.driver_evidence import (
@@ -31,38 +32,12 @@ from data_lake_staging_engine_spark.driver_evidence import (
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 13 (see driver_evidence
-# CHANGED_IN) — the independent mirror.  Round-13 edits add names here
+# Text newer than driver evidence as of round 14 (see driver_evidence
+# CHANGED_IN) — the independent mirror.  Round-14 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
-    # 'auto' shuffle-partitions fallback in _g02_bitmask's wide-mask
-    # rebalance (ADVICE r12) — every _jaccard_pairs consumer
-    "g02_dedup_near",
-    "g02d_dedup_ngram",
-    "g12_contamination",
-    "g21_dedup_agreement",
-    "g26_dedup_clusters",
-    "g30_dedup_incremental",
-    # band-signature factor-out for the g32 index/probe split
-    "g02b_dedup_lsh",
-    "g02e_dedup_lsh_shingle",
-    # a23 narrow-float32 out-of-range guard (round-13 hostile matrix)
-    "a23_schema_widening",
-    # maintenance ops lifted onto the fs backend abstraction
-    "a13_stream_ingest_foreachbatch",
+    # VersionedTable._meta tmp-adoption race tolerance (ADVICE r13)
     "a22_versioned_snapshot",
-    # same fallback in scaled_state_partitions — every stateful
-    # streaming query sizes its state store through it
-    "e01_stream_tumbling",
-    "e02_stream_sliding",
-    "e03_stream_session",
-    "e04_stream_watermark",
-    "e05_stream_dedup",
-    "e06_stream_stateful",
-    "e08_stream_stream_join",
-    "e09_stream_static_join",
-    "e11_stream_dedup_then_window",
-    "e12_stream_outer_join",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -71,12 +46,8 @@ ENV_GATED = {"e10_transform_with_state"}
 
 # Freshly registered this round — no driver row can exist yet; they sit
 # in band 0 (never-verified) and lead the sweep window.  Fold into
-# LAST_VERIFIED (and empty this set) once CORRECTNESS_r13 lands.
-NEW_IN_ROUND = {
-    "a30_landing_reconcile",
-    "f08b_multimodal_quarantine",
-    "g32_dedup_band_probe",
-}
+# LAST_VERIFIED (and empty this set) once CORRECTNESS_r14 lands.
+NEW_IN_ROUND: set[str] = set()
 
 
 def _band0(reg):
@@ -126,37 +97,37 @@ def test_window_fills_with_stalest_evidence():
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # Band 1 is ordered stalest-first: r09, then r10, then r11/r12.
-    assert not any(r <= 8 for r in LAST_VERIFIED.values())
-    stale_r09 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 9 and not changed_since_verified(n)
-    )
-    # the post-r12-fold stalest band is 21 names; members with a
-    # round-13 CHANGED_IN marker sit in band 0 instead
-    assert sum(1 for r in LAST_VERIFIED.values() if r == 9) == 21
-    assert len(stale_r09) == 21 - sum(
-        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 9
-    )
+    # Band 1 is ordered stalest-first: r10, then r11, then r12/r13.
+    assert not any(r <= 9 for r in LAST_VERIFIED.values())
     stale_r10 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 10 and not changed_since_verified(n)
     )
-    # head + 21 r09 fill the first 21+len(head) slots; the oldest r10
+    # the post-r13-fold stalest band is 29 names; members with a
+    # round-14 CHANGED_IN marker sit in band 0 instead
+    assert sum(1 for r in LAST_VERIFIED.values() if r == 10) == 29
+    assert len(stale_r10) == 29 - sum(
+        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 10
+    )
+    stale_r11 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 11 and not changed_since_verified(n)
+    )
+    # head + 29 r10 fill the first 29+len(head) slots; the oldest r11
     # entries complete the 50.
-    assert window == (head + stale_r09 + stale_r10)[:50]
+    assert window == (head + stale_r10 + stale_r11)[:50]
     # Everything past the window is ordered by non-decreasing evidence
-    # round (r10 remainder <= r11 <= r12).
+    # round (r11 remainder <= r12 <= r13).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    r09 = sweep_rank("g16_event_funnel", True)
-    r10 = sweep_rank("a01_scan_parquet", True)
+    r10 = sweep_rank("b40_sort_limit_topk", True)
     r11 = sweep_rank("a11_catalog_sync", True)
     r12 = sweep_rank("b20_agg_groupby", True)
-    assert r09 < r10 < r11 < r12
-    assert r09[0] == 1  # verified, just stale — band 1
-    # Round-13 edits re-enter band 0 ahead of everything.
+    r13 = sweep_rank("g32_dedup_band_probe", True)
+    assert r10 < r11 < r12 < r13
+    assert r10[0] == 1  # verified, just stale — band 1
+    # Round-14 edits re-enter band 0 ahead of everything.
     for name in CHANGED_BAND:
         assert sweep_rank(name, True)[0] == 0
 
