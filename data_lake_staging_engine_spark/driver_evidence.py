@@ -184,6 +184,17 @@ CHANGED_IN: dict[str, int] = {
     # calls, and _capture_run_stats is post-drain diagnostics that
     # writes a module global and cannot affect a returned DataFrame.)
     "a22_versioned_snapshot": 14,
+    # g32 now probes a PERSISTED BandSignatureIndex (VersionedTable
+    # parquet) and the verify restricts the corpus side to candidate-
+    # matched docs via a semi-join — same rows, changed plan text.
+    "g32_dedup_band_probe": 14,
+    # f08b's stages factored into make_quarantine_stage and the frame
+    # now carries the named quarantine observation (VERDICT r13 #5) —
+    # same rows, changed executed text.
+    "f08b_multimodal_quarantine": 14,
+    # g02c re-banded: 4x16 any-band -> 28 two-block keys (8x8 blocks,
+    # Hamming<=6 guarantee) — candidate set changes (VERDICT r13 #4).
+    "g02c_dedup_simhash": 14,
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -967,8 +967,18 @@ def g02e_dedup_lsh_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("g02c_dedup_simhash", oracle=None)  # approximate — rows-only tier
 def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit signature = sign-sum of per-token hash
-    bits; candidate pairs = equal signatures on any of 4 16-bit bands
-    (Hamming-distance blocking). Rows-only (approximate family)."""
+    bits; candidate pairs = equal values on any of the 28 two-block
+    keys (8 blocks of 8 bits, keys = all C(8,2) block pairs — the
+    Manku/Jain/Sarma block-combination blocking).  A pair within
+    Hamming distance 6 has at most 6 dirty blocks, so at least one of
+    the 28 two-block keys is clean on both sides and the pair is
+    GUARANTEED a candidate — vs the previous 4x16 banding whose
+    guarantee stopped at distance 3 (measured candidate recall 0.67 vs
+    the g02d exact anchor; VERDICT r13 #4).  Each key is still 16
+    effective bits, so per-key random collisions are unchanged and the
+    random-candidate term grows only by the 28/4 key-count factor.
+    Rows-only (approximate family); recall floor pinned in
+    tests/test_dedup_recall.py."""
     d = load(spark, sf_dir, "documents")
     # materialize the 64-bit token hash ONCE per (doc, tok) row; the 64
     # per-bit aggregates below then read the same column instead of each
@@ -994,17 +1004,23 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         sum([F.col(f"b{b}") for b in range(64)], F.lit(0).cast("long")).alias("simhash"),
     )
-    # One posexplode over the 4 16-bit chunks (pos = band id) instead of
-    # a union of per-band selects: the union form re-derives the 64-bit
-    # signature aggregate per band, re-scanning and re-aggregating the
-    # corpus 4x (round-7 PLANS.md audit: 8 documents scans, 8 shuffles
-    # — same defect and same fix as g02b's minhash banding).
-    band_chunks = [
-        F.shiftrightunsigned("simhash", i * 16).bitwiseAND(F.lit(0xFFFF))
-        for i in range(4)
+    # One posexplode over the 28 two-block keys (pos = key id) instead
+    # of a union of per-key selects: the union form re-derives the
+    # 64-bit signature aggregate per key, re-scanning and
+    # re-aggregating the corpus 28x (round-7 PLANS.md audit: same
+    # defect and same fix as g02b's minhash banding).  Each key packs
+    # two 8-bit blocks into 16 bits.
+    blocks = [
+        F.shiftrightunsigned("simhash", i * 8).bitwiseAND(F.lit(0xFF))
+        for i in range(8)
+    ]
+    pair_keys = [
+        F.shiftleft(blocks[i], 8).bitwiseOR(blocks[j])
+        for i in range(8)
+        for j in range(i + 1, 8)
     ]
     bands = sim.select(
-        "doc_id", F.posexplode(F.array(*band_chunks)).alias("band", "chunk")
+        "doc_id", F.posexplode(F.array(*pair_keys)).alias("band", "chunk")
     )
     a, b_ = bands.alias("a"), bands.alias("b")
     return (
@@ -3242,20 +3258,108 @@ def g31_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class BandSignatureIndex:
+    """Persisted MinHash band-signature store — the between-sessions
+    piece of the 100 TB incremental near-dup loop (VERDICT r13 #1,
+    composing the machinery a22/fs.py already provide).
+
+    ``build(corpus)`` computes ``_band_signatures`` over the corpus
+    ONCE and publishes the (doc_id, band, sig) frame as an immutable
+    ``VersionedTable`` version (plain parquet behind an atomically
+    flipped manifest — works on bare paths and on hdfs://s3a://
+    roots).  Any LATER SparkSession then probes new batches against
+    the stored signatures via ``probe`` (or
+    ``incremental_band_probe(index_path=...)``) without re-banding
+    the corpus: the daily-ingest loop reads the index, bands only the
+    batch, and re-publishes signatures on its own cadence.
+
+    At 100 TB the index is ~bands rows of 24 bytes per document —
+    three orders of magnitude smaller than the text it summarizes
+    (measured ratio in BASELINE.md r14) — and the probe join
+    broadcasts the batch's signatures over the index scan, so probe
+    cost is one index scan + a candidate-bounded verify, never a
+    corpus re-scan."""
+
+    def __init__(self, root: str, spark: SparkSession | None = None) -> None:
+        from data_lake_staging_engine_spark.versioning import VersionedTable
+
+        self.table = VersionedTable(root, spark)
+
+    def build(
+        self, corpus: DataFrame, n_hashes: int = 16, bands: int = 4
+    ) -> int:
+        """Band the corpus once and publish the signatures; returns the
+        published version number."""
+        sigs = _band_signatures(
+            _tokens(corpus), n_hashes=n_hashes, bands=bands
+        )
+        return self.table.publish(sigs)
+
+    def signatures(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame:
+        return self.table.read(spark, version)
+
+    def probe(
+        self,
+        newdocs: DataFrame,
+        corpus: DataFrame,
+        threshold: float = 0.8,
+        version: int | None = None,
+    ) -> DataFrame:
+        """``incremental_band_probe`` against the STORED signatures —
+        the corpus text is touched only for the candidate-bounded
+        exact verify, never re-banded."""
+        return incremental_band_probe(
+            newdocs,
+            corpus,
+            threshold=threshold,
+            index=self.signatures(newdocs.sparkSession, version),
+        )
+
+
+def _probe_candidates(new_toks: DataFrame, index: DataFrame) -> DataFrame:
+    """Candidate (d1=batch, d2=corpus) pairs from probing the stored
+    band signatures: band the BATCH only, equi-join on (band, sig).
+    This is the only place probe-side banding happens — the plan
+    carries exactly one minhash aggregate (the batch's) plus the index
+    scan, which tests/test_band_index.py pins as the no-re-banding
+    property."""
+    probe = _band_signatures(new_toks)
+    return (
+        probe.alias("p")
+        .join(index.alias("i"), ["band", "sig"])
+        .select(
+            F.col("p.doc_id").alias("d1"), F.col("i.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+
+
 def incremental_band_probe(
-    newdocs: DataFrame, corpus: DataFrame, threshold: float = 0.8
+    newdocs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.8,
+    index: DataFrame | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Banding-index probe — the 100 TB INCREMENTAL near-dup path that
     g30's docstring prescribes, as a callable core: the corpus's band
-    signatures are computed ONCE (the stored index; the eager
-    localCheckpoint stands in for the signature store a production
-    pipeline persists between batches), each new batch computes only
-    its OWN signatures and probes the index by (band, sig), and the
-    surviving candidates get the exact strategy-switched Jaccard
-    verify.  Cost per batch is O(batch x bucket occupancy) — the
-    corpus is never re-banded, never self-joined, and the only
-    corpus-sized work after index build is the candidate-bounded
-    verify join.
+    signatures are computed ONCE (the stored index), each new batch
+    computes only its OWN signatures and probes the index by (band,
+    sig), and the surviving candidates get the exact strategy-switched
+    Jaccard verify — with the corpus side of the verify RESTRICTED by
+    a semi-join to candidate-matched docs, so per-batch cost is
+    O(batch + candidates), never a corpus re-scan.
+
+    The index (round 14): pass ``index_path`` to probe the signatures
+    a ``BandSignatureIndex.build`` published in ANY earlier session —
+    the production shape, where the store outlives the batch jobs that
+    probe it; or pass ``index`` as an already-loaded (doc_id, band,
+    sig) frame.  With neither, the signatures are computed in-session
+    and localCheckpointed — the self-contained fallback for one-shot
+    use (this rebuilds per invocation; a standing pipeline should
+    persist).
 
     Output: one row per batch doc — (doc_id, verdict near|unique,
     match_id = MIN matching corpus doc or NULL).  Approximate on
@@ -3265,22 +3369,30 @@ def incremental_band_probe(
     ``incremental_dedup`` — the batch joins the corpus after the
     probe, so the next batch sees it."""
     new_toks = _tokens(newdocs)
-    # The index: banded once, reused across probes.
-    index = _band_signatures(_tokens(corpus)).localCheckpoint(eager=True)
-    probe = _band_signatures(new_toks)
-    cands = (
-        probe.alias("p")
-        .join(index.alias("i"), ["band", "sig"])
-        .select(
-            F.col("p.doc_id").alias("d1"), F.col("i.doc_id").alias("d2")
+    if index_path is not None:
+        if index is not None:
+            raise ValueError("pass index or index_path, not both")
+        index = BandSignatureIndex(index_path, newdocs.sparkSession).signatures(
+            newdocs.sparkSession
         )
-        .distinct()
+    if index is None:
+        # In-session fallback: banded once, reused across this frame's
+        # actions via the eager materialization.
+        index = _band_signatures(_tokens(corpus)).localCheckpoint(eager=True)
+    # Materialized once: the candidate frame feeds BOTH the
+    # corpus-restricting semi-join and the verify join below —
+    # without this the index probe would re-run per consumer.
+    cands = _probe_candidates(new_toks, index).localCheckpoint(eager=True)
+    # Exact verify over the union of the batch and the CANDIDATE-
+    # MATCHED corpus slice (both sides' token sets are needed, but
+    # only for docs that appear in a candidate pair) — the semi-join
+    # is what keeps post-index work off the full corpus.
+    corpus_hit = corpus.select("doc_id", "text").join(
+        cands.select(F.col("d2").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
     )
-    # Exact verify over the union token stream (both sides' sets are
-    # needed); strategy-switched like every banding verify.
-    alldocs = newdocs.select("doc_id", "text").unionByName(
-        corpus.select("doc_id", "text")
-    )
+    alldocs = newdocs.select("doc_id", "text").unionByName(corpus_hit)
     toks = _tokens(alldocs)
     hit = _bitmap_vocab(toks, probe=_tokens_raw(alldocs))
     if hit is not None:
@@ -3310,11 +3422,22 @@ def g32_dedup_band_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 7 = 0, same split as g30) probes the corpus's band-
     signature INDEX instead of running exact Jaccard over the union —
     index built once, probe cost O(batch), exact verify on the
-    candidates only.  Rows-only tier (banding recall, like g02b);
-    g30 is the exact twin carrying the hash burden, and
+    candidates only.  Round 14: the index is genuinely PERSISTED
+    (``BandSignatureIndex`` — a VersionedTable of (doc_id, band, sig)
+    parquet) and the probe reads it back through the manifest, so this
+    driver row exercises the same store-then-probe path the
+    two-session test (tests/test_band_index.py) proves across
+    SparkSessions.  Rows-only tier (banding recall, like g02b); g30 is
+    the exact twin carrying the hash burden, and
     tests/test_dedup_recall.py pins this probe's agreement with g30's
     exact near layer."""
+    import tempfile
+
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     newdocs = d.filter(F.col("doc_id") % 7 == 0)
     corpus = d.filter(F.col("doc_id") % 7 != 0)
-    return incremental_band_probe(newdocs, corpus, threshold=0.8)
+    idx_root = tempfile.mkdtemp(prefix="dlse_bandidx_")
+    BandSignatureIndex(idx_root).build(corpus)
+    return incremental_band_probe(
+        newdocs, corpus, threshold=0.8, index_path=idx_root
+    )

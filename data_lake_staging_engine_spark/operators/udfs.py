@@ -532,6 +532,24 @@ def make_safe_decoder():
     return decode_or_quarantine
 
 
+def quarantine_observation() -> list:
+    """The observe() aggregates for a quarantining decode stage
+    (VERDICT r13 #5): total rows and quarantined rows, computed on the
+    frame the sink already scans — a corrupt landing surfaces as a
+    RATE in the pipeline's metrics log instead of a silently smaller
+    corpus.  Attach with ``df.observe(name_or_Observation, *these)``;
+    ``StagingPipeline(observe_metrics={"quarantine":
+    quarantine_observation()})`` records them per micro-batch in
+    ``batch_observations``.  The sum coalesces to 0 so an empty batch
+    reads as (0, 0), not (0, NULL)."""
+    return [
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.sum("is_quarantined"), F.lit(0)).cast("long").alias(
+            "n_quarantined"
+        ),
+    ]
+
+
 @query(
     "f08_multimodal_decode",
     oracle="""
@@ -669,9 +687,28 @@ def f08b_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL-features round trip is what hash-matches.  Text payloads are
     corrupted too but carry no container magic, so they pass through
     undamaged (opaque bytes) — quarantine applies to containers only."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    decoded = make_quarantine_stage()(d)
+    # Quarantine-rate observability (VERDICT r13 #5): the named
+    # observation rides whatever action consumes this frame — a
+    # CollectMetrics node, no extra job or scan, rows unchanged.
+    # Pipelines get the same counts per micro-batch via
+    # StagingPipeline(observe_metrics={...: quarantine_observation()}).
+    return decoded.observe("f08b_quarantine", *quarantine_observation())
+
+
+def make_quarantine_stage(corrupt_every: int = 7):
+    """Factory for the dirty-landing decode stage behind f08b: a
+    DataFrame->DataFrame transform that encodes each (doc_id, text)
+    row into a real container blob, XOR-corrupts the magic bytes of
+    every ``corrupt_every``-th doc in flight, and safe-decodes with
+    quarantine columns.  A factory (not inline in the query) so
+    StagingPipeline transforms and tests run the IDENTICAL stage the
+    registered query hash-proves — and so the executor-shipped
+    closures are defined inside the function (cloudpickle
+    by-reference trap; see tests/test_vanilla_drive.py)."""
     import pandas as pd
 
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
     encode_payload = make_encoder()
     safe_decode = make_safe_decoder()
 
@@ -688,7 +725,7 @@ def f08b_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = [
                 (
                     bytes(b ^ 0xFF for b in p[:2]) + p[2:]
-                    if (p is not None and i % 7 == 0)
+                    if (p is not None and i % corrupt_every == 0)
                     else p
                 )
                 for i, (_m, p) in zip(pdf["doc_id"], enc)
@@ -700,10 +737,6 @@ def f08b_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "payload": payloads,
                 }
             )
-
-    encoded = d.mapInPandas(
-        encode_and_corrupt, "doc_id bigint, modality string, payload binary"
-    )
 
     def extract(batches):
         for pdf in batches:
@@ -735,7 +768,15 @@ def f08b_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         MULTIMODAL_FEATURE_SCHEMA.fields
         + [StructField("is_quarantined", LongType())]
     )
-    return encoded.mapInPandas(extract, schema)
+
+    def stage(d: DataFrame) -> DataFrame:
+        encoded = d.select("doc_id", "text").mapInPandas(
+            encode_and_corrupt,
+            "doc_id bigint, modality string, payload binary",
+        )
+        return encoded.mapInPandas(extract, schema)
+
+    return stage
 
 
 @query(

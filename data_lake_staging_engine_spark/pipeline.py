@@ -63,6 +63,7 @@ class StagingPipeline:
         contracts: dict | None = None,
         rejects_dir: str | None = None,
         reader_options: dict | None = None,
+        observe_metrics: dict | None = None,
     ) -> None:
         self.spark = spark
         self.landing_dir = landing_dir
@@ -92,6 +93,15 @@ class StagingPipeline:
         # write action (no extra count jobs), so contract violations
         # are MEASURED per batch, not just routed to the audit sinks.
         self.reject_metrics: dict[int, dict[str, int]] = {}
+        # Caller-defined per-batch observations over the TRANSFORMED
+        # output (VERDICT r13 #5): {name: [agg Column, ...]} — each
+        # rides the staging write via observe() (no second scan) and
+        # lands in ``batch_observations[batch_id][name]``.  The
+        # motivating consumer is the multimodal quarantine rate
+        # (operators.udfs.quarantine_observation): a corrupt landing
+        # should page someone, not silently shrink the corpus.
+        self.observe_metrics: dict = observe_metrics or {}
+        self.batch_observations: dict[int, dict[str, dict]] = {}
         # Reject-sink layout validated once per reason per pipeline
         # instance (see _check_rejects_layout).
         self._rejects_layout_ok: set[str] = set()
@@ -219,6 +229,14 @@ class StagingPipeline:
             out = self.transform(batch_df).withColumn(
                 "_ingest_batch", F.lit(batch_id).cast("long")
             )
+            # Caller observations ride the staging write below — the
+            # CollectMetrics node adds no job, no shuffle, no second
+            # scan of the batch.
+            obs_handles: dict[str, Observation] = {}
+            for oname, exprs in self.observe_metrics.items():
+                ob = Observation(f"{oname}_b{batch_id}")
+                out = out.observe(ob, *exprs)
+                obs_handles[oname] = ob
             # Idempotent per batch: the batch id is a partition column
             # and the write is a DYNAMIC partition overwrite, so a
             # replayed micro-batch (kill after a partial parquet append
@@ -242,6 +260,14 @@ class StagingPipeline:
                 .partitionBy(*self.partition_cols, "_ingest_batch")
                 .parquet(self.staged_dir)
             )
+            if obs_handles:
+                self.batch_observations[batch_id] = {
+                    n: dict(ob.get) for n, ob in obs_handles.items()
+                }
+                while len(self.batch_observations) > self.REJECT_METRICS_KEEP:
+                    self.batch_observations.pop(
+                        next(iter(self.batch_observations))
+                    )
         finally:
             if persisted is not None:
                 persisted.unpersist()

@@ -10,7 +10,7 @@ values are constants per fixture):
 | path                     | sf0.01 | sf0.1  | sf1 (10x replica) |
 | g02b vs exact g02        | 0.9649 | 0.9549 | see BASELINE.md   |
 | g02e vs exact g02d       | 1.0    | 1.0    | see BASELINE.md   |
-| g02c candidates vs g02d  | 0.68   | 0.6719 | see BASELINE.md   |
+| g02c candidates vs g02d  | 0.92   | 0.9766 | see BASELINE.md   | (r14 re-band)
 
 Floors sit measured-minus-margin so a parameter regression (fewer
 bands, broken seeding, a banding bug) fails loudly rather than riding
@@ -27,6 +27,12 @@ from data_lake_staging_engine_spark.registry import registry
 
 _REG = registry()
 _SF1 = "/tmp/sf1_replica"
+# One-command rebuild (VERDICT r13 #8): /tmp is cleared between rounds,
+# so the 10x pins only run after this has been re-run on the box:
+_SF1_REBUILD = (
+    "python scripts/make_replicated_copy.py "
+    "/root/testdata/sf0.1 /tmp/sf1_replica --copies 10"
+)
 
 
 def _pairs(df):
@@ -58,11 +64,17 @@ def test_g02e_recall_floor(spark, sf_dir):
 
 def test_g02c_candidate_recall_floor(spark, sf_dir):
     """SimHash emits UNVERIFIED candidate pairs (no subset property);
-    its value is cheap blocking, so the pin is candidate recall."""
+    its value is cheap blocking, so the pin is candidate recall.
+
+    Round 14 (VERDICT r13 #4): re-banded from 4x16 any-band (Hamming
+    <=3 guarantee, measured recall 0.67-0.68) to the 28 two-block keys
+    over 8x8 blocks (Hamming<=6 guarantee, same 16 effective bits per
+    key) — measured 0.92 at sf0.01 / 0.9766 at sf0.1, candidate volume
+    44k / 4.4M (0.35% of the pair space).  Floor raised 0.55 -> 0.85."""
     exact = _pairs(_REG["g02d_dedup_ngram"].fn(spark, sf_dir))
     sim = _pairs(_REG["g02c_dedup_simhash"].fn(spark, sf_dir))
     r = _recall(sim, exact, subset=False)
-    assert r >= 0.55, f"g02c candidate recall vs g02d fell to {r:.4f}"
+    assert r >= 0.85, f"g02c candidate recall vs g02d fell to {r:.4f}"
 
 
 def test_g32_band_probe_agrees_with_exact_incremental(spark, sf_dir):
@@ -113,7 +125,8 @@ def test_banding_recall_under_duplicate_storm(spark, tmp_path):
 
 
 @pytest.mark.skipif(
-    not os.path.isdir(_SF1), reason="10x replica not built (see docstring)"
+    not os.path.isdir(_SF1),
+    reason=f"10x replica not built — rebuild with: {_SF1_REBUILD}",
 )
 def test_g02b_recall_floor_at_10x(spark):
     """The 10x step is where banding recall could silently sag (more
@@ -126,7 +139,8 @@ def test_g02b_recall_floor_at_10x(spark):
 
 
 @pytest.mark.skipif(
-    not os.path.isdir(_SF1), reason="10x replica not built (see docstring)"
+    not os.path.isdir(_SF1),
+    reason=f"10x replica not built — rebuild with: {_SF1_REBUILD}",
 )
 def test_g03e_recall_at5_floor_at_10x(spark):
     knn = _REG["g03b_simsearch_knn"].fn(spark, _SF1).select("qid", "cid")

@@ -38,6 +38,12 @@ from data_lake_staging_engine_spark.registry import registry
 CHANGED_BAND: set[str] = {
     # VersionedTable._meta tmp-adoption race tolerance (ADVICE r13)
     "a22_versioned_snapshot",
+    # persisted BandSignatureIndex + candidate-bounded verify
+    "g32_dedup_band_probe",
+    # factored quarantine stage + named observation (VERDICT r13 #5)
+    "f08b_multimodal_quarantine",
+    # SimHash re-band: 28 two-block keys, Hamming<=6 guarantee
+    "g02c_dedup_simhash",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -124,7 +130,7 @@ def test_sweep_rank_orders_by_staleness():
     r10 = sweep_rank("b40_sort_limit_topk", True)
     r11 = sweep_rank("a11_catalog_sync", True)
     r12 = sweep_rank("b20_agg_groupby", True)
-    r13 = sweep_rank("g32_dedup_band_probe", True)
+    r13 = sweep_rank("g30_dedup_incremental", True)
     assert r10 < r11 < r12 < r13
     assert r10[0] == 1  # verified, just stale — band 1
     # Round-14 edits re-enter band 0 ahead of everything.
