@@ -195,6 +195,11 @@ CHANGED_IN: dict[str, int] = {
     # g02c re-banded: 4x16 any-band -> 28 two-block keys (8x8 blocks,
     # Hamming<=6 guarantee) — candidate set changes (VERDICT r13 #4).
     "g02c_dedup_simhash": 14,
+    # StagingPipeline.sync now resolves through _staged_view (the
+    # versioned-compaction layout detector, VERDICT r13 #6) — executed
+    # text of the one registered pipeline driver changed; a22 (already
+    # marked) also executes the extended VersionedTable.publish/read.
+    "a13_stream_ingest_foreachbatch": 14,
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -106,31 +106,52 @@ class VersionedTable:
         return self._meta()["latest"]
 
     # -- publish / read ---------------------------------------------------
-    def publish(self, df: DataFrame) -> int:
+    def publish(
+        self,
+        df: DataFrame,
+        partition_by: tuple[str, ...] = (),
+        extra: dict | None = None,
+    ) -> int:
         """Write the next version directory, then flip the pointer.
         The data write completes before the manifest references it, so
         a crash mid-write leaves an orphan dir (swept by vacuum), never
-        a readable half-version."""
+        a readable half-version.
+
+        ``partition_by`` lays the version out as a partitioned tree
+        (the compaction consumer keeps its date layout for pruning);
+        ``extra`` records caller metadata on the version entry (e.g.
+        ``compacted_through`` — the highest micro-batch folded in)."""
         meta = self._meta()
         version = (meta["latest"] or 0) + 1
         vdir = os.path.join(self.root, f"v{version}")
-        df.write.mode("overwrite").parquet(vdir)
-        meta["versions"].append({"version": version, "path": vdir})
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(vdir)
+        entry = {"version": version, "path": vdir}
+        if extra:
+            entry.update(extra)
+        meta["versions"].append(entry)
         meta["latest"] = version
         self._flip(meta)
         return version
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def entry(self, version: int | None = None) -> dict:
+        """The manifest entry for ``version`` (latest when None) —
+        path plus any ``extra`` metadata recorded at publish."""
         meta = self._meta()
         version = meta["latest"] if version is None else version
         for v in meta["versions"]:
             if v["version"] == version:
-                return spark.read.parquet(v["path"])
+                return dict(v)
         raise ValueError(
             f"version {version} not in manifest (retained: "
             f"{[v['version'] for v in meta['versions']]}) — it may have "
             "been vacuumed"
         )
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return spark.read.parquet(self.entry(version)["path"])
 
     # -- retention --------------------------------------------------------
     def vacuum(self, keep_last: int) -> list[int]:

@@ -44,6 +44,8 @@ CHANGED_BAND: set[str] = {
     "f08b_multimodal_quarantine",
     # SimHash re-band: 28 two-block keys, Hamming<=6 guarantee
     "g02c_dedup_simhash",
+    # sync() resolves through _staged_view (versioned compaction)
+    "a13_stream_ingest_foreachbatch",
 }
 
 # Registered only when google.protobuf is available; never-verified by
