@@ -1062,6 +1062,64 @@ def a30_landing_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "a31_versioned_compaction",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           year(ts) AS year, month(ts) AS month, day(ts) AS day
+    FROM events
+    """,
+)
+def a31_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rename-free object-store compaction loop end-to-end
+    (VERDICT r13 #6, pipeline.compact_staged(versioned=True)):
+
+    drain part of the landing -> fold the committed leaves into a
+    VersionedTable snapshot (write v1, flip manifest, DELETE covered
+    leaves — no data rename anywhere, the protocol s3a needs) -> a
+    LATE file lands and drains on top of the snapshot -> the staged
+    read resolves snapshot UNION fresh live leaves through the
+    manifest.  The oracle is the full events identity, so the
+    hash-match proves no row is lost or doubled across the
+    compact-then-append boundary — the exact invariant the
+    crash-window tests (tests/test_versioned_compaction.py) pin under
+    kills.  a10/a13 stay the rename-mode twins."""
+    from data_lake_staging_engine_spark.pipeline import StagingPipeline
+    from data_lake_staging_engine_spark.streaming.runner import landing_copy
+
+    src, schema = landing_copy(spark, sf_dir, "events", n_files=3)
+    parts = sorted(n for n in os.listdir(src) if n.endswith(".parquet"))
+    landing = _tmpdir("landing31")
+    for name in parts[:2]:
+        shutil.copyfile(
+            os.path.join(src, name), os.path.join(landing, name)
+        )
+    pipe = StagingPipeline(
+        spark,
+        landing_dir=landing,
+        staged_dir=_tmpdir("staged31"),
+        checkpoint_dir=_tmpdir("ckpt31"),
+        table="staged_events_versioned",
+        schema=schema,
+        reader_options={"maxFilesPerTrigger": 1},
+    )
+    pipe.run_available_now(timeout_s=120)
+    pipe.compact_staged(versioned=True)
+    shutil.copyfile(
+        os.path.join(src, parts[2]), os.path.join(landing, parts[2])
+    )
+    back = pipe.run_available_now(timeout_s=120)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        as_long(F.col("year")).alias("year"),
+        as_long(F.col("month")).alias("month"),
+        as_long(F.col("day")).alias("day"),
+    )
+
+
+@query(
     "a27_scan_text",
     oracle="SELECT doc_id, text FROM documents",
 )

@@ -55,7 +55,10 @@ ENV_GATED = {"e10_transform_with_state"}
 # Freshly registered this round — no driver row can exist yet; they sit
 # in band 0 (never-verified) and lead the sweep window.  Fold into
 # LAST_VERIFIED (and empty this set) once CORRECTNESS_r14 lands.
-NEW_IN_ROUND: set[str] = set()
+NEW_IN_ROUND: set[str] = {
+    # versioned-compaction loop end-to-end (VERDICT r13 #6)
+    "a31_versioned_compaction",
+}
 
 
 def _band0(reg):
