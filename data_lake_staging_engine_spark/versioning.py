@@ -79,6 +79,14 @@ class VersionedTable:
             # (ignored here because the manifest exists).
             tmp = self.manifest + ".tmp"
             if not self._fs.exists(tmp):
+                # TOCTOU (found by the round-14 adoption-race stress
+                # test, beyond ADVICE r13's scenario): between the two
+                # exists() checks a CONCURRENT reader may have adopted
+                # the tmp — the manifest exists again and "no tmp"
+                # must not be read as "empty table".  Re-check before
+                # concluding emptiness.
+                if self._fs.exists(self.manifest):
+                    return json.loads(self._fs.read_text(self.manifest))
                 return {"latest": None, "versions": []}
             try:
                 self._fs.rename(tmp, self.manifest)

@@ -160,3 +160,68 @@ def test_uri_root_full_lifecycle(spark, tmp_path):
 def test_uri_root_without_session_is_rejected():
     with pytest.raises(ValueError, match="SparkSession"):
         VersionedTable("s3a://bucket/table")
+
+
+def _crash_window(root: str) -> dict:
+    """Put a manifest-less VersionedTable root into the HadoopFS crash
+    shape (manifest deleted, .tmp holding the complete new content)
+    and return that content."""
+    import json
+
+    os.makedirs(root, exist_ok=True)
+    meta = {"latest": 1, "versions": [{"version": 1, "path": os.path.join(root, "v1")}]}
+    with open(os.path.join(root, "manifest.json.tmp"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def test_concurrent_readers_race_the_tmp_adoption(tmp_path):
+    """ADVICE r13: two readers hitting the crash window concurrently —
+    the loser's adoption rename fails once the winner consumed the
+    .tmp.  Every reader must still return the manifest content; none
+    may raise.  Pure-local VersionedTable (no session needed), many
+    threads, repeated rounds to make the race likely."""
+    import threading
+
+    for round_no in range(8):
+        root = str(tmp_path / f"race{round_no}")
+        meta = _crash_window(root)
+        table = VersionedTable(root)
+        results: list = [None] * 8
+        errors: list = []
+
+        def read(i):
+            try:
+                results[i] = table._meta()
+            except Exception as e:  # noqa: BLE001 - the assertion target
+                errors.append(e)
+
+        threads = [threading.Thread(target=read, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, f"reader raised during adoption race: {errors!r}"
+        assert all(r == meta for r in results), results
+        # and the adoption landed: the manifest file exists again
+        assert os.path.exists(os.path.join(root, "manifest.json"))
+
+
+def test_read_only_reader_falls_back_to_tmp_content(tmp_path, monkeypatch):
+    """ADVICE r13: a reader without write permission on the root (the
+    rename raises) must still READ the crash-window content — the
+    single-writer contract covers writers, not readers."""
+    from data_lake_staging_engine_spark import fs as fsmod
+
+    root = str(tmp_path / "ro")
+    meta = _crash_window(root)
+    table = VersionedTable(root)
+
+    def denied(self, src, dst):
+        raise PermissionError("read-only reader")
+
+    monkeypatch.setattr(fsmod.LocalFS, "rename", denied)
+    assert table._meta() == meta  # read the .tmp directly, no mutation
+    # nothing was repaired (no write permission), nothing was lost
+    assert not os.path.exists(os.path.join(root, "manifest.json"))
+    assert os.path.exists(os.path.join(root, "manifest.json.tmp"))
