@@ -651,3 +651,22 @@ class Engine:
         )
 
         return incremental_dedup(newdocs, corpus, threshold=threshold)
+
+    def band_index(self, root: str):
+        """The persisted MinHash band-signature store for the
+        incremental near-dup loop (round 14): ``build(corpus)`` once,
+        then ``probe(newdocs, corpus)`` from any session — see
+        operators.llmops.BandSignatureIndex for the full contract."""
+        from data_lake_staging_engine_spark.operators.llmops import (
+            BandSignatureIndex,
+        )
+
+        return BandSignatureIndex(root, self.spark)
+
+    def versioned_table(self, root: str):
+        """Manifest-versioned parquet table (a22's shape as a reusable
+        surface) — publish/read/time-travel/vacuum; see
+        versioning.VersionedTable."""
+        from data_lake_staging_engine_spark.versioning import VersionedTable
+
+        return VersionedTable(root, self.spark)

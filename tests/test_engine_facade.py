@@ -126,3 +126,28 @@ def test_engine_incremental_dedup_api(spark):
         for r in eng.incremental_dedup(new, corpus).collect()
     }
     assert got == {100: ("exact", 1), 101: ("unique", None)}
+
+
+def test_engine_band_index_and_versioned_table(spark, tmp_path):
+    """The round-14 surfaces reachable from the facade: a persisted
+    band-signature index built and probed through Engine, and the
+    versioned-table handle with the same lifecycle a22 proves."""
+    from data_lake_staging_engine_spark.pipeline import Engine
+
+    eng = Engine(spark=spark, data_dir="/root/testdata/sf0.001")
+    corpus = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "totally different words")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, "aa bb cc dd"), (101, "nothing shared at all")],
+        "doc_id long, text string",
+    )
+    idx = eng.band_index(str(tmp_path / "idx"))
+    assert idx.build(corpus) == 1
+    got = {r.doc_id: r.verdict for r in idx.probe(new, corpus).collect()}
+    assert got[100] == "near" and got[101] == "unique"
+
+    vt = eng.versioned_table(str(tmp_path / "vt"))
+    assert vt.publish(corpus) == 1
+    assert vt.read(spark).count() == 2
