@@ -849,7 +849,13 @@ def _verify_pairs_bitmap(
 
 @query("g02b_dedup_lsh", oracle=None)  # approximate — rows-only tier
 def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding — the 100 TB near-dup path.
+    """MinHash + LSH banding — the 100 TB near-dup path, and (with
+    g02e, its shingle twin) the RECALL-SAFE DEFAULT among the
+    approximate dedup operators: measured recall 0.95-0.96 vs the
+    exact anchor, FLAT across a 10x corpus step, with precision 1
+    (every emitted pair is exactly verified).  g02c SimHash is the
+    cheap candidate GENERATOR by comparison — higher unverified
+    candidate volume for Hamming-bounded blocking (see its docstring).
 
     k=16 hash functions (seeded xxhash64 variants), 4 bands x 4 rows:
     docs sharing any band signature become candidate pairs via an
@@ -978,7 +984,15 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     effective bits, so per-key random collisions are unchanged and the
     random-candidate term grows only by the 28/4 key-count factor.
     Rows-only (approximate family); recall floor pinned in
-    tests/test_dedup_recall.py."""
+    tests/test_dedup_recall.py.
+
+    Positioning (measured round 14, BASELINE.md): recall 0.92-0.98
+    flat across the ladder, but the emitted pairs are UNVERIFIED and
+    the candidate volume carries a quadratic random term
+    (~28/65536 x C(N,2)) plus a corpus-correlation term — use this as
+    the cheap Hamming-bounded candidate GENERATOR feeding a verify
+    stage; g02b/g02e (MinHash banding, precision 1, recall 0.95-1.0)
+    are the recall-safe default dedup scale paths."""
     d = load(spark, sf_dir, "documents")
     # materialize the 64-bit token hash ONCE per (doc, tok) row; the 64
     # per-bit aggregates below then read the same column instead of each
@@ -3386,9 +3400,13 @@ def incremental_band_probe(
     # Exact verify over the union of the batch and the CANDIDATE-
     # MATCHED corpus slice (both sides' token sets are needed, but
     # only for docs that appear in a candidate pair) — the semi-join
-    # is what keeps post-index work off the full corpus.
+    # is what keeps post-index work off the full corpus.  The id list
+    # is explicitly broadcast: it is O(batch)-bounded by the probe
+    # contract, and the checkpointed candidate frame carries no stats
+    # for the optimizer to discover that itself (AQE would recover it
+    # at runtime; the hint makes the 100 TB plan shape static).
     corpus_hit = corpus.select("doc_id", "text").join(
-        cands.select(F.col("d2").alias("doc_id")).distinct(),
+        F.broadcast(cands.select(F.col("d2").alias("doc_id")).distinct()),
         "doc_id",
         "left_semi",
     )
