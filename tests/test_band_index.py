@@ -147,3 +147,21 @@ def test_index_path_and_frame_are_exclusive(spark, tmp_path):
         assert "not both" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_vacuumed_index_version_fails_loudly(spark, tmp_path):
+    """The retention contract a daily loop must size for: a probe
+    PINNED to a version that vacuum has since pruned fails with the
+    explicit not-in-manifest error, never a silent empty result —
+    and the latest version keeps answering."""
+    import pytest as _pytest
+
+    root = str(tmp_path / "idx")
+    newdocs, corpus = _split(spark)
+    idx = BandSignatureIndex(root)
+    assert idx.build(corpus) == 1
+    assert idx.build(corpus.unionByName(newdocs)) == 2
+    idx.table.vacuum(keep_last=1)
+    with _pytest.raises(ValueError, match="vacuumed"):
+        idx.probe(newdocs, corpus, version=1)
+    assert idx.probe(newdocs, corpus, version=2).count() == newdocs.count()
