@@ -165,3 +165,38 @@ def test_vacuumed_index_version_fails_loudly(spark, tmp_path):
     with _pytest.raises(ValueError, match="vacuumed"):
         idx.probe(newdocs, corpus, version=1)
     assert idx.probe(newdocs, corpus, version=2).count() == newdocs.count()
+
+
+def test_multi_batch_daily_loop(spark, tmp_path):
+    """The daily-ingest cadence composed end to end: probe batch N
+    against index version N, fold the batch into the corpus,
+    re-publish as version N+1, repeat.  Per batch: the probe's near
+    set is a SUBSET of the exact incremental verdicts over the same
+    evolving corpus (precision 1), and each re-publish only ever adds
+    a version (prior probes' pins stay resolvable)."""
+    from data_lake_staging_engine_spark.operators.llmops import (
+        incremental_dedup,
+    )
+
+    d = load(spark, _SF, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 5 == 0)
+    idx = BandSignatureIndex(str(tmp_path / "daily"))
+    assert idx.build(corpus) == 1
+    for k, version in ((1, 1), (2, 2), (3, 3)):
+        batch = d.filter(F.col("doc_id") % 5 == k)
+        probed = {
+            r.doc_id: r.verdict
+            for r in idx.probe(batch, corpus, version=version).collect()
+        }
+        exact = {
+            r.doc_id: r.verdict
+            for r in incremental_dedup(batch, corpus).collect()
+        }
+        assert set(probed) == set(exact)  # one row per batch doc
+        probe_near = {i for i, v in probed.items() if v == "near"}
+        exact_near = {i for i, v in exact.items() if v in ("near", "exact")}
+        assert probe_near <= exact_near  # precision 1, every batch
+        # fold the batch in and re-publish — the next day's index
+        corpus = corpus.unionByName(batch)
+        assert idx.build(corpus) == version + 1
+    assert idx.table.versions() == [1, 2, 3, 4]

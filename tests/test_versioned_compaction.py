@@ -169,3 +169,35 @@ def test_versioned_compact_on_uri_paths(spark, sf_dir, tmp_path):
     # local view of the URI tree: leaves swept, snapshot present
     assert _live_batch_dirs(f"{tmp_path}/staged") == []
     assert os.path.isdir(f"{tmp_path}/staged.versions/v1")
+
+
+def test_versioned_view_prunes_live_leaves_by_partition(spark, sf_dir, tmp_path):
+    """The 100 TB read shape: after a versioned compact, the staged
+    view is snapshot-scan UNION live-scan, and the compacted_through
+    predicate reaches the LIVE scan as a PARTITION filter on
+    _ingest_batch — folded-but-unswept leaves are pruned at planning
+    time, never read and discarded row-by-row."""
+    from data_lake_staging_engine_spark.plans.inspect import physical_plan, scans
+
+    landing, schema = _private_landing(spark, sf_dir, str(tmp_path))
+    pipe = _pipe(spark, landing, schema, str(tmp_path))
+    pipe.run_available_now(timeout_s=180)
+    pipe.compact_staged(versioned=True)
+    # a late batch puts live leaves next to the snapshot
+    parts = [p for p in sorted(os.listdir(landing)) if p.endswith(".parquet")]
+    shutil.copyfile(
+        os.path.join(landing, parts[0]),
+        os.path.join(landing, "late.parquet"),
+    )
+    pipe.run_available_now(timeout_s=180)
+    plan = physical_plan(pipe._staged_view())
+    # two parquet scans: the snapshot version dir and the live tree
+    assert len(scans(plan)) == 2
+    assert ".versions/v1" in plan.replace("\n", "")
+    # the live side carries the partition filter (planning-time prune)
+    part_filters = [
+        line for line in plan.splitlines() if "PartitionFilters" in line
+    ]
+    assert any(
+        "_ingest_batch" in line and ">" in line for line in part_filters
+    ), part_filters
