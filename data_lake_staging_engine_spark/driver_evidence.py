@@ -51,6 +51,13 @@ History of the window rotation:
   g13 g32), 0 failures.  Oldest remaining evidence after the fold:
   r10 (29 names — the b40-b56 relational tail, d07/d09/d10, a25/a26,
   and the g06-g27 text/corpus singles), which leads the r14 window.
+- r14 led with the six round-14 changed markers (versioned
+  compaction, persisted band index, quarantine observe, SimHash
+  re-band) plus the new a31 operator and drained the whole r10 band —
+  47 hash-green, 3 R-tier rows-only ran (g02c g32 a14), 0 failures.
+  Oldest remaining evidence after the fold: r11 (29 names — the
+  b14-b34 relational middle, the c-window singles, d01/d02/d06/d11/
+  d13, f01/f09, g01/g25/g31), which leads the r15 window.
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -60,9 +67,9 @@ MATERIALLY in a given round (ADVICE r06): when ``CHANGED_IN[name] >
 LAST_VERIFIED[name]`` the recorded evidence no longer describes the
 current text, so the query re-enters the window AHEAD of every
 untouched entry.  Members are the queries the current round's work
-actually touched (added commit-by-commit as the edits land); all nine
-round-12 markers were satisfied by CORRECTNESS_r12 and dropped in the
-r13 fold.
+actually touched (added commit-by-commit as the edits land); all five
+round-14 markers were satisfied by CORRECTNESS_r14 and dropped in the
+r15 fold.
 
 The mechanical backstop remains: ``round_mirror_users()`` below walks
 each registered callable's static call graph and source text for the
@@ -74,8 +81,8 @@ After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
 tests/test_registry_order.py.  ``scripts/fold_evidence.py`` prints the
 ready-to-paste bands.  Source of truth:
-CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12,13}.json, folded
-2026-08-16 at round-14 entry (the fold is machine-checked by
+CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12,13,14}.json, folded
+2026-08-16 at round-15 entry (the fold is machine-checked by
 test_last_verified_matches_correctness_artifacts).
 """
 
@@ -84,37 +91,18 @@ from __future__ import annotations
 import types
 
 # fmt: off
-_R10 = (  # CORRECTNESS_r10.json greens not re-proven since — the
-    # stalest evidence in the registry; they lead band 1 of the r14
-    # window (VERDICT r13 #2: clear the r10 band).
-    "a25_scan_xml", "a26_scan_binaryfile", "b18_join_asof",
-    "b37_null_ordering", "b40_sort_limit_topk", "b41_topk_per_group",
-    "b42_group_by_all", "b50_union_all", "b51_intersect", "b52_except",
-    "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
-    "b56_join_lateral", "d07_fn_json", "d09_fn_variant",
-    "d10_fn_decimal_interval", "g06_text_wordcount", "g08c_text_langid",
-    "g08d_text_fingerprint", "g09_multimodal_record", "g10_embed_join_docs",
-    "g14_text_clean", "g15_vocab_prune", "g17_text_bigrams",
-    "g19_stratified_sample", "g22_corpus_split", "g24_pii_scrub",
-    "g27_corpus_mixture",
-)
-_R11 = (
-    # CORRECTNESS_r11.json greens not re-proven since (incl. the
-    # rows-only R-tier runs a14 b23 g02c).
-    "a11_catalog_sync", "a12_incremental_ingest", "a14_bad_records",
-    "a15_bucketed_join", "a18_python_datasource", "a19_stream_upsert",
-    "a21_schema_evolution", "a28_multi_format_union", "a29_scd2_dimension",
-    "b02_filter_pred", "b03_distinct", "b10_join_inner", "b11_join_left",
-    "b12_join_right_full", "b13_join_semi", "b14_join_anti",
-    "b16_join_theta", "b17_join_range_interval", "b19_join_cross",
-    "b21_agg_having", "b22_agg_countdistinct", "b23_agg_approx_cd",
-    "b24_agg_rollup", "b26_agg_grouping_sets", "b29_agg_collect_sorted",
-    "b30_agg_minmax_by", "b32_pivot", "b33_unpivot",
-    "b34_sample_systematic", "c02_win_lag_lead", "c06_win_first_last",
-    "c08_win_forward_fill", "c10_win_sessionize", "d01_fn_string",
-    "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise", "d13_fn_url",
-    "e07_stream_late_data", "f01_udf_python", "f09_multimodal_framesample",
-    "g01_dedup_exact", "g02c_dedup_simhash", "g25_sequence_pack",
+_R11 = (  # CORRECTNESS_r11.json greens not re-proven since — the
+    # stalest evidence in the registry; they lead band 1 of the r15
+    # window (VERDICT r14 #2: drain the r11 band).
+    "b14_join_anti", "b16_join_theta", "b17_join_range_interval",
+    "b19_join_cross", "b21_agg_having", "b22_agg_countdistinct",
+    "b23_agg_approx_cd", "b24_agg_rollup", "b26_agg_grouping_sets",
+    "b29_agg_collect_sorted", "b30_agg_minmax_by", "b32_pivot",
+    "b33_unpivot", "b34_sample_systematic", "c02_win_lag_lead",
+    "c06_win_first_last", "c08_win_forward_fill", "c10_win_sessionize",
+    "d01_fn_string", "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise",
+    "d13_fn_url", "e07_stream_late_data", "f01_udf_python",
+    "f09_multimodal_framesample", "g01_dedup_exact", "g25_sequence_pack",
     "g31_dedup_segments",
 )
 _R12 = (
@@ -134,38 +122,57 @@ _R12 = (
     "g28_semantic_dedup", "g29_quality_gate",
 )
 _R13 = (
-    # CORRECTNESS_r13.json — 50-row window, 44 hash-green + 6 R-tier
-    # rows-only ran (g02b g02e g03c g03e g13 g32); led with the
-    # round-13 changed markers (the 'auto' shuffle-partitions fallback,
-    # fs-backend lift, g32 banding factor-out) and the two new
-    # operators; all markers satisfied, band drained to empty.
+    # CORRECTNESS_r13.json greens not re-proven since.
     "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
     "a04_normalize_columns", "a05_apply_schema_cast",
     "a06_partition_derive", "a07_dedup_keep_latest",
-    "a08_quality_nullcounts", "a10_compaction",
-    "a13_stream_ingest_foreachbatch", "a22_versioned_snapshot",
-    "a23_schema_widening", "a24_sink_orc", "a30_landing_reconcile",
-    "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
-    "e04_stream_watermark", "e05_stream_dedup", "e06_stream_stateful",
-    "e08_stream_stream_join", "e09_stream_static_join", "e10_batch_twin",
+    "a08_quality_nullcounts", "a10_compaction", "a23_schema_widening",
+    "a24_sink_orc", "a30_landing_reconcile", "e01_stream_tumbling",
+    "e02_stream_sliding", "e03_stream_session", "e04_stream_watermark",
+    "e05_stream_dedup", "e06_stream_stateful", "e08_stream_stream_join",
+    "e09_stream_static_join", "e10_batch_twin",
     "e11_stream_dedup_then_window", "e12_stream_outer_join",
     "f03_pandas_udf_grouped_agg", "f04_apply_in_pandas", "f06_udtf",
-    "f07_arrow_udf", "f08_multimodal_decode", "f08b_multimodal_quarantine",
-    "f10_cogroup_in_pandas", "g02_dedup_near", "g02b_dedup_lsh",
-    "g02d_dedup_ngram", "g02e_dedup_lsh_shingle", "g03_simsearch_topk",
-    "g03b_simsearch_knn", "g03c_simsearch_lsh", "g03d_embed_neardup",
-    "g03e_simsearch_ivf", "g05_text_tokenize", "g05b_token_bpe",
-    "g12_contamination", "g13_kmeans_iterations", "g16_event_funnel",
-    "g21_dedup_agreement", "g26_dedup_clusters", "g30_dedup_incremental",
+    "f07_arrow_udf", "f08_multimodal_decode", "f10_cogroup_in_pandas",
+    "g02_dedup_near", "g02b_dedup_lsh", "g02d_dedup_ngram",
+    "g02e_dedup_lsh_shingle", "g03_simsearch_topk", "g03b_simsearch_knn",
+    "g03c_simsearch_lsh", "g03d_embed_neardup", "g03e_simsearch_ivf",
+    "g05_text_tokenize", "g05b_token_bpe", "g12_contamination",
+    "g13_kmeans_iterations", "g16_event_funnel", "g21_dedup_agreement",
+    "g26_dedup_clusters", "g30_dedup_incremental",
+)
+_R14 = (
+    # CORRECTNESS_r14.json — 50-row window, 47 hash-green + 3 R-tier
+    # rows-only (g02c g32 a14); led with the round-14 changed markers
+    # (versioned-compaction, persisted band index, quarantine observe,
+    # SimHash re-band) plus the stalest r10 band; all markers
+    # satisfied, band drained to empty.
+    "a11_catalog_sync", "a12_incremental_ingest",
+    "a13_stream_ingest_foreachbatch", "a14_bad_records",
+    "a15_bucketed_join", "a18_python_datasource", "a19_stream_upsert",
+    "a21_schema_evolution", "a22_versioned_snapshot", "a25_scan_xml",
+    "a26_scan_binaryfile", "a28_multi_format_union", "a29_scd2_dimension",
+    "a31_versioned_compaction", "b02_filter_pred", "b03_distinct",
+    "b10_join_inner", "b11_join_left", "b12_join_right_full",
+    "b13_join_semi", "b18_join_asof", "b37_null_ordering",
+    "b40_sort_limit_topk", "b41_topk_per_group", "b42_group_by_all",
+    "b50_union_all", "b51_intersect", "b52_except", "b53_subquery_scalar",
+    "b54_subquery_in", "b55_subquery_corr_exists", "b56_join_lateral",
+    "d07_fn_json", "d09_fn_variant", "d10_fn_decimal_interval",
+    "f08b_multimodal_quarantine", "g02c_dedup_simhash",
+    "g06_text_wordcount", "g08c_text_langid", "g08d_text_fingerprint",
+    "g09_multimodal_record", "g10_embed_join_docs", "g14_text_clean",
+    "g15_vocab_prune", "g17_text_bigrams", "g19_stratified_sample",
+    "g22_corpus_split", "g24_pii_scrub", "g27_corpus_mixture",
     "g32_dedup_band_probe",
 )
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
-    **{name: 10 for name in _R10},
     **{name: 11 for name in _R11},
     **{name: 12 for name in _R12},
     **{name: 13 for name in _R13},
+    **{name: 14 for name in _R14},
 }
 
 # Queries whose Spark code or oracle text materially changed in the
@@ -176,30 +183,21 @@ LAST_VERIFIED: dict[str, int] = {
 # the round-14 fold; round-14 edits add their markers below as they
 # land.
 CHANGED_IN: dict[str, int] = {
-    # VersionedTable._meta's tmp-adoption now tolerates losing the
-    # adoption race / read-only readers (ADVICE r13) — executed-path
-    # text of the manifest reader a22 drives.  (The other two ADVICE
-    # fixes do not re-mark anything: _active_query_on_checkpoint is
-    # reached only from compact_staged, which no registered query
-    # calls, and _capture_run_stats is post-drain diagnostics that
-    # writes a module global and cannot affect a returned DataFrame.)
-    "a22_versioned_snapshot": 14,
-    # g32 now probes a PERSISTED BandSignatureIndex (VersionedTable
-    # parquet) and the verify restricts the corpus side to candidate-
-    # matched docs via a semi-join — same rows, changed plan text.
-    "g32_dedup_band_probe": 14,
-    # f08b's stages factored into make_quarantine_stage and the frame
-    # now carries the named quarantine observation (VERDICT r13 #5) —
-    # same rows, changed executed text.
-    "f08b_multimodal_quarantine": 14,
-    # g02c re-banded: 4x16 any-band -> 28 two-block keys (8x8 blocks,
-    # Hamming<=6 guarantee) — candidate set changes (VERDICT r13 #4).
-    "g02c_dedup_simhash": 14,
-    # StagingPipeline.sync now resolves through _staged_view (the
-    # versioned-compaction layout detector, VERDICT r13 #6) — executed
-    # text of the one registered pipeline driver changed; a22 (already
-    # marked) also executes the extended VersionedTable.publish/read.
-    "a13_stream_ingest_foreachbatch": 14,
+    # VersionedTable.publish now CAS-re-reads the manifest before its
+    # flip (VERDICT r14 #4) — executed text of every registered
+    # publisher changed: a22 publishes two snapshot versions directly.
+    "a22_versioned_snapshot": 15,
+    # a31 drives compact_staged(versioned=True): publish (CAS) plus
+    # _sweep_folded_leaves now reclaiming the -1 epoch leaves
+    # (ADVICE r14).
+    "a31_versioned_compaction": 15,
+    # g32: index_root amortization parameter, the store's build now
+    # records (n_hashes, bands) on the manifest entry, and the probe
+    # bands the batch with the stored parameters (ADVICE r14 medium).
+    "g32_dedup_band_probe": 15,
+    # (runner._capture_run_stats's json-shape fix is post-drain
+    # diagnostics writing a module global — it cannot affect any
+    # returned DataFrame, so no marker, same adjudication as r14.)
 }
 
 # Convenience view: every query with any first-party driver evidence.

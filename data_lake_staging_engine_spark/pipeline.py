@@ -393,11 +393,15 @@ class StagingPipeline:
 
     def _sweep_folded_leaves(self, committed: int) -> None:
         """Delete live ``_ingest_batch=<id>`` leaves the snapshot now
-        covers (id in [0, committed]).  Pure deletes — no renames, so
-        object stores pay one DELETE per leaf, never a copy.  Runs
-        AFTER the manifest flip: a crash mid-sweep leaves stale dirs
-        the view already excludes by predicate; the next compaction
-        re-sweeps them."""
+        covers: id in [0, committed] plus the ``-1`` compaction-epoch
+        leaves an earlier RENAME-MODE compaction left behind (ADVICE
+        r14: the versioned fold includes them in the snapshot, and the
+        view excludes them forever after by the ``> compacted_through``
+        predicate, so not deleting them was permanent dead storage).
+        Pure deletes — no renames, so object stores pay one DELETE per
+        leaf, never a copy.  Runs AFTER the manifest flip: a crash
+        mid-sweep leaves stale dirs the view already excludes by
+        predicate; the next compaction re-sweeps them."""
         fs = self._staged_fs
 
         def sweep(d: str) -> None:
@@ -408,7 +412,7 @@ class StagingPipeline:
                         bid = int(name.split("=", 1)[1])
                     except ValueError:
                         continue
-                    if 0 <= bid <= committed:
+                    if bid == -1 or 0 <= bid <= committed:
                         fs.rmtree(path)
                 elif fs.isdir(path):
                     sweep(path)

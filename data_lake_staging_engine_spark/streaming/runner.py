@@ -161,9 +161,12 @@ def _capture_run_stats(q, checkpoint: str) -> None:
             # (ADVICE r13) — normalize through the JSON form so a
             # non-dict entry degrades to parsed stats, not to the
             # blanket-except None that state_growth_study would
-            # silently record as a measured zero.
+            # silently record as a measured zero.  `json` is a METHOD
+            # on some PySpark versions and a str PROPERTY on others
+            # (ADVICE r14) — handle both shapes.
             if not isinstance(p, dict):
-                p = json.loads(p.json())
+                j = p.json
+                p = json.loads(j() if callable(j) else j)
             batches += 1
             for so in p.get("stateOperators") or []:
                 state_rows = max(state_rows, int(so.get("numRowsTotal") or 0))

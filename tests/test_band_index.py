@@ -200,3 +200,109 @@ def test_multi_batch_daily_loop(spark, tmp_path):
         corpus = corpus.unionByName(batch)
         assert idx.build(corpus) == version + 1
     assert idx.table.versions() == [1, 2, 3, 4]
+
+
+def test_nondefault_params_recorded_and_probed(spark, tmp_path):
+    """ADVICE r14 (medium): an index built with non-default
+    n_hashes/bands used to be probed with the DEFAULT parameters —
+    band hashes never collide across parameterizations, so every doc
+    silently read 'unique'.  Now build records (n_hashes, bands) on
+    the manifest entry and every probe route bands the batch with the
+    stored values."""
+    root = str(tmp_path / "idx32x8")
+    newdocs, corpus = _split(spark)
+    idx = BandSignatureIndex(root)
+    assert idx.build(corpus, n_hashes=32, bands=8) == 1
+    assert idx.params() == (32, 8)
+
+    # Both probe routes (method + index_path) agree with the
+    # in-session probe at the SAME parameterization.
+    expected = _rows(
+        incremental_band_probe(newdocs, corpus, n_hashes=32, bands=8)
+    )
+    assert _rows(idx.probe(newdocs, corpus)) == expected
+    assert _rows(
+        incremental_band_probe(newdocs, corpus, index_path=root)
+    ) == expected
+
+    # The bug this fix kills: banding the batch with the defaults
+    # against the 32x8 index yields (near-)zero candidates — the
+    # fixture's known near-dup mass vanishes.  Recovering a non-empty
+    # candidate set at the stored parameters proves the plumbing is
+    # what restored recall, not luck.
+    good = _probe_candidates(
+        _tokens(newdocs), idx.signatures(spark), n_hashes=32, bands=8
+    ).count()
+    bad = _probe_candidates(
+        _tokens(newdocs), idx.signatures(spark), n_hashes=16, bands=4
+    ).count()
+    assert good > 0
+    assert bad < good
+
+
+def test_params_default_for_legacy_manifest_entries(spark, tmp_path):
+    """Versions published before the parameters were recorded (round
+    14) carry no n_hashes/bands keys; params() must fall back to the
+    build defaults — the only parameterization that could have
+    produced them."""
+    from data_lake_staging_engine_spark.operators.llmops import (
+        _band_signatures,
+    )
+
+    root = str(tmp_path / "legacy")
+    _newdocs, corpus = _split(spark)
+    idx = BandSignatureIndex(root)
+    # simulate a round-14 publish: signatures without extra metadata
+    idx.table.publish(_band_signatures(_tokens(corpus)))
+    assert idx.params() == (16, 4)
+
+
+def test_probe_pinned_version_stable_under_racing_republish(spark, tmp_path):
+    """VERDICT r14 #1: the production daily loop — many probes pinned
+    to version N while a concurrent rebuild publishes N+1.  The store
+    guarantees old versions stay readable (vacuum contract), so every
+    pinned probe must return byte-identical rows before, during, and
+    after the racing republish, and the republished index must be
+    probeable the moment build() returns."""
+    import threading
+
+    root = str(tmp_path / "race")
+    newdocs, corpus = _split(spark)
+    idx = BandSignatureIndex(root)
+    assert idx.build(corpus) == 1
+    baseline = _rows(idx.probe(newdocs, corpus, version=1))
+
+    grown = corpus.unionByName(newdocs)
+    errs: list[Exception] = []
+    published = threading.Event()
+
+    def republish():
+        try:
+            # two racing rebuilds back-to-back widens the window the
+            # pinned probes run under
+            idx.build(grown)
+            idx.build(grown.unionByName(newdocs))
+        except Exception as e:  # pragma: no cover - failure capture
+            errs.append(e)
+        finally:
+            published.set()
+
+    t = threading.Thread(target=republish)
+    t.start()
+    probes = []
+    # keep probing the pinned version while the republisher runs;
+    # at least one probe is guaranteed to overlap the build window
+    # (the loop runs until the publisher finishes, minimum twice)
+    while True:
+        probes.append(_rows(idx.probe(newdocs, corpus, version=1)))
+        if published.is_set() and len(probes) >= 2:
+            break
+    t.join(timeout=600)
+    assert not errs, errs
+    assert all(p == baseline for p in probes)
+    # the republished versions answer immediately, params intact
+    assert idx.table.versions() == [1, 2, 3]
+    assert idx.params(3) == (16, 4)
+    latest = dict((d, v) for d, v, _m in _rows(idx.probe(newdocs, grown)))
+    # every batch doc is IN the v3 corpus => all near
+    assert set(latest.values()) == {"near"}

@@ -365,3 +365,51 @@ def test_gate_observe_metrics_streaming(spark, hostile_df, tmp_path_factory):
     gated_n = sum(m["rows_gated"] for m in metrics)
     assert seen == hostile_df.count()
     assert gated_n == 4  # 300, 301, 302, and the NULL ts row
+
+
+def test_g13_matches_seeded_numpy_lloyd(spark):
+    """VERDICT r14 #7: g13 is rows-only (float assignment boundaries
+    have no DuckDB twin), so pin its VALUES against an independent
+    NumPy Lloyd reference at sf0.001 — same deterministic init (per-
+    label mean vectors), same 2 iterations, same lowest-cluster-id
+    tie-break (np.argmin takes the first minimum; the query orders by
+    (d2, cluster)).  Exact agreement on cluster membership counts
+    (assignments are integral, so any iteration-1 divergence would
+    surface here) and fp-tolerance agreement on every centroid
+    coordinate: the emitted values are duck_round(x, 4), so the bound
+    is half-ulp-of-4dp plus float slack."""
+    import numpy as np
+
+    pdf = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .toPandas()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    labels = pdf["label"].to_numpy()
+    clusters = np.sort(np.unique(labels)).astype(np.int64)
+    C = np.stack([X[labels == c].mean(axis=0) for c in clusters])
+    assign = None
+    for _ in range(2):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        assert all((assign == j).any() for j in range(len(clusters))), (
+            "reference lost a cluster — fixture drifted; rework the test"
+        )
+        C = np.stack([X[assign == j].mean(axis=0) for j in range(len(clusters))])
+    ref_counts = {
+        int(clusters[j]): int((assign == j).sum()) for j in range(len(clusters))
+    }
+
+    rows = _REG["g13_kmeans_iterations"].fn(spark, "/root/testdata/sf0.001").collect()
+    got_counts = {int(r.cluster): int(r.n_members) for r in rows}
+    assert got_counts == ref_counts
+    j_of = {int(c): j for j, c in enumerate(clusters)}
+    for r in rows:
+        ref_val = C[j_of[int(r.cluster)]][int(r.pos)]
+        assert abs(float(r.centroid_val) - ref_val) <= 6e-5, (
+            r.cluster,
+            r.pos,
+            float(r.centroid_val),
+            ref_val,
+        )

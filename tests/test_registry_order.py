@@ -1,18 +1,18 @@
 """Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r13 greens into
-``LAST_VERIFIED`` (the r13 window drained the whole r09 band and
-satisfied all 24 round-13 CHANGED_IN markers), the changed band
-drains to whatever round-14 edits actually touch — added to
+``queries()`` in insertion order.  After folding the r14 greens into
+``LAST_VERIFIED`` (the r14 window drained the whole r10 band and
+satisfied all five round-14 CHANGED_IN markers), the changed band
+drains to whatever round-15 edits actually touch — added to
 CHANGED_IN commit-by-commit as they land, mirrored here in
 CHANGED_BAND so a drive-by edit to either side fails loudly.
 
-The r14 window therefore leads with the round-14 changed band, then
-rotates onto the stalest remaining evidence: the 29-member r10 band
-(the b40-b56 relational tail, d07/d09/d10, a25/a26, and the g06-g27
-text/corpus singles — VERDICT r13 #2's explicit list), then the
-oldest r11 entries filling the remaining slots.
+The r15 window therefore leads with the round-15 changed band, then
+rotates onto the stalest remaining evidence: the 29-member r11 band
+(the b14-b34 relational middle, the c-window singles, d01/d02/d06/
+d11/d13, f01/f09, g01/g25/g31 — VERDICT r14 #2's explicit list),
+then the oldest r12 entries filling the remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -32,20 +32,16 @@ from data_lake_staging_engine_spark.driver_evidence import (
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 14 (see driver_evidence
-# CHANGED_IN) — the independent mirror.  Round-14 edits add names here
+# Text newer than driver evidence as of round 15 (see driver_evidence
+# CHANGED_IN) — the independent mirror.  Round-15 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
-    # VersionedTable._meta tmp-adoption race tolerance (ADVICE r13)
+    # VersionedTable.publish CAS re-read (VERDICT r14 #4)
     "a22_versioned_snapshot",
-    # persisted BandSignatureIndex + candidate-bounded verify
+    # versioned compaction: publish CAS + epoch-leaf sweep (ADVICE r14)
+    "a31_versioned_compaction",
+    # band-index param plumbing + index_root amortization (ADVICE r14)
     "g32_dedup_band_probe",
-    # factored quarantine stage + named observation (VERDICT r13 #5)
-    "f08b_multimodal_quarantine",
-    # SimHash re-band: 28 two-block keys, Hamming<=6 guarantee
-    "g02c_dedup_simhash",
-    # sync() resolves through _staged_view (versioned compaction)
-    "a13_stream_ingest_foreachbatch",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -54,11 +50,8 @@ ENV_GATED = {"e10_transform_with_state"}
 
 # Freshly registered this round — no driver row can exist yet; they sit
 # in band 0 (never-verified) and lead the sweep window.  Fold into
-# LAST_VERIFIED (and empty this set) once CORRECTNESS_r14 lands.
-NEW_IN_ROUND: set[str] = {
-    # versioned-compaction loop end-to-end (VERDICT r13 #6)
-    "a31_versioned_compaction",
-}
+# LAST_VERIFIED (and empty this set) once CORRECTNESS_r15 lands.
+NEW_IN_ROUND: set[str] = set()
 
 
 def _band0(reg):
@@ -108,37 +101,37 @@ def test_window_fills_with_stalest_evidence():
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # Band 1 is ordered stalest-first: r10, then r11, then r12/r13.
-    assert not any(r <= 9 for r in LAST_VERIFIED.values())
-    stale_r10 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 10 and not changed_since_verified(n)
-    )
-    # the post-r13-fold stalest band is 29 names; members with a
-    # round-14 CHANGED_IN marker sit in band 0 instead
-    assert sum(1 for r in LAST_VERIFIED.values() if r == 10) == 29
-    assert len(stale_r10) == 29 - sum(
-        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 10
-    )
+    # Band 1 is ordered stalest-first: r11, then r12, then r13/r14.
+    assert not any(r <= 10 for r in LAST_VERIFIED.values())
     stale_r11 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 11 and not changed_since_verified(n)
     )
-    # head + 29 r10 fill the first 29+len(head) slots; the oldest r11
+    # the post-r14-fold stalest band is 29 names; members with a
+    # round-15 CHANGED_IN marker sit in band 0 instead
+    assert sum(1 for r in LAST_VERIFIED.values() if r == 11) == 29
+    assert len(stale_r11) == 29 - sum(
+        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 11
+    )
+    stale_r12 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 12 and not changed_since_verified(n)
+    )
+    # head + 29 r11 fill the first 29+len(head) slots; the oldest r12
     # entries complete the 50.
-    assert window == (head + stale_r10 + stale_r11)[:50]
+    assert window == (head + stale_r11 + stale_r12)[:50]
     # Everything past the window is ordered by non-decreasing evidence
-    # round (r11 remainder <= r12 <= r13).
+    # round (r12 remainder <= r13 <= r14).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    r10 = sweep_rank("b40_sort_limit_topk", True)
-    r11 = sweep_rank("a11_catalog_sync", True)
+    r11 = sweep_rank("b14_join_anti", True)
     r12 = sweep_rank("b20_agg_groupby", True)
     r13 = sweep_rank("g30_dedup_incremental", True)
-    assert r10 < r11 < r12 < r13
-    assert r10[0] == 1  # verified, just stale — band 1
-    # Round-14 edits re-enter band 0 ahead of everything.
+    r14 = sweep_rank("b40_sort_limit_topk", True)
+    assert r11 < r12 < r13 < r14
+    assert r11[0] == 1  # verified, just stale — band 1
+    # Round-15 edits re-enter band 0 ahead of everything.
     for name in CHANGED_BAND:
         assert sweep_rank(name, True)[0] == 0
 

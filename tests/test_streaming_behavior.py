@@ -80,3 +80,40 @@ def test_watermark_drops_late_rows(spark, sf_dir):
     assert min_ws_emitted is None or min_ws_emitted >= recent_min.replace(
         minute=0, second=0, microsecond=0
     )
+
+
+def test_capture_run_stats_handles_both_progress_json_shapes(tmp_path):
+    """ADVICE r14: ``StreamingQueryProgress.json`` is a METHOD on the
+    installed PySpark (the class subclasses dict, so the non-dict
+    branch is dead here) but a str PROPERTY on other versions — the
+    branch this normalization targets.  Calling ``p.json()`` on the
+    property shape raises TypeError, falls into the blanket except,
+    and records the exact None the ADVICE r13 fix claimed to
+    eliminate.  Pin both shapes plus the plain-dict one with fakes;
+    no Spark needed."""
+    import json as _json
+
+    from data_lake_staging_engine_spark.streaming import runner
+
+    class PropShape:  # json is a str property (older/other PySpark)
+        @property
+        def json(self):
+            return _json.dumps({"stateOperators": [{"numRowsTotal": 7}]})
+
+    class MethodShape:  # json is a zero-arg method
+        def json(self):
+            return _json.dumps({"stateOperators": [{"numRowsTotal": 3}]})
+
+    class Q:
+        recentProgress = [
+            PropShape(),
+            MethodShape(),
+            {"stateOperators": [{"numRowsTotal": 5}]},
+        ]
+
+    runner._capture_run_stats(Q(), str(tmp_path / "no-such-ckpt"))
+    assert runner.LAST_RUN_STATS == {
+        "state_rows": 7,
+        "state_dir_bytes": 0,
+        "batches": 3,
+    }

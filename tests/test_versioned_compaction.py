@@ -201,3 +201,35 @@ def test_versioned_view_prunes_live_leaves_by_partition(spark, sf_dir, tmp_path)
     assert any(
         "_ingest_batch" in line and ">" in line for line in part_filters
     ), part_filters
+
+
+def test_versioned_compact_sweeps_rename_mode_epoch_leaves(spark, sf_dir, tmp_path):
+    """ADVICE r14: a rename-mode compaction leaves its folded rows
+    under live ``_ingest_batch=-1`` leaves; a LATER versioned
+    compaction folds those rows into the snapshot but used to sweep
+    only ids in [0, committed] — the -1 leaves became permanent dead
+    storage (view-invisible via the > compacted_through predicate,
+    but never reclaimed).  The sweep now also deletes the epoch
+    leaves once the manifest flip covers them."""
+    landing, schema = _private_landing(spark, sf_dir, str(tmp_path))
+    pipe = _pipe(spark, landing, schema, str(tmp_path))
+    n = pipe.run_available_now(timeout_s=180).count()
+    assert n > 0
+
+    # rename-mode compaction first: everything folds under the epoch
+    assert pipe.compact_staged().count() == n
+    assert set(_live_batch_dirs(pipe.staged_dir)) == {-1}
+
+    # a fresh micro-batch lands on top of the epoch leaves
+    parts = sorted(p for p in os.listdir(landing) if p.endswith(".parquet"))
+    extra_src = os.path.join(landing, parts[0])
+    n_extra = spark.read.parquet(extra_src).count()
+    shutil.copyfile(extra_src, os.path.join(landing, "late-extra.parquet"))
+    assert pipe.run_available_now(timeout_s=180).count() == n + n_extra
+
+    # versioned compaction folds epoch + committed leaves into v1 and
+    # now reclaims BOTH: no live leaf of any id survives
+    compacted = pipe.compact_staged(versioned=True)
+    assert compacted.count() == n + n_extra
+    assert _live_batch_dirs(pipe.staged_dir) == []
+    assert pipe._staged_view().count() == n + n_extra
