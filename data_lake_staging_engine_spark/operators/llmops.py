@@ -3374,6 +3374,103 @@ def _probe_candidates(
     )
 
 
+def _probe_rep_space(
+    probe_sigs: DataFrame,
+    index: DataFrame,
+    cand_ids: DataFrame,
+    toks: DataFrame,
+    vocab_n: int,
+    threshold: float,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Rep-space band probe (round 15): per-batch-doc (d1, near_m =
+    MIN matching corpus id) computed WITHOUT ever materializing
+    candidate doc pairs.
+
+    Why: banding buckets template corpora hard — the 10x replica puts
+    93% of its 15.6M candidate-pair mass in ~60 buckets of ~2k docs
+    with IDENTICAL token sets, so the doc-pair candidate frame this
+    replaces cost more to shuffle/checkpoint than the rest of the
+    probe combined (~25 s of a 36 s probe).
+
+    The closure property that makes this exact: on this branch the
+    vocab from ``_bitmap_vocab`` is the COMPLETE distinct token set,
+    so mask equality <=> token-set equality, and the band signatures
+    are a pure function of the token set — every doc in a distinct-
+    mask group carries identical (band, sig) rows, so the group is
+    candidate-to-a-batch-doc as a UNIT, its Jaccard against any mask
+    is one popcount, and the min corpus member answers match_id.
+    Candidate generation therefore joins the batch's signatures
+    against ONE carrier per group (its min corpus member, whose index
+    rows stand for all), collapsing the mega-bucket pair explosion to
+    O(batch x distinct masks per bucket).  Exactly the
+    ``_g02_bitmask`` representative discipline, applied to the
+    probe's asymmetric batch-vs-corpus shape.
+
+    Every join side here is O(batch + candidate docs) and broadcast
+    explicitly — the checkpointed inputs carry no stats for the
+    optimizer to find that itself (AQE would recover it at runtime;
+    the hint makes the 100 TB plan shape static)."""
+    masks, wcols = _doc_bitmaps(toks, vocab_n, vocab=vocab)
+    d2r = masks.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy(*wcols))
+    ).localCheckpoint(eager=True)
+    # Corpus candidates per distinct-mask group; the MIN member is
+    # both the match_id answer and the signature carrier.  (The rep
+    # itself may be a BATCH doc — same mask, same sigs, but absent
+    # from the index — hence the explicit corpus-side carrier.)
+    grp = (
+        d2r.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        .groupBy("rep")
+        .agg(F.min("doc_id").alias("min_d2"))
+    )
+    carrier_sigs = index.join(
+        F.broadcast(grp.select(F.col("min_d2").alias("doc_id"), "rep")),
+        "doc_id",
+    ).select("rep", "band", "sig")
+    rep_cands = (
+        probe_sigs.alias("p")
+        .join(carrier_sigs.alias("cs"), ["band", "sig"])
+        .select(F.col("p.doc_id").alias("d1"), F.col("cs.rep").alias("r2"))
+        .distinct()
+    )
+    m1 = masks.select(
+        F.col("doc_id").alias("d1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
+    )
+    rmask = d2r.filter(F.col("doc_id") == F.col("rep")).select(
+        F.col("rep").alias("r2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
+    )
+    shared = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    union = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    jac = shared * F.lit(1.0) / union
+    qual = (
+        F.broadcast(rep_cands)
+        .join(m1, "d1")
+        .join(F.broadcast(rmask), "r2")
+        .filter(jac >= threshold)
+        .select("d1", "r2")
+    )
+    return (
+        qual.join(
+            F.broadcast(grp.withColumnRenamed("rep", "r2")), "r2"
+        )
+        .groupBy("d1")
+        .agg(F.min("min_d2").alias("near_m"))
+    )
+
+
 def incremental_band_probe(
     newdocs: DataFrame,
     corpus: DataFrame,
@@ -3388,10 +3485,16 @@ def incremental_band_probe(
     g30's docstring prescribes, as a callable core: the corpus's band
     signatures are computed ONCE (the stored index), each new batch
     computes only its OWN signatures and probes the index by (band,
-    sig), and the surviving candidates get the exact strategy-switched
-    Jaccard verify — with the corpus side of the verify RESTRICTED by
-    a semi-join to candidate-matched docs, so per-batch cost is
-    O(batch + candidates), never a corpus re-scan.
+    sig), and the surviving candidates get the exact Jaccard verify —
+    with the corpus side RESTRICTED by a semi-join to candidate-
+    matched docs, so per-batch cost is O(batch + candidates), never a
+    corpus re-scan.  On the bitmap branch the whole pipeline runs in
+    REP SPACE (``_probe_rep_space``): candidate discovery, verify, and
+    the min-match aggregate all operate on distinct-token-set
+    representatives, never materializing candidate doc pairs — at the
+    10x replica this took the stored-index probe from 36 s to ~4-8 s
+    by collapsing the 15.6M-pair mega-bucket explosion (BASELINE.md
+    r15).
 
     The index (round 14): pass ``index_path`` to probe the signatures
     a ``BandSignatureIndex.build`` published in ANY earlier session —
@@ -3440,36 +3543,58 @@ def incremental_band_probe(
         index = _band_signatures(
             _tokens(corpus), n_hashes=n_hashes, bands=bands
         ).localCheckpoint(eager=True)
-    # Materialized once: the candidate frame feeds BOTH the
-    # corpus-restricting semi-join and the verify join below —
-    # without this the index probe would re-run per consumer.
-    cands = _probe_candidates(
-        new_toks, index, n_hashes=n_hashes, bands=bands
+    # Batch signatures, banded ONCE (eager: they feed candidate-id
+    # discovery and the rep-space candidate join).
+    probe_sigs = _band_signatures(
+        new_toks, n_hashes=n_hashes, bands=bands
     ).localCheckpoint(eager=True)
+    # Candidate corpus ids WITHOUT materializing doc pairs (round 15):
+    # a semi-join of the index against the batch's distinct bucket
+    # keys emits each candidate corpus row at most once — the doc-pair
+    # join this replaces exploded mega-buckets into 15.6M pairs at the
+    # 10x replica before ever producing the same id set.
+    cand_ids = (
+        index.join(
+            F.broadcast(probe_sigs.select("band", "sig").distinct()),
+            ["band", "sig"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # Exact verify over the union of the batch and the CANDIDATE-
     # MATCHED corpus slice (both sides' token sets are needed, but
-    # only for docs that appear in a candidate pair) — the semi-join
+    # only for docs the probe bucketed with the batch) — the semi-join
     # is what keeps post-index work off the full corpus.  The id list
     # is explicitly broadcast: it is O(batch)-bounded by the probe
-    # contract, and the checkpointed candidate frame carries no stats
-    # for the optimizer to discover that itself (AQE would recover it
-    # at runtime; the hint makes the 100 TB plan shape static).
+    # contract, and the checkpointed frame carries no stats for the
+    # optimizer to discover that itself (AQE would recover it at
+    # runtime; the hint makes the 100 TB plan shape static).
     corpus_hit = corpus.select("doc_id", "text").join(
-        F.broadcast(cands.select(F.col("d2").alias("doc_id")).distinct()),
-        "doc_id",
-        "left_semi",
+        F.broadcast(cand_ids), "doc_id", "left_semi"
     )
     alldocs = newdocs.select("doc_id", "text").unionByName(corpus_hit)
     toks = _tokens(alldocs)
     hit = _bitmap_vocab(toks, probe=_tokens_raw(alldocs))
     if hit is not None:
         vocab, vocab_n = hit
-        verified = _verify_pairs_bitmap(
-            cands, toks, vocab_n, threshold, vocab=vocab
+        # Rep-space probe (round 15): candidates against one carrier
+        # per distinct mask, one popcount per (batch doc, mask) pair,
+        # min-aggregated straight to the per-batch-doc answer — no
+        # doc-pair frame anywhere.
+        near = _probe_rep_space(
+            probe_sigs, index, cand_ids, toks, vocab_n, threshold,
+            vocab=vocab,
         )
     else:
+        # Open-vocabulary fallback: token-join verify needs real doc
+        # pairs; materialize them once.
+        cands = _probe_candidates(
+            new_toks, index, n_hashes=n_hashes, bands=bands
+        ).localCheckpoint(eager=True)
         verified = _verify_pairs_token_join(cands, toks, threshold)
-    near = verified.groupBy("d1").agg(F.min("d2").alias("near_m"))
+        near = verified.groupBy("d1").agg(F.min("d2").alias("near_m"))
     return (
         newdocs.select("doc_id")
         .join(near, newdocs["doc_id"] == near["d1"], "left")

@@ -60,17 +60,31 @@ from data_lake_staging_engine_spark.fs import (
 _VDIR = re.compile(r"^v(\d+)$")
 
 
-class ConcurrentPublishError(RuntimeError):
-    """A second publisher moved ``latest`` between this publish's
-    manifest snapshot and its flip (VERDICT r14 #4).
+class ConcurrentWriterError(RuntimeError):
+    """Another writer changed the manifest between this operation's
+    snapshot and its flip (VERDICT r14 #4).
 
     This DETECTS concurrent writers, it does not serialize them: the
-    re-read-then-flip is not atomic, so two publishers that interleave
+    re-read-then-flip is not atomic, so two writers that interleave
     inside that last window can still land last-wins — the check turns
     the COMMON contention shapes (a racing rebuild, a forgotten second
-    job) from a silent clobber into a loud error.  For true
-    multi-writer commits use a transactional table format; the
-    documented contract here stays single-writer."""
+    job, a vacuum cron overlapping a publish) from a silent clobber
+    into a loud error.  For true multi-writer commits use a
+    transactional table format; the documented contract here stays
+    single-writer."""
+
+
+class ConcurrentPublishError(ConcurrentWriterError):
+    """A publish lost the detection race (see ConcurrentWriterError)."""
+
+
+def _manifest_state(meta: dict) -> tuple:
+    """The CAS comparison key: latest pointer plus the retained
+    version numbers.  Comparing BOTH catches the vacuum-vs-publish
+    interleave that a latest-only check misses — a vacuum does not
+    move ``latest``, but a publish flipping a pre-vacuum snapshot
+    would resurrect manifest entries whose data dirs are gone."""
+    return (meta["latest"], tuple(v["version"] for v in meta["versions"]))
 
 
 class VersionedTable:
@@ -162,13 +176,14 @@ class VersionedTable:
             w = w.partitionBy(*partition_by)
         w.parquet(vdir)
         current = self._meta()
-        if current["latest"] != meta["latest"]:
+        if _manifest_state(current) != _manifest_state(meta):
             raise ConcurrentPublishError(
-                f"manifest moved during publish at {self.root}: latest "
-                f"was {meta['latest']} at snapshot, is {current['latest']} "
-                f"now — a concurrent publisher won; this publish's data "
-                f"dir {vdir} is an orphan the next vacuum sweeps.  "
-                "Retry to publish on top of the winner."
+                f"manifest moved during publish at {self.root}: state "
+                f"was {_manifest_state(meta)} at snapshot, is "
+                f"{_manifest_state(current)} now — a concurrent writer "
+                f"(publisher or vacuum) won; this publish's data dir "
+                f"{vdir} is an orphan the next vacuum sweeps.  Retry to "
+                "publish on top of the current manifest."
             )
         entry = {"version": version, "path": vdir}
         if extra:
@@ -210,7 +225,13 @@ class VersionedTable:
         Concurrent PUBLISHES are safe too: the orphan sweep only
         touches version numbers <= the latest this vacuum observed, so
         a publish mid-write at ``v{latest+1}`` is never deleted out
-        from under its upcoming manifest flip (ADVICE r12).
+        from under its upcoming manifest flip (ADVICE r12).  And a
+        publish whose FLIP lands between this vacuum's snapshot and
+        its own flip is detected (round 15, VERDICT r14 #4): the
+        manifest is re-read before the vacuum flip, which refuses
+        (``ConcurrentWriterError``) rather than silently erasing the
+        fresh version's manifest entry while its data dir — above the
+        observed latest — survives the sweep.
         """
         keep_last = max(1, int(keep_last))
         meta = self._meta()
@@ -219,6 +240,15 @@ class VersionedTable:
         keep = meta["versions"][-keep_last:]
         pruned = meta["versions"][:-keep_last]
         if pruned:
+            current = self._meta()
+            if _manifest_state(current) != _manifest_state(meta):
+                raise ConcurrentWriterError(
+                    f"manifest moved during vacuum at {self.root}: state "
+                    f"was {_manifest_state(meta)} at snapshot, is "
+                    f"{_manifest_state(current)} now — a concurrent "
+                    "writer flipped it; retry the vacuum against the "
+                    "current manifest (no directory was deleted)."
+                )
             self._flip({"latest": meta["latest"], "versions": keep})
         kept_dirs = {os.path.basename(v["path"]) for v in keep}
         dropped: list[int] = [v["version"] for v in pruned]

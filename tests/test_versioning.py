@@ -289,3 +289,72 @@ def test_sequential_publishes_unaffected_by_cas(spark, tmp_path):
     for expect in (1, 2, 3):
         assert t.publish(df) == expect
     assert t.versions() == [1, 2, 3]
+
+
+def test_publish_detects_concurrent_vacuum(spark, tmp_path):
+    """A vacuum does not move ``latest``, so a latest-only CAS would
+    let a publish flip a PRE-VACUUM snapshot back in — resurrecting
+    manifest entries whose data dirs the vacuum deleted.  The CAS
+    compares the retained version numbers too: the publish refuses."""
+    from data_lake_staging_engine_spark.versioning import (
+        ConcurrentPublishError,
+    )
+
+    root = str(tmp_path / "vt")
+    writer = VersionedTable(root)
+    df = spark.range(8)
+    assert writer.publish(df) == 1
+    assert writer.publish(df) == 2
+
+    loser = VersionedTable(root)
+    real_meta = loser._meta
+    stale = real_meta()
+    calls = {"n": 0}
+    loser._meta = lambda: (
+        stale if (calls.__setitem__("n", calls["n"] + 1) or calls["n"]) == 1
+        else real_meta()
+    )
+    assert writer.vacuum(keep_last=1) == [1]  # latest stays 2
+
+    with pytest.raises(ConcurrentPublishError, match="manifest moved"):
+        loser.publish(df)
+    # the vacuumed state is intact: v1 pruned, v2 the latest
+    assert writer.versions() == [2]
+    assert writer.latest() == 2
+
+
+def test_vacuum_detects_concurrent_publish(spark, tmp_path):
+    """The mirror race: a publish flips v3 between a vacuum's snapshot
+    and its flip.  A blind vacuum flip would erase v3's manifest entry
+    (its data dir, above the observed latest, survives the sweep — a
+    manifest/data split).  The vacuum re-reads and refuses; nothing is
+    deleted; the retry prunes against the current manifest."""
+    from data_lake_staging_engine_spark.versioning import (
+        ConcurrentWriterError,
+    )
+
+    root = str(tmp_path / "vt")
+    writer = VersionedTable(root)
+    df = spark.range(8)
+    assert writer.publish(df) == 1
+    assert writer.publish(df) == 2
+
+    vac = VersionedTable(root)
+    real_meta = vac._meta
+    stale = real_meta()
+    calls = {"n": 0}
+    vac._meta = lambda: (
+        stale if (calls.__setitem__("n", calls["n"] + 1) or calls["n"]) == 1
+        else real_meta()
+    )
+    assert writer.publish(df) == 3  # lands between snapshot and flip
+
+    with pytest.raises(ConcurrentWriterError, match="manifest moved"):
+        vac.vacuum(keep_last=1)
+    # nothing was deleted: all three versions readable
+    assert writer.versions() == [1, 2, 3]
+    assert writer.read(spark, 1).count() == 8
+    # the retry (fresh snapshot) prunes correctly
+    vac._meta = real_meta
+    assert vac.vacuum(keep_last=1) == [1, 2]
+    assert writer.versions() == [3]
