@@ -192,9 +192,16 @@ CHANGED_IN: dict[str, int] = {
     # (ADVICE r14).
     "a31_versioned_compaction": 15,
     # g32: index_root amortization parameter, the store's build now
-    # records (n_hashes, bands) on the manifest entry, and the probe
-    # bands the batch with the stored parameters (ADVICE r14 medium).
+    # records (n_hashes, bands) on the manifest entry, the probe bands
+    # the batch with the stored parameters (ADVICE r14 medium), and
+    # the whole probe runs in rep space (no candidate doc-pair frame).
     "g32_dedup_band_probe": 15,
+    # g02b/g02e: _minhash_lsh_neardup's bitmap branch bands one
+    # representative per distinct token set and expands qualified rep
+    # pairs at the end — same pairs, same jaccard values, changed
+    # executed text (rep-space banding, round 15).
+    "g02b_dedup_lsh": 15,
+    "g02e_dedup_lsh_shingle": 15,
     # (runner._capture_run_stats's json-shape fix is post-drain
     # diagnostics writing a module global — it cannot affect any
     # returned DataFrame, so no marker, same adjudication as r14.)

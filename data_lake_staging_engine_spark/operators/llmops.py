@@ -944,17 +944,69 @@ def _minhash_lsh_candidates(
 def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> DataFrame:
     """Banding candidates + exact-Jaccard verify with the same strategy
     switch as _jaccard_pairs: small universes take packed-bitmap
-    popcount (one codegen expression per candidate pair; with a dense
-    fixture corpus the candidate set is large and the token-join verify
-    dominated, measured 68s -> ~4s at sf0.1), open vocabularies take
-    the candidate-bounded token join (a bitmap plan there would need
-    ceil(vocab/64) columns — thousands — and die at plan time)."""
-    candidates = _minhash_lsh_candidates(toks)
+    popcount, open vocabularies take the candidate-bounded token join
+    (a bitmap plan there would need ceil(vocab/64) columns — thousands
+    — and die at plan time).
+
+    Round 15: the bitmap branch runs the ENTIRE banding pipeline in
+    rep space — band one representative per distinct token set, join
+    rep signatures, verify rep pairs, expand to doc pairs at the end
+    (the output-sized step, unavoidable).  Sound because band
+    signatures are a pure function of the token set and (on this
+    branch) mask equality <=> set equality: every doc in a group
+    carries identical (band, sig) rows, so doc-space banding and
+    rep-space banding produce the same qualified groups and the same
+    expanded pairs, jaccard values included (same-mask pairs are 1.0
+    by identity on both paths).  Template corpora collapse: the 10x
+    replica's ~2k-doc identical-text buckets band as ONE rep each
+    instead of exploding into millions of self-join rows — the same
+    mega-bucket economics as ``_probe_rep_space``, and the same
+    rep-space discipline the degenerate route of ``_g02_bitmask``
+    already used."""
     hit = _bitmap_vocab(toks, probe=probe)
-    if hit is not None:
-        vocab, vocab_n = hit
-        return _verify_pairs_bitmap(candidates, toks, vocab_n, 0.8, vocab=vocab)
-    return _verify_pairs_token_join(candidates, toks, 0.8)
+    if hit is None:
+        return _verify_pairs_token_join(
+            _minhash_lsh_candidates(toks), toks, 0.8
+        )
+    vocab, vocab_n = hit
+    masks, wcols = _doc_bitmaps(toks, vocab_n, vocab=vocab)
+    d2r = masks.withColumn(
+        "rep", F.min("doc_id").over(Window.partitionBy(*wcols))
+    ).localCheckpoint(eager=True)
+    reps = d2r.filter(F.col("doc_id") == F.col("rep"))
+    n_reps = reps.count()
+    # Band the RAW tokens of the representatives only — same hash
+    # stream as doc-space banding, so candidate groups are identical.
+    rep_toks = toks.join(
+        F.broadcast(reps.select("doc_id")), "doc_id", "left_semi"
+    )
+    cands = _minhash_lsh_candidates(rep_toks).select(
+        F.col("d1").alias("r1"), F.col("d2").alias("r2")
+    )
+    rm_a = reps.select(
+        F.col("rep").alias("r1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
+    )
+    rm_b = reps.select(
+        F.col("rep").alias("r2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
+    )
+    shared = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    union = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    jac = shared * F.lit(1.0) / union
+    return _finish_bitmask_verify(
+        cands, d2r, rm_a, rm_b, wcols, jac, 0.8, n_reps, toks.sparkSession
+    )
 
 
 @query("g02e_dedup_lsh_shingle", oracle=None)  # approximate — rows-only tier

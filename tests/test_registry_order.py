@@ -41,7 +41,11 @@ CHANGED_BAND: set[str] = {
     # versioned compaction: publish CAS + epoch-leaf sweep (ADVICE r14)
     "a31_versioned_compaction",
     # band-index param plumbing + index_root amortization (ADVICE r14)
+    # + rep-space probe (round 15)
     "g32_dedup_band_probe",
+    # rep-space banding in _minhash_lsh_neardup (round 15)
+    "g02b_dedup_lsh",
+    "g02e_dedup_lsh_shingle",
 }
 
 # Registered only when google.protobuf is available; never-verified by
