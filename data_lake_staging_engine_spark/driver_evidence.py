@@ -202,6 +202,14 @@ CHANGED_IN: dict[str, int] = {
     # executed text (rep-space banding, round 15).
     "g02b_dedup_lsh": 15,
     "g02e_dedup_lsh_shingle": 15,
+    # g30: incremental_dedup's near layer min-aggregates in rep space
+    # (expand=False qual from the bitmask core) — same verdicts/ids,
+    # changed executed text; g02/g02d execute the reshaped
+    # _g02_bitmask/_finish_bitmask_verify return plumbing (identical
+    # plan when expand=True, but the executed function text changed).
+    "g30_dedup_incremental": 15,
+    "g02_dedup_near": 15,
+    "g02d_dedup_ngram": 15,
     # (runner._capture_run_stats's json-shape fix is post-drain
     # diagnostics writing a module global — it cannot affect any
     # returned DataFrame, so no marker, same adjudication as r14.)

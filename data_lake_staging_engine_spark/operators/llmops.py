@@ -430,7 +430,8 @@ def _g02_bitmask(
     threshold: float,
     vocab: DataFrame | None = None,
     collision_budget: int | float | None = None,
-) -> DataFrame:
+    expand: bool = True,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Small-universe bitmap strategy, generalized to multi-word masks.
 
     Each doc's token set becomes ceil(vocab/64) long columns
@@ -508,7 +509,7 @@ def _g02_bitmask(
             F.broadcast(rm_b),
             (F.col("r1") < F.col("r2")) & (jac >= threshold),
         ).select("r1", "r2", duck_round(jac, 6).alias("jaccard"))
-        return _expand_mask_pairs(qual, d2r)
+        return _expand_mask_pairs(qual, d2r) if expand else (qual, d2r)
     else:
         # Large universe: prefix-filtered candidates.  (rep, tok_id)
         # membership is enumerated from the mask bits — per-row
@@ -597,7 +598,7 @@ def _g02_bitmask(
             ).select(F.col("d1").alias("r1"), F.col("d2").alias("r2"))
             return _finish_bitmask_verify(
                 cands, d2r, rm_a, rm_b, wcols, jac, threshold,
-                n_reps, toks.sparkSession,
+                n_reps, toks.sparkSession, expand=expand,
             )
         p1 = pref.select(
             F.col("rep").alias("r1"),
@@ -645,7 +646,7 @@ def _g02_bitmask(
         )
         return _finish_bitmask_verify(
             cands, d2r, rm_a, rm_b, wcols, jac, threshold,
-            n_reps, toks.sparkSession,
+            n_reps, toks.sparkSession, expand=expand,
         )
 
 
@@ -659,7 +660,8 @@ def _finish_bitmask_verify(
     threshold: float,
     n_reps: int,
     spark: SparkSession,
-) -> DataFrame:
+    expand: bool = True,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Shared verify+expand tail of the bitmap strategy: exact popcount
     verification of (r1, r2) candidate pairs — from the prefix join or
     the degenerate-universe banding route — then representative->doc
@@ -702,7 +704,7 @@ def _finish_bitmask_verify(
         .select("r1", "r2", duck_round(jac, 6).alias("jaccard"))
         .distinct()
     )
-    return _expand_mask_pairs(qual, d2r)
+    return _expand_mask_pairs(qual, d2r) if expand else (qual, d2r)
 
 
 def _expand_mask_pairs(qual: DataFrame, d2r: DataFrame) -> DataFrame:
@@ -3145,9 +3147,15 @@ def incremental_dedup(
     is one row per batch doc: (doc_id, verdict exact|near|unique,
     match_id = MIN matching corpus doc or NULL). Exact layer =
     normalized-text digest equi-join; near layer = exact token-Jaccard
-    >= threshold over the union, restricted to new x corpus pairs by a
-    BROADCAST membership flag on the batch ids (batch-sized, tiny —
-    never a corpus-sized build side). Verdict precedence exact > near >
+    >= threshold over the union.  On the bitmap branch (round 15) the
+    near layer aggregates in REP SPACE: the qualifying distinct-mask
+    group pairs come straight from the bitmask core (expand=False) and
+    each batch doc takes the min corpus member over its qualifying
+    partner groups — the doc-pair expansion the old path min-reduced
+    away never materializes.  The open-vocabulary fallback keeps the
+    pair flow, restricted to new x corpus pairs by a BROADCAST
+    membership flag on the batch ids (batch-sized, tiny — never a
+    corpus-sized build side). Verdict precedence exact > near >
     unique. Only new x corpus edges count: duplicates WITHIN the batch
     are intentionally not flagged here (that's g01/g02's whole-corpus
     job); the completeness property pinning this equals full-corpus
@@ -3167,37 +3175,90 @@ def incremental_dedup(
     alldocs = newdocs.select("doc_id", "text").unionByName(
         corpus.select("doc_id", "text")
     )
-    jp = _jaccard_pairs(
-        _tokens(alldocs), threshold=threshold, probe=_tokens_raw(alldocs)
-    ).select("d1", "d2")
+    toks = _tokens(alldocs)
     new_ids = newdocs.select("doc_id")
-    f1 = F.broadcast(new_ids.select(F.col("doc_id").alias("d1")).withColumn(
-        "n1", F.lit(True)
-    ))
-    f2 = F.broadcast(new_ids.select(F.col("doc_id").alias("d2")).withColumn(
-        "n2", F.lit(True)
-    ))
-    jpf = (
-        jp.join(f1, "d1", "left")
-        .join(f2, "d2", "left")
-        .select(
-            "d1",
-            "d2",
-            F.coalesce("n1", F.lit(False)).alias("n1"),
-            F.coalesce("n2", F.lit(False)).alias("n2"),
+    hit = _bitmap_vocab(toks, probe=_tokens_raw(alldocs))
+    if hit is not None:
+        # Rep-space near layer (round 15): the pair list the old path
+        # expanded existed only to be min-reduced — a 2k-doc template
+        # cluster emitted 2M same-mask pairs for one answer.  Take the
+        # QUALIFYING rep pairs straight from the bitmask core
+        # (expand=False) and aggregate the per-batch-doc MIN matching
+        # corpus id at group level: batch doc -> its group -> every
+        # qualifying partner group (both directions, plus the group
+        # itself — same token set is Jaccard 1, exactly the
+        # unconditional same-mask emission of _expand_mask_pairs) ->
+        # min corpus member.  Same verdicts, same match_ids, no
+        # output-squared intermediate.
+        vocab, vocab_n = hit
+        qual, d2r = _g02_bitmask(
+            toks, vocab_n, threshold, vocab=vocab, expand=False
         )
-    )
-    near = (
-        jpf.filter(F.col("n1") & ~F.col("n2"))
-        .select(F.col("d1").alias("doc_id"), F.col("d2").alias("cd"))
-        .unionByName(
-            jpf.filter(F.col("n2") & ~F.col("n1")).select(
-                F.col("d2").alias("doc_id"), F.col("d1").alias("cd")
+        members = d2r.join(
+            F.broadcast(new_ids.withColumn("is_new", F.lit(True))),
+            "doc_id",
+            "left",
+        )
+        cmin = (
+            members.filter(F.col("is_new").isNull())
+            .groupBy("rep")
+            .agg(F.min("doc_id").alias("cmin"))
+        )
+        batch_side = members.filter(F.col("is_new").isNotNull()).select(
+            "doc_id", F.col("rep").alias("rf")
+        )
+        partners = (
+            qual.select(F.col("r1").alias("rf"), F.col("r2").alias("rt"))
+            .unionByName(
+                qual.select(F.col("r2").alias("rf"), F.col("r1").alias("rt"))
+            )
+            .unionByName(
+                d2r.select(F.col("rep").alias("rf"))
+                .distinct()
+                .withColumn("rt", F.col("rf"))
             )
         )
-        .groupBy("doc_id")
-        .agg(F.min("cd").alias("near_m"))
-    )
+        near = (
+            batch_side.join(partners, "rf")
+            .join(cmin, F.col("rt") == cmin["rep"])
+            .groupBy("doc_id")
+            .agg(F.min("cmin").alias("near_m"))
+        )
+    else:
+        # Open-vocabulary fallback: the token-join path has no mask
+        # groups to aggregate on — keep the pair-expansion flow.
+        jp = _g02_token_join(toks, threshold).select("d1", "d2")
+        f1 = F.broadcast(
+            new_ids.select(F.col("doc_id").alias("d1")).withColumn(
+                "n1", F.lit(True)
+            )
+        )
+        f2 = F.broadcast(
+            new_ids.select(F.col("doc_id").alias("d2")).withColumn(
+                "n2", F.lit(True)
+            )
+        )
+        jpf = (
+            jp.join(f1, "d1", "left")
+            .join(f2, "d2", "left")
+            .select(
+                "d1",
+                "d2",
+                F.coalesce("n1", F.lit(False)).alias("n1"),
+                F.coalesce("n2", F.lit(False)).alias("n2"),
+            )
+        )
+        near = (
+            jpf.filter(F.col("n1") & ~F.col("n2"))
+            .select(F.col("d1").alias("doc_id"), F.col("d2").alias("cd"))
+            .unionByName(
+                jpf.filter(F.col("n2") & ~F.col("n1")).select(
+                    F.col("d2").alias("doc_id"), F.col("d1").alias("cd")
+                )
+            )
+            .groupBy("doc_id")
+            .agg(F.min("cd").alias("near_m"))
+        )
     return (
         newdocs.select("doc_id")
         .join(ex, "doc_id", "left")

@@ -468,10 +468,20 @@ def test_lsh_banding_single_corpus_pass(spark, sf_dir):
     the minhash aggregate, not a union of per-band selects — the union
     form re-scans and re-aggregates the whole corpus once per band
     (round-7 PLANS.md audit caught 8 documents scans / 11 shuffles; at
-    100 TB that multiplies the dominant cost by the band count)."""
+    100 TB that multiplies the dominant cost by the band count).
+
+    Round 15 (rep-space banding): the corpus-scan bound is unchanged —
+    still <= 2, the defect this test exists for — while the shuffle
+    bound moves 5 -> 8: the representative->doc expansion joins the
+    qualified rep pairs against the doc->rep map twice (plus the
+    same-mask self-join), and the map is a checkpointed frame the
+    optimizer has no stats to broadcast.  Those exchanges carry the
+    doc->rep projection (16 bytes/doc) and the output-sized pair
+    stream — never a corpus re-aggregation, which the scan bound
+    continues to pin."""
     plan = physical_plan(_REG["g02b_dedup_lsh"].fn(spark, sf_dir))
     assert plan.count("documents.parquet") <= 2, plan.count("documents.parquet")
-    assert plan.count("hashpartitioning(") <= 5, plan.count("hashpartitioning(")
+    assert plan.count("hashpartitioning(") <= 8, plan.count("hashpartitioning(")
     # g02c's simhash banding had the identical union defect (8 scans, 8
     # shuffles) and takes the identical posexplode fix.
     plan_c = physical_plan(_REG["g02c_dedup_simhash"].fn(spark, sf_dir))
@@ -481,7 +491,7 @@ def test_lsh_banding_single_corpus_pass(spark, sf_dir):
     # the same one-pass shape so a refactor can't regress one variant.
     plan_e = physical_plan(_REG["g02e_dedup_lsh_shingle"].fn(spark, sf_dir))
     assert plan_e.count("documents.parquet") <= 2, plan_e.count("documents.parquet")
-    assert plan_e.count("hashpartitioning(") <= 5, plan_e.count("hashpartitioning(")
+    assert plan_e.count("hashpartitioning(") <= 8, plan_e.count("hashpartitioning(")
 
 
 def test_shingle_lineage_has_no_inferred_transform_filter(spark, sf_dir):

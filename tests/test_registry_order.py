@@ -46,6 +46,11 @@ CHANGED_BAND: set[str] = {
     # rep-space banding in _minhash_lsh_neardup (round 15)
     "g02b_dedup_lsh",
     "g02e_dedup_lsh_shingle",
+    # rep-space near layer in incremental_dedup + the expand plumbing
+    # through the bitmask core (round 15)
+    "g30_dedup_incremental",
+    "g02_dedup_near",
+    "g02d_dedup_ngram",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -131,7 +136,7 @@ def test_window_fills_with_stalest_evidence():
 def test_sweep_rank_orders_by_staleness():
     r11 = sweep_rank("b14_join_anti", True)
     r12 = sweep_rank("b20_agg_groupby", True)
-    r13 = sweep_rank("g30_dedup_incremental", True)
+    r13 = sweep_rank("g16_event_funnel", True)
     r14 = sweep_rank("b40_sort_limit_topk", True)
     assert r11 < r12 < r13 < r14
     assert r11[0] == 1  # verified, just stale — band 1
