@@ -210,6 +210,10 @@ CHANGED_IN: dict[str, int] = {
     "g30_dedup_incremental": 15,
     "g02_dedup_near": 15,
     "g02d_dedup_ngram": 15,
+    # g26: connected components run over the rep graph (qual pairs
+    # from expand=False), docs inherit their group's component —
+    # same clusters (hash-proven at two SFs), changed executed text.
+    "g26_dedup_clusters": 15,
     # (runner._capture_run_stats's json-shape fix is post-drain
     # diagnostics writing a module global — it cannot affect any
     # returned DataFrame, so no marker, same adjudication as r14.)

@@ -2686,10 +2686,47 @@ def g26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole history and wall time explodes (measured 1.6 s -> 24 s by
     iteration 5; flat: ~1.5 s every round). On a multi-node cluster use
     reliable ``checkpoint`` instead. The per-round convergence probe is
-    a single count on the changed-label set."""
+    a single count on the changed-label set.
+
+    Round 15: on the bitmap branch the components run over the REP
+    graph (distinct-token-set groups as nodes, the bitmask core's
+    pre-expansion qualifying pairs as edges) and docs inherit their
+    group's component at the end.  Exact, because same-set docs are
+    pairwise Jaccard-1 (one fully-connected blob inside a single
+    component — the group is the unit) and a group's rep is BY
+    CONSTRUCTION its minimum doc_id, so the component's min rep is the
+    component's min doc: the old doc-space label.  Membership matches
+    the pair graph too: a doc appears iff its group has >=2 members
+    (same-set edges) or qualifies with another group (cross edges) —
+    exactly the docs the expanded pair list would mention.  Template
+    corpora collapse: the label iterations shuffle group-level edges,
+    never the m^2 same-set blobs (BASELINE.md r15)."""
     d = load(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs(_tokens(d), 0.8, probe=_tokens_raw(d)).select("d1", "d2")
-    labels = _min_label_components(pairs)
+    toks = _tokens(d)
+    hit = _bitmap_vocab(toks, probe=_tokens_raw(d))
+    if hit is not None:
+        vocab, vocab_n = hit
+        qual, d2r = _g02_bitmask(toks, vocab_n, 0.8, vocab=vocab, expand=False)
+        rep_labels = _min_label_components(
+            qual.select(F.col("r1").alias("d1"), F.col("r2").alias("d2"))
+        )
+        grp = d2r.groupBy("rep").agg(F.count(F.lit(1)).alias("gsize"))
+        part = (
+            grp.join(rep_labels, grp["rep"] == rep_labels["node"], "left")
+            .select(
+                "rep",
+                F.coalesce("label", F.col("rep")).alias("comp"),
+                "gsize",
+                F.col("label").isNotNull().alias("in_graph"),
+            )
+            .filter(F.col("in_graph") | (F.col("gsize") >= 2))
+        )
+        labels = d2r.join(part.select("rep", "comp"), "rep").select(
+            F.col("doc_id").alias("node"), F.col("comp").alias("label")
+        )
+    else:
+        pairs = _g02_token_join(toks, 0.8).select("d1", "d2")
+        labels = _min_label_components(pairs)
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

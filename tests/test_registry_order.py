@@ -51,6 +51,8 @@ CHANGED_BAND: set[str] = {
     "g30_dedup_incremental",
     "g02_dedup_near",
     "g02d_dedup_ngram",
+    # rep-graph connected components (round 15)
+    "g26_dedup_clusters",
 }
 
 # Registered only when google.protobuf is available; never-verified by
