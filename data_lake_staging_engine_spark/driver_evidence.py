@@ -58,6 +58,14 @@ History of the window rotation:
   Oldest remaining evidence after the fold: r11 (29 names — the
   b14-b34 relational middle, the c-window singles, d01/d02/d06/d11/
   d13, f01/f09, g01/g25/g31), which leads the r15 window.
+- r15 led with the nine round-15 changed markers (the rep-space
+  dedup rework: publish CAS, band-index params, rep banding/probe/
+  components) and drained the whole r11 band plus the oldest r12
+  entries — 46 hash-green, 4 R-tier rows-only ran (b23 g02b g02e
+  g32), 0 failures.  All markers satisfied; oldest remaining
+  evidence after the fold: r12 (26 names — the window/function
+  singles plus g04/g07-g08b/g11/g18/g20/g23/g28/g29), which leads
+  the r16 window behind the two ADVICE-r15 markers below.
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -81,8 +89,8 @@ After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
 tests/test_registry_order.py.  ``scripts/fold_evidence.py`` prints the
 ready-to-paste bands.  Source of truth:
-CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12,13,14}.json, folded
-2026-08-16 at round-15 entry (the fold is machine-checked by
+CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12,13,14,15}.json, folded
+2026-08-16 at round-16 entry (the fold is machine-checked by
 test_last_verified_matches_correctness_artifacts).
 """
 
@@ -91,35 +99,18 @@ from __future__ import annotations
 import types
 
 # fmt: off
-_R11 = (  # CORRECTNESS_r11.json greens not re-proven since — the
-    # stalest evidence in the registry; they lead band 1 of the r15
-    # window (VERDICT r14 #2: drain the r11 band).
-    "b14_join_anti", "b16_join_theta", "b17_join_range_interval",
-    "b19_join_cross", "b21_agg_having", "b22_agg_countdistinct",
-    "b23_agg_approx_cd", "b24_agg_rollup", "b26_agg_grouping_sets",
-    "b29_agg_collect_sorted", "b30_agg_minmax_by", "b32_pivot",
-    "b33_unpivot", "b34_sample_systematic", "c02_win_lag_lead",
-    "c06_win_first_last", "c08_win_forward_fill", "c10_win_sessionize",
-    "d01_fn_string", "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise",
-    "d13_fn_url", "e07_stream_late_data", "f01_udf_python",
-    "f09_multimodal_framesample", "g01_dedup_exact", "g25_sequence_pack",
-    "g31_dedup_segments",
-)
-_R12 = (
-    # CORRECTNESS_r12.json greens not re-proven since.
-    "a09_sink_parquet_partitioned", "a16_partition_pruned_scan",
-    "a17_dynamic_partition_overwrite", "a20_observed_metrics",
-    "a27_scan_text", "b01_project_arith", "b15_join_broadcast",
-    "b20_agg_groupby", "b25_agg_cube", "b27_agg_stats",
-    "b28_agg_percentile", "b31_agg_salted_skew", "b35_join_salted_skew",
-    "b36_histogram", "b38_sql_cte_chain", "c01_win_ranking",
-    "c03_win_running_sum", "c04_win_moving_rows", "c05_win_range_interval",
-    "c07_gapfill", "c09_win_nth_trailing", "d03_fn_math", "d04_fn_cond",
-    "d05_fn_array", "d08_fn_struct", "d12_fn_trig", "f02_pandas_udf_scalar",
-    "f05_map_in_pandas", "g04_centroids", "g07_text_tfidf",
-    "g08_text_stats", "g08b_text_quality", "g11_events_user_join",
-    "g18_embed_quantize", "g20_unigram_logprob", "g23_text_repetition",
-    "g28_semantic_dedup", "g29_quality_gate",
+_R12 = (  # CORRECTNESS_r12.json greens not re-proven since — the
+    # stalest evidence in the registry; they lead band 1 of the r16
+    # window (VERDICT r15 #1: drain the r12 band).
+    "b35_join_salted_skew", "b36_histogram", "b38_sql_cte_chain",
+    "c01_win_ranking", "c03_win_running_sum", "c04_win_moving_rows",
+    "c05_win_range_interval", "c07_gapfill", "c09_win_nth_trailing",
+    "d03_fn_math", "d04_fn_cond", "d05_fn_array", "d08_fn_struct",
+    "d12_fn_trig", "f02_pandas_udf_scalar", "f05_map_in_pandas",
+    "g04_centroids", "g07_text_tfidf", "g08_text_stats",
+    "g08b_text_quality", "g11_events_user_join", "g18_embed_quantize",
+    "g20_unigram_logprob", "g23_text_repetition", "g28_semantic_dedup",
+    "g29_quality_gate",
 )
 _R13 = (
     # CORRECTNESS_r13.json greens not re-proven since.
@@ -134,89 +125,87 @@ _R13 = (
     "e11_stream_dedup_then_window", "e12_stream_outer_join",
     "f03_pandas_udf_grouped_agg", "f04_apply_in_pandas", "f06_udtf",
     "f07_arrow_udf", "f08_multimodal_decode", "f10_cogroup_in_pandas",
-    "g02_dedup_near", "g02b_dedup_lsh", "g02d_dedup_ngram",
-    "g02e_dedup_lsh_shingle", "g03_simsearch_topk", "g03b_simsearch_knn",
-    "g03c_simsearch_lsh", "g03d_embed_neardup", "g03e_simsearch_ivf",
-    "g05_text_tokenize", "g05b_token_bpe", "g12_contamination",
-    "g13_kmeans_iterations", "g16_event_funnel", "g21_dedup_agreement",
-    "g26_dedup_clusters", "g30_dedup_incremental",
+    "g03_simsearch_topk", "g03b_simsearch_knn", "g03c_simsearch_lsh",
+    "g03d_embed_neardup", "g03e_simsearch_ivf", "g05_text_tokenize",
+    "g05b_token_bpe", "g12_contamination", "g13_kmeans_iterations",
+    "g16_event_funnel", "g21_dedup_agreement",
 )
 _R14 = (
-    # CORRECTNESS_r14.json — 50-row window, 47 hash-green + 3 R-tier
-    # rows-only (g02c g32 a14); led with the round-14 changed markers
-    # (versioned-compaction, persisted band index, quarantine observe,
-    # SimHash re-band) plus the stalest r10 band; all markers
-    # satisfied, band drained to empty.
+    # CORRECTNESS_r14.json greens not re-proven since.
     "a11_catalog_sync", "a12_incremental_ingest",
     "a13_stream_ingest_foreachbatch", "a14_bad_records",
     "a15_bucketed_join", "a18_python_datasource", "a19_stream_upsert",
-    "a21_schema_evolution", "a22_versioned_snapshot", "a25_scan_xml",
-    "a26_scan_binaryfile", "a28_multi_format_union", "a29_scd2_dimension",
-    "a31_versioned_compaction", "b02_filter_pred", "b03_distinct",
-    "b10_join_inner", "b11_join_left", "b12_join_right_full",
-    "b13_join_semi", "b18_join_asof", "b37_null_ordering",
-    "b40_sort_limit_topk", "b41_topk_per_group", "b42_group_by_all",
-    "b50_union_all", "b51_intersect", "b52_except", "b53_subquery_scalar",
-    "b54_subquery_in", "b55_subquery_corr_exists", "b56_join_lateral",
-    "d07_fn_json", "d09_fn_variant", "d10_fn_decimal_interval",
-    "f08b_multimodal_quarantine", "g02c_dedup_simhash",
-    "g06_text_wordcount", "g08c_text_langid", "g08d_text_fingerprint",
-    "g09_multimodal_record", "g10_embed_join_docs", "g14_text_clean",
-    "g15_vocab_prune", "g17_text_bigrams", "g19_stratified_sample",
-    "g22_corpus_split", "g24_pii_scrub", "g27_corpus_mixture",
-    "g32_dedup_band_probe",
+    "a21_schema_evolution", "a25_scan_xml", "a26_scan_binaryfile",
+    "a28_multi_format_union", "a29_scd2_dimension", "b02_filter_pred",
+    "b03_distinct", "b10_join_inner", "b11_join_left",
+    "b12_join_right_full", "b13_join_semi", "b18_join_asof",
+    "b37_null_ordering", "b40_sort_limit_topk", "b41_topk_per_group",
+    "b42_group_by_all", "b50_union_all", "b51_intersect", "b52_except",
+    "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
+    "b56_join_lateral", "d07_fn_json", "d09_fn_variant",
+    "d10_fn_decimal_interval", "f08b_multimodal_quarantine",
+    "g02c_dedup_simhash", "g06_text_wordcount", "g08c_text_langid",
+    "g08d_text_fingerprint", "g09_multimodal_record", "g10_embed_join_docs",
+    "g14_text_clean", "g15_vocab_prune", "g17_text_bigrams",
+    "g19_stratified_sample", "g22_corpus_split", "g24_pii_scrub",
+    "g27_corpus_mixture",
+)
+_R15 = (
+    # CORRECTNESS_r15.json — 50-row window, 46 hash-green + 4 R-tier
+    # rows-only (b23 g02b g02e g32); led with the nine round-15
+    # changed markers (rep-space dedup rework) plus the whole r11 band
+    # and the oldest r12 entries; all markers satisfied, band drained.
+    "a09_sink_parquet_partitioned", "a16_partition_pruned_scan",
+    "a17_dynamic_partition_overwrite", "a20_observed_metrics",
+    "a22_versioned_snapshot", "a27_scan_text", "a31_versioned_compaction",
+    "b01_project_arith", "b14_join_anti", "b15_join_broadcast",
+    "b16_join_theta", "b17_join_range_interval", "b19_join_cross",
+    "b20_agg_groupby", "b21_agg_having", "b22_agg_countdistinct",
+    "b23_agg_approx_cd", "b24_agg_rollup", "b25_agg_cube",
+    "b26_agg_grouping_sets", "b27_agg_stats", "b28_agg_percentile",
+    "b29_agg_collect_sorted", "b30_agg_minmax_by", "b31_agg_salted_skew",
+    "b32_pivot", "b33_unpivot", "b34_sample_systematic", "c02_win_lag_lead",
+    "c06_win_first_last", "c08_win_forward_fill", "c10_win_sessionize",
+    "d01_fn_string", "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise",
+    "d13_fn_url", "e07_stream_late_data", "f01_udf_python",
+    "f09_multimodal_framesample", "g01_dedup_exact", "g02_dedup_near",
+    "g02b_dedup_lsh", "g02d_dedup_ngram", "g02e_dedup_lsh_shingle",
+    "g25_sequence_pack", "g26_dedup_clusters", "g30_dedup_incremental",
+    "g31_dedup_segments", "g32_dedup_band_probe",
 )
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
-    **{name: 11 for name in _R11},
     **{name: 12 for name in _R12},
     **{name: 13 for name in _R13},
     **{name: 14 for name in _R14},
+    **{name: 15 for name in _R15},
 }
 
 # Queries whose Spark code or oracle text materially changed in the
 # given round.  CHANGED_IN[name] > LAST_VERIFIED[name] => the recorded
 # evidence predates the current text => band 0 (ADVICE r06).  Drop an
-# entry once a later CORRECTNESS round re-proves the query.  All
-# round-13 markers were satisfied by CORRECTNESS_r13 and dropped in
-# the round-14 fold; round-14 edits add their markers below as they
-# land.
+# entry once a later CORRECTNESS round re-proves the query.
 CHANGED_IN: dict[str, int] = {
-    # VersionedTable.publish now CAS-re-reads the manifest before its
-    # flip (VERDICT r14 #4) — executed text of every registered
-    # publisher changed: a22 publishes two snapshot versions directly.
-    "a22_versioned_snapshot": 15,
-    # a31 drives compact_staged(versioned=True): publish (CAS) plus
-    # _sweep_folded_leaves now reclaiming the -1 epoch leaves
-    # (ADVICE r14).
-    "a31_versioned_compaction": 15,
-    # g32: index_root amortization parameter, the store's build now
-    # records (n_hashes, bands) on the manifest entry, the probe bands
-    # the batch with the stored parameters (ADVICE r14 medium), and
-    # the whole probe runs in rep space (no candidate doc-pair frame).
-    "g32_dedup_band_probe": 15,
-    # g02b/g02e: _minhash_lsh_neardup's bitmap branch bands one
-    # representative per distinct token set and expands qualified rep
-    # pairs at the end — same pairs, same jaccard values, changed
-    # executed text (rep-space banding, round 15).
-    "g02b_dedup_lsh": 15,
-    "g02e_dedup_lsh_shingle": 15,
-    # g30: incremental_dedup's near layer min-aggregates in rep space
-    # (expand=False qual from the bitmask core) — same verdicts/ids,
-    # changed executed text; g02/g02d execute the reshaped
-    # _g02_bitmask/_finish_bitmask_verify return plumbing (identical
-    # plan when expand=True, but the executed function text changed).
-    "g30_dedup_incremental": 15,
-    "g02_dedup_near": 15,
-    "g02d_dedup_ngram": 15,
-    # g26: connected components run over the rep graph (qual pairs
-    # from expand=False), docs inherit their group's component —
-    # same clusters (hash-proven at two SFs), changed executed text.
-    "g26_dedup_clusters": 15,
-    # (runner._capture_run_stats's json-shape fix is post-drain
-    # diagnostics writing a module global — it cannot affect any
-    # returned DataFrame, so no marker, same adjudication as r14.)
+    # ADVICE r15 (low): the ledger's standard is "executed text
+    # changed", and g12/g21 reach the round-15 reshaped _jaccard_pairs
+    # text exactly the way g02/g02d did (which WERE marked at r15) —
+    # their r13 evidence therefore predates the text they now execute.
+    # Marked here rather than weakening the standard to "plan changed";
+    # they re-enter band 0 and get fresh rows in the r16 window.
+    "g12_contamination": 15,
+    "g21_dedup_agreement": 15,
+    # All nine round-15 markers (a22 a31 g02 g02b g02d g02e g26 g30
+    # g32) were satisfied by CORRECTNESS_r15 and dropped in the r16
+    # fold.  Round-16 edits add their markers below as they land.
+    #
+    # VersionedTable.publish writes collision-free v<N>-<token> dirs
+    # (ADVICE r15 medium) — executed text of every registered
+    # publisher changed: a22 publishes directly, a31 via
+    # compact_staged(versioned=True), g32 via BandSignatureIndex.build.
+    "a22_versioned_snapshot": 16,
+    "a31_versioned_compaction": 16,
+    "g32_dedup_band_probe": 16,
 }
 
 # Convenience view: every query with any first-party driver evidence.
@@ -316,12 +305,12 @@ def sweep_rank(name: str, has_oracle: bool) -> tuple[int, int, str]:
 
     Band 0: evidence does not describe the current text — either never
             driver-verified (none today) or changed-since-verified
-            (``CHANGED_IN`` newer than ``LAST_VERIFIED``; round 12:
-            the ADVICE-r11 pipeline fixes).  Alphabetical.
+            (``CHANGED_IN`` newer than ``LAST_VERIFIED``).
+            Alphabetical.
     Band 1: verified on current text — ordered by last-verified round
             ASCENDING (stalest evidence first), then name.  After the
-            r11 fold the r08 band re-enters ahead of the r09 mass,
-            which precedes r10/r11 greens.
+            r16 fold the r12 band re-enters ahead of the r13 mass,
+            which precedes r14/r15 greens.
     ``has_oracle`` kept in the signature for call-site stability; both
     bands order hash tier and rows-only alike.
     """

@@ -38,8 +38,11 @@ time) is the documented contract on every backend; for concurrent
 multi-writer commits use a transactional table format.  Round 15
 (VERDICT r14 #4): ``publish`` re-reads the manifest before its flip
 and raises ``ConcurrentPublishError`` if ``latest`` moved since its
-snapshot — contention is DETECTED (loud error, store consistent,
-loser's data dir an orphan for vacuum), not serialized.
+snapshot — contention is DETECTED (loud error, store consistent),
+not serialized.  Round 16 (ADVICE r15): each publish writes a
+collision-free ``v<N>-<token>`` dir, so a CAS-losing publish can
+never have overwritten the winner's already-referenced data — the
+loser's dir really is an orphan the next vacuum sweeps.
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 import warnings
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,7 +61,10 @@ from data_lake_staging_engine_spark.fs import (
     write_json_replace,
 )
 
-_VDIR = re.compile(r"^v(\d+)$")
+# Version data dirs: "v<N>-<8 hex>" since round 16 (each publish writes
+# a collision-free dir, ADVICE r15); bare "v<N>" accepted for sweeping
+# stores written before the suffix existed.
+_VDIR = re.compile(r"^v(\d+)(?:-[0-9a-f]{8})?$")
 
 
 class ConcurrentWriterError(RuntimeError):
@@ -165,12 +172,17 @@ class VersionedTable:
         data write and the flip REFUSES (``ConcurrentPublishError``)
         if ``latest`` moved since this publish's snapshot — a
         best-effort CAS that detects, not serializes, a concurrent
-        second publisher (see the exception's docstring).  The loser's
-        data directory is left as an orphan the next vacuum sweeps;
-        the winner's version is untouched."""
+        second publisher (see the exception's docstring).  Each publish
+        writes its own collision-free directory (``v<N>-<token>``,
+        ADVICE r15): two racers that both compute version N write
+        DISJOINT dirs, so the loser's overwrite can never touch data
+        the winner's manifest already references — the loser's dir is
+        genuinely an orphan the next vacuum sweeps, and the winner's
+        version is untouched.  Readers resolve paths only through the
+        manifest entry, never by constructing ``v<N>`` names."""
         meta = self._meta()
         version = (meta["latest"] or 0) + 1
-        vdir = os.path.join(self.root, f"v{version}")
+        vdir = os.path.join(self.root, f"v{version}-{uuid.uuid4().hex[:8]}")
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
@@ -251,26 +263,26 @@ class VersionedTable:
                 )
             self._flip({"latest": meta["latest"], "versions": keep})
         kept_dirs = {os.path.basename(v["path"]) for v in keep}
+        pruned_dirs = {os.path.basename(v["path"]) for v in pruned}
         dropped: list[int] = [v["version"] for v in pruned]
         # Sweep unreferenced dirs: just-pruned dirs plus orphans from
-        # crashed publishes/vacuums — but ONLY at version numbers <=
-        # the latest this vacuum read (ADVICE r12): a v{latest+1} dir
-        # may be a CONCURRENT publish mid-write, and deleting it would
-        # flip a manifest entry whose data is gone.  A crashed publish
-        # above latest is harmless — the next publish targets the same
-        # number and overwrites it.
+        # crashed/lost publishes and interrupted vacuums — but ONLY at
+        # version numbers <= the latest this vacuum read (ADVICE r12):
+        # a v{latest+1} dir may be a CONCURRENT publish mid-write, and
+        # deleting it would flip a manifest entry whose data is gone.
+        # A crashed publish above latest is harmless — its uniquely-
+        # named dir is never referenced and is swept here once the
+        # pointer passes its number.
         latest = meta["latest"]
         for name in sorted(self._fs.listdir(self.root)):
             m = _VDIR.match(name)
             if m and name not in kept_dirs and int(m.group(1)) <= latest:
                 self._fs.rmtree(os.path.join(self.root, name))
-                v = int(m.group(1))
-                if v not in dropped and v not in {
-                    entry["version"] for entry in keep
-                }:
+                if name not in pruned_dirs:
                     warnings.warn(
                         f"vacuum swept orphan version dir {name!r} "
-                        "(crashed publish or interrupted vacuum)",
+                        "(crashed or CAS-losing publish, or an "
+                        "interrupted vacuum)",
                         stacklevel=2,
                     )
         return dropped

@@ -275,9 +275,10 @@ def test_index_vacuum_under_delayed_delete_visibility(spark, tmp_path):
     assert idx.build(grown) == 2
     v2_rows = _verdicts(idx.probe(newdocs, corpus, version=2))
 
+    v1_dir = idx.table.entry(1)["path"]
     assert idx.table.vacuum(keep_last=1) == [1]
     # the delete has NOT landed: v1's dir is still visible on disk
-    assert fs.pending and os.path.isdir(os.path.join(root, "v1"))
+    assert fs.pending and os.path.isdir(v1_dir)
     with pytest.raises(ValueError, match="vacuumed"):
         idx.probe(newdocs, corpus, version=1)
     assert _verdicts(idx.probe(newdocs, corpus, version=2)) == v2_rows
@@ -288,6 +289,6 @@ def test_index_vacuum_under_delayed_delete_visibility(spark, tmp_path):
     assert idx.table.versions() == [2, 3]
 
     fs.settle()
-    assert not os.path.exists(os.path.join(root, "v1"))
+    assert not os.path.exists(v1_dir)
     assert _verdicts(idx.probe(newdocs, corpus, version=2)) == v2_rows
     assert idx.table.latest() == 3

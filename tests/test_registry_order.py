@@ -1,18 +1,20 @@
 """Registry ordering = driver-evidence policy (VERDICT r06 item 1).
 
 The driver records at most 50 CORRECTNESS rows per round, iterating
-``queries()`` in insertion order.  After folding the r14 greens into
-``LAST_VERIFIED`` (the r14 window drained the whole r10 band and
-satisfied all five round-14 CHANGED_IN markers), the changed band
-drains to whatever round-15 edits actually touch — added to
-CHANGED_IN commit-by-commit as they land, mirrored here in
-CHANGED_BAND so a drive-by edit to either side fails loudly.
+``queries()`` in insertion order.  After folding the r15 greens into
+``LAST_VERIFIED`` (the r15 window drained the whole r11 band and
+satisfied all nine round-15 CHANGED_IN markers), the changed band
+holds the two ADVICE-r15 markers (g12/g21 execute the reshaped
+_jaccard_pairs text on r13 evidence) plus whatever round-16 edits
+actually touch — added to CHANGED_IN commit-by-commit as they land,
+mirrored here in CHANGED_BAND so a drive-by edit to either side
+fails loudly.
 
-The r15 window therefore leads with the round-15 changed band, then
-rotates onto the stalest remaining evidence: the 29-member r11 band
-(the b14-b34 relational middle, the c-window singles, d01/d02/d06/
-d11/d13, f01/f09, g01/g25/g31 — VERDICT r14 #2's explicit list),
-then the oldest r12 entries filling the remaining slots.
+The r16 window therefore leads with the changed band, then rotates
+onto the stalest remaining evidence: the 26-member r12 band (b35/
+b36/b38, the c-window singles, d03-d12, f02/f05, and the g04-g29
+text/ANN singles — VERDICT r15 #1's explicit list), then the oldest
+r13 entries filling the remaining slots.
 
 Env tolerance: ``e10_transform_with_state`` registers only when
 google.protobuf is importable (streaming/queries.py gate).  In such an
@@ -32,27 +34,19 @@ from data_lake_staging_engine_spark.driver_evidence import (
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 15 (see driver_evidence
-# CHANGED_IN) — the independent mirror.  Round-15 edits add names here
+# Text newer than driver evidence as of round 16 (see driver_evidence
+# CHANGED_IN) — the independent mirror.  Round-16 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
-    # VersionedTable.publish CAS re-read (VERDICT r14 #4)
+    # ADVICE r15: r13 evidence, but both execute the round-15 reshaped
+    # _jaccard_pairs text (same route g02/g02d were marked for).
+    "g12_contamination",
+    "g21_dedup_agreement",
+    # round 16: collision-free publish dirs (ADVICE r15 medium) —
+    # every registered publisher's executed text changed.
     "a22_versioned_snapshot",
-    # versioned compaction: publish CAS + epoch-leaf sweep (ADVICE r14)
     "a31_versioned_compaction",
-    # band-index param plumbing + index_root amortization (ADVICE r14)
-    # + rep-space probe (round 15)
     "g32_dedup_band_probe",
-    # rep-space banding in _minhash_lsh_neardup (round 15)
-    "g02b_dedup_lsh",
-    "g02e_dedup_lsh_shingle",
-    # rep-space near layer in incremental_dedup + the expand plumbing
-    # through the bitmask core (round 15)
-    "g30_dedup_incremental",
-    "g02_dedup_near",
-    "g02d_dedup_ngram",
-    # rep-graph connected components (round 15)
-    "g26_dedup_clusters",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -112,37 +106,37 @@ def test_window_fills_with_stalest_evidence():
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # Band 1 is ordered stalest-first: r11, then r12, then r13/r14.
-    assert not any(r <= 10 for r in LAST_VERIFIED.values())
-    stale_r11 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 11 and not changed_since_verified(n)
-    )
-    # the post-r14-fold stalest band is 29 names; members with a
-    # round-15 CHANGED_IN marker sit in band 0 instead
-    assert sum(1 for r in LAST_VERIFIED.values() if r == 11) == 29
-    assert len(stale_r11) == 29 - sum(
-        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 11
-    )
+    # Band 1 is ordered stalest-first: r12, then r13, then r14/r15.
+    assert not any(r <= 11 for r in LAST_VERIFIED.values())
     stale_r12 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 12 and not changed_since_verified(n)
     )
-    # head + 29 r11 fill the first 29+len(head) slots; the oldest r12
+    # the post-r15-fold stalest band is 26 names; members with a
+    # round-16 CHANGED_IN marker sit in band 0 instead
+    assert sum(1 for r in LAST_VERIFIED.values() if r == 12) == 26
+    assert len(stale_r12) == 26 - sum(
+        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 12
+    )
+    stale_r13 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 13 and not changed_since_verified(n)
+    )
+    # head + 26 r12 fill the first 26+len(head) slots; the oldest r13
     # entries complete the 50.
-    assert window == (head + stale_r11 + stale_r12)[:50]
+    assert window == (head + stale_r12 + stale_r13)[:50]
     # Everything past the window is ordered by non-decreasing evidence
-    # round (r12 remainder <= r13 <= r14).
+    # round (r13 remainder <= r14 <= r15).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
     assert tail_rounds == sorted(tail_rounds)
 
 
 def test_sweep_rank_orders_by_staleness():
-    r11 = sweep_rank("b14_join_anti", True)
-    r12 = sweep_rank("b20_agg_groupby", True)
+    r12 = sweep_rank("b36_histogram", True)
     r13 = sweep_rank("g16_event_funnel", True)
     r14 = sweep_rank("b40_sort_limit_topk", True)
-    assert r11 < r12 < r13 < r14
-    assert r11[0] == 1  # verified, just stale — band 1
-    # Round-15 edits re-enter band 0 ahead of everything.
+    r15 = sweep_rank("b14_join_anti", True)
+    assert r12 < r13 < r14 < r15
+    assert r12[0] == 1  # verified, just stale — band 1
+    # Marked edits re-enter band 0 ahead of everything.
     for name in CHANGED_BAND:
         assert sweep_rank(name, True)[0] == 0
 

@@ -93,9 +93,10 @@ def test_versioned_compact_rows_and_incremental(spark, sf_dir, tmp_path):
     assert vt.latest() == 2
     assert vt.versions() == [2]
     assert _live_batch_dirs(pipe.staged_dir) == []
-    assert sorted(
+    vdirs = sorted(
         d for d in os.listdir(pipe._versions_root) if d.startswith("v")
-    ) == ["v2"]
+    )
+    assert len(vdirs) == 1 and vdirs[0].startswith("v2")
 
 
 def test_kill_before_flip_leaves_old_state_intact(spark, sf_dir, tmp_path, monkeypatch):
@@ -168,7 +169,10 @@ def test_versioned_compact_on_uri_paths(spark, sf_dir, tmp_path):
     assert pipe.compact_staged(versioned=True).count() == n
     # local view of the URI tree: leaves swept, snapshot present
     assert _live_batch_dirs(f"{tmp_path}/staged") == []
-    assert os.path.isdir(f"{tmp_path}/staged.versions/v1")
+    assert any(
+        d.startswith("v1")
+        for d in os.listdir(f"{tmp_path}/staged.versions")
+    )
 
 
 def test_versioned_view_prunes_live_leaves_by_partition(spark, sf_dir, tmp_path):

@@ -32,10 +32,11 @@ def test_publish_read_vacuum_lifecycle(spark, tmp_path):
     assert table.versions() == [1, 2, 3]
 
     pre_vacuum_reader = table.read(spark, 2)  # resolved before vacuum
+    v1_dir = table.entry(1)["path"]  # resolve before the entry is pruned
     assert table.vacuum(keep_last=2) == [1]
 
     assert table.versions() == [2, 3]
-    assert not os.path.exists(str(tmp_path / "vt" / "v1"))
+    assert not os.path.exists(v1_dir)
     assert table.read(spark, 3).count() == 30
     assert table.read(spark).count() == 30  # latest pointer intact
     assert pre_vacuum_reader.count() == 20  # retained version: no race
@@ -68,32 +69,45 @@ def test_interrupted_vacuum_orphans_are_swept(spark, tmp_path):
     # Simulate the crash window: flip the pruned manifest by hand but
     # leave v1's directory on disk.
     meta = table._meta()
+    v1_dir = meta["versions"][0]["path"]
     table._flip({"latest": 2, "versions": meta["versions"][-1:]})
-    assert os.path.exists(str(tmp_path / "vt" / "v1"))
+    assert os.path.exists(v1_dir)
     assert table.versions() == [2]  # readers already can't reach v1
 
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         assert table.vacuum(keep_last=5) == []  # nothing newly pruned
-    assert not os.path.exists(str(tmp_path / "vt" / "v1"))
+    assert not os.path.exists(v1_dir)
     assert any("orphan" in str(w.message) for w in caught)
 
 
 def test_crashed_publish_orphan_is_invisible_then_swept(spark, tmp_path):
     """A publish killed after its data write but before the manifest
-    flip leaves an unreferenced v<N> dir: readers never see it, the
-    next publish does NOT reuse its number blindly (it overwrites), and
-    vacuum sweeps it."""
+    flip leaves an unreferenced v<N>-<token> dir: readers never see
+    it, the next publish reuses its NUMBER but writes a disjoint dir
+    (ADVICE r15 — never an overwrite of another writer's bytes), and
+    vacuum sweeps the orphan with a warning."""
+    import warnings
+
     table = VersionedTable(str(tmp_path / "vt"))
     _pub(spark, table, 5)
-    # Simulate: v2 data written, manifest never flipped.
-    spark.range(3).write.mode("overwrite").parquet(str(tmp_path / "vt" / "v2"))
+    # Simulate: v2 data written (legacy un-suffixed name — the sweep
+    # accepts both shapes), manifest never flipped.
+    orphan = str(tmp_path / "vt" / "v2")
+    spark.range(3).write.mode("overwrite").parquet(orphan)
     assert table.versions() == [1]
     assert table.latest() == 1
-    # Next publish takes version 2 and mode=overwrite replaces the
-    # half-published data — the reader sees only the new publish.
+    # Next publish takes version 2 in its own collision-free dir; the
+    # reader sees only the new publish, never the crashed bytes.
     assert _pub(spark, table, 7) == 2
     assert table.read(spark, 2).count() == 7
+    assert os.path.exists(orphan)  # untouched, just unreferenced
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert table.vacuum(keep_last=5) == []  # nothing newly pruned
+    assert not os.path.exists(orphan)
+    assert any("orphan" in str(w.message) for w in caught)
+    assert table.read(spark, 2).count() == 7  # live version untouched
 
 
 def test_vacuum_spares_inflight_publish_above_latest(spark, tmp_path):
@@ -114,14 +128,15 @@ def test_vacuum_spares_inflight_publish_above_latest(spark, tmp_path):
         "overwrite"
     ).parquet(str(tmp_path / "vt" / "v4"))
 
+    v1_dir = table.entry(1)["path"]
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         assert table.vacuum(keep_last=2) == [1]
     assert os.path.exists(str(tmp_path / "vt" / "v4"))  # spared
-    assert not os.path.exists(str(tmp_path / "vt" / "v1"))  # pruned
+    assert not os.path.exists(v1_dir)  # pruned
     assert not any("v4" in str(w.message) for w in caught)
-    # The concurrent publish's flip (next publish takes version 4 and
-    # overwrites the same dir) lands on data that is still there.
+    # The in-flight publisher's own flip lands on data that is still
+    # there (its dir survived the sweep untouched).
     assert _pub(spark, table, 9) == 4
     assert table.read(spark, 4).count() == 9
 
@@ -142,9 +157,10 @@ def test_uri_root_full_lifecycle(spark, tmp_path):
     assert _pub(spark, table, 7) == 3
     assert table.read(spark).count() == 7
     assert table.read(spark, 2).count() == 6
+    v1_dir = table.entry(1)["path"]
     assert table.vacuum(keep_last=2) == [1]
     assert table.versions() == [2, 3]
-    assert not os.path.exists(str(tmp_path / "vt_uri" / "v1"))
+    assert not os.path.exists(v1_dir.removeprefix("file://"))
 
     # the .tmp-adoption crash shape: flip's delete landed, rename did
     # not — the local dir mirrors what HadoopFS.replace leaves behind
@@ -266,13 +282,17 @@ def test_concurrent_publish_loser_raises_and_store_stays_consistent(
         loser.publish(base.withColumn("x", F.col("x") + 7))
 
     # store consistent: winner's v2 is latest, both versions readable,
-    # the loser's orphan dir is unreferenced
+    # the loser's orphan dir is unreferenced — and the loser's data
+    # write did NOT touch the winner's already-published bytes (ADVICE
+    # r15: both racers computed version 2, but they wrote DISJOINT
+    # v2-<token> dirs): v2 still holds the winner's x = 2*id + 1.
     assert winner.latest() == 2
     assert winner.versions() == [1, 2]
     assert winner.read(spark, 2).count() == 10
-    # retry (fresh snapshot) lands as v3; the interim orphan at v2's
-    # number was overwritten by the winner already — the retry writes
-    # its own v3 dir
+    assert winner.read(spark, 2).agg(F.sum("x")).collect()[0][0] == sum(
+        i * 2 + 1 for i in range(10)
+    )
+    # retry (fresh snapshot) lands as v3 in its own dir
     loser._meta = real_meta
     assert loser.publish(base.withColumn("x", F.col("x") + 7)) == 3
     assert winner.read(spark, 3).agg(F.sum("x")).collect()[0][0] == sum(
