@@ -131,6 +131,16 @@ def main() -> None:
 
     extra = {"g32_probe_amortized": g32_probe_amortized}
 
+    # Final untimed re-warm (VERDICT r15 #4): the g32 index build above
+    # is the heaviest warm-up job and runs LAST, so without this the
+    # first TIMED query (b20) starts from a post-build JVM/page-cache
+    # state — r15's b20 read 2.61 s against a 1.2-1.9 s 14-round
+    # history in the same run where 15 of 20 shared queries got
+    # faster, exactly when the build moved adjacent to the loop.
+    # Re-running the flagship agg settles codegen, GC, and the
+    # lineitem scan cache right before measurement begins.
+    materialize(reg["b20_agg_groupby"].fn(spark, sf_dir))
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = extra[name] if name in extra else reg[name].fn
