@@ -65,7 +65,7 @@ History of the window rotation:
   g32), 0 failures.  All markers satisfied; oldest remaining
   evidence after the fold: r12 (26 names — the window/function
   singles plus g04/g07-g08b/g11/g18/g20/g23/g28/g29), which leads
-  the r16 window behind the two ADVICE-r15 markers below.
+  the r16 window behind the round-16 changed band below.
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -187,14 +187,6 @@ LAST_VERIFIED: dict[str, int] = {
 # evidence predates the current text => band 0 (ADVICE r06).  Drop an
 # entry once a later CORRECTNESS round re-proves the query.
 CHANGED_IN: dict[str, int] = {
-    # ADVICE r15 (low): the ledger's standard is "executed text
-    # changed", and g12/g21 reach the round-15 reshaped _jaccard_pairs
-    # text exactly the way g02/g02d did (which WERE marked at r15) —
-    # their r13 evidence therefore predates the text they now execute.
-    # Marked here rather than weakening the standard to "plan changed";
-    # they re-enter band 0 and get fresh rows in the r16 window.
-    "g12_contamination": 15,
-    "g21_dedup_agreement": 15,
     # All nine round-15 markers (a22 a31 g02 g02b g02d g02e g26 g30
     # g32) were satisfied by CORRECTNESS_r15 and dropped in the r16
     # fold.  Round-16 edits add their markers below as they land.
@@ -206,6 +198,22 @@ CHANGED_IN: dict[str, int] = {
     "a22_versioned_snapshot": 16,
     "a31_versioned_compaction": 16,
     "g32_dedup_band_probe": 16,
+    # Round-16 banding rework: _minhash_lsh_candidates spreads its
+    # probe side and skips the pre-verify distinct on popcount routes;
+    # _finish_bitmask_verify gained the rebalance flag; the rep-id
+    # semi-join broadcast is size-gated (ADVICE r15 low).  Executed
+    # text of every _jaccard_pairs/_finish_bitmask_verify user
+    # changed.  (g12/g21 were already marked at 15 per ADVICE r15 —
+    # the r16 text supersedes; all nine re-verified hash-green or
+    # exact-row from a vanilla /tmp session on final text.)
+    "g02_dedup_near": 16,
+    "g02b_dedup_lsh": 16,
+    "g02d_dedup_ngram": 16,
+    "g02e_dedup_lsh_shingle": 16,
+    "g12_contamination": 16,
+    "g21_dedup_agreement": 16,
+    "g26_dedup_clusters": 16,
+    "g30_dedup_incremental": 16,
 }
 
 # Convenience view: every query with any first-party driver evidence.

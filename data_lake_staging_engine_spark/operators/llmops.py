@@ -594,11 +594,13 @@ def _g02_bitmask(
                 mem.select(
                     F.col("rep").alias("doc_id"),
                     F.col("tok_id").alias("tok"),
-                )
+                ),
+                distinct=False,  # popcount verify dedups after
             ).select(F.col("d1").alias("r1"), F.col("d2").alias("r2"))
             return _finish_bitmask_verify(
                 cands, d2r, rm_a, rm_b, wcols, jac, threshold,
                 n_reps, toks.sparkSession, expand=expand,
+                rebalance=False,  # banding pre-spreads its probe side
             )
         p1 = pref.select(
             F.col("rep").alias("r1"),
@@ -661,6 +663,7 @@ def _finish_bitmask_verify(
     n_reps: int,
     spark: SparkSession,
     expand: bool = True,
+    rebalance: bool = True,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Shared verify+expand tail of the bitmap strategy: exact popcount
     verification of (r1, r2) candidate pairs — from the prefix join or
@@ -675,8 +678,14 @@ def _finish_bitmask_verify(
     # NARROW the verify is cheap and the O(collisions) exchange itself
     # dominates — the same rebalance took the word corpus (5 words)
     # from 28 s to 85 s.  Rebalance only when the verify is wide
-    # enough to pay for it.
-    if len(wcols) >= 16:
+    # enough to pay for it — and only when the caller has NOT already
+    # spread the candidate stream: the banding route round-robins its
+    # signature probe side before pair generation (round 16), so its
+    # per-task pair output is balanced by construction and the
+    # O(collisions) exchange here would be pure cost (``rebalance=
+    # False``); the prefix-join route stays key-partitioned and keeps
+    # the measured rebalance win.
+    if rebalance and len(wcols) >= 16:
         # Platforms with AQE auto-optimized shuffle report the conf
         # as the non-numeric string 'auto' (ADVICE r12) — fall back
         # to the cluster's default parallelism rather than crash.
@@ -923,15 +932,44 @@ def _band_signatures(
 
 
 def _minhash_lsh_candidates(
-    toks: DataFrame, n_hashes: int = 16, bands: int = 4
+    toks: DataFrame, n_hashes: int = 16, bands: int = 4, distinct: bool = True
 ) -> DataFrame:
     """MinHash banding candidate generation over any (doc_id, tok) set
     stream: docs sharing any band signature (``_band_signatures``)
     become a candidate (d1 < d2) pair via an equi-join on (band, sig).
-    Shuffle volume O(docs * bands)."""
+    Shuffle volume O(docs * bands).
+
+    ``distinct=False`` skips the pre-verify pair dedup: a pair
+    colliding in k bands then flows through the caller's verify k<=
+    ``bands`` times instead of paying a candidate-stream-sized
+    shuffle.  ONLY sound for verifies that filter per row and dedup
+    AFTER (the popcount paths — ``_finish_bitmask_verify`` ends in
+    distinct); the token-join verify COUNTS rows per pair
+    (``_verify_pairs_token_join``), so duplicates would inflate its
+    shared-token count — it must keep ``distinct=True``.  Round 16:
+    on the 10x gram corpus the banding route emitted 24.4M distinct
+    candidates for 2,560 true pairs (a tiny Zipfian 3-gram universe
+    gives unrelated docs J~0.3, and 4x4 banding passes ~3% of ALL
+    pairs), so the pre-verify distinct WAS the dominant stage.
+
+    The probe side is explicitly re-spread before the join (round-16
+    finding): the signature frame is an AGGREGATE output small enough
+    (n_docs x bands rows) for AQE's partition coalescing to collapse
+    to ONE partition — but the join's OUTPUT is pair-quadratic per
+    bucket, so that single partition made candidate generation AND
+    everything fused after it (the popcount verify) run serially
+    (measured: 28.1M pairs verified on 1 task = 140-317 s; spread,
+    the identical fused verify is ~8 s).  Round-robin beats
+    partition-by-(band,sig) here: a hot bucket's rows spread evenly,
+    so per-task pair output balances by construction instead of
+    concentrating a b^2/2 block in one task."""
     sigs = _band_signatures(toks, n_hashes=n_hashes, bands=bands)
-    a, b_ = sigs.alias("a"), sigs.alias("b")
-    return (
+    try:
+        n_parts = int(toks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = toks.sparkSession.sparkContext.defaultParallelism
+    a, b_ = sigs.repartition(n_parts).alias("a"), sigs.alias("b")
+    pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -939,8 +977,8 @@ def _minhash_lsh_candidates(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
     )
+    return pairs.distinct() if distinct else pairs
 
 
 def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> DataFrame:
@@ -979,10 +1017,16 @@ def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> Dat
     n_reps = reps.count()
     # Band the RAW tokens of the representatives only — same hash
     # stream as doc-space banding, so candidate groups are identical.
-    rep_toks = toks.join(
-        F.broadcast(reps.select("doc_id")), "doc_id", "left_semi"
-    )
-    cands = _minhash_lsh_candidates(rep_toks).select(
+    # The rep-id semi-join side is broadcast only under the same ~200
+    # MB estimate _finish_bitmask_verify applies to its rep tables
+    # (ADVICE r15): on a mostly-unique corpus n_reps ~= n_docs, and an
+    # unconditional broadcast would ship a corpus-sized id list to
+    # every executor.  Past the gate, let AQE pick the join.
+    rep_ids = reps.select("doc_id")
+    if n_reps * 24 <= 200 * 1024 * 1024:
+        rep_ids = F.broadcast(rep_ids)
+    rep_toks = toks.join(rep_ids, "doc_id", "left_semi")
+    cands = _minhash_lsh_candidates(rep_toks, distinct=False).select(
         F.col("d1").alias("r1"), F.col("d2").alias("r2")
     )
     rm_a = reps.select(
@@ -1007,7 +1051,8 @@ def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> Dat
     )
     jac = shared * F.lit(1.0) / union
     return _finish_bitmask_verify(
-        cands, d2r, rm_a, rm_b, wcols, jac, 0.8, n_reps, toks.sparkSession
+        cands, d2r, rm_a, rm_b, wcols, jac, 0.8, n_reps,
+        toks.sparkSession, rebalance=False,
     )
 
 

@@ -478,10 +478,20 @@ def test_lsh_banding_single_corpus_pass(spark, sf_dir):
     optimizer has no stats to broadcast.  Those exchanges carry the
     doc->rep projection (16 bytes/doc) and the output-sized pair
     stream — never a corpus re-aggregation, which the scan bound
-    continues to pin."""
+    continues to pin.
+
+    Round 16: 8 -> 9.  The banding probe side is explicitly spread
+    before the signature self-join (AQE coalesced the tiny agg output
+    to ONE partition, serializing the pair-quadratic join output and
+    the fused popcount verify behind it — 10x g02e 100 s -> 39 s, g02b
+    51 s -> 6-10 s).  The added exchange carries n_docs x bands
+    signature rows (~20 B each); in return the candidate-pair stream
+    lost BOTH its pre-verify distinct and its post-generation
+    rebalance exchanges — the remaining exchanges never carry the
+    pair stream."""
     plan = physical_plan(_REG["g02b_dedup_lsh"].fn(spark, sf_dir))
     assert plan.count("documents.parquet") <= 2, plan.count("documents.parquet")
-    assert plan.count("hashpartitioning(") <= 8, plan.count("hashpartitioning(")
+    assert plan.count("hashpartitioning(") <= 9, plan.count("hashpartitioning(")
     # g02c's simhash banding had the identical union defect (8 scans, 8
     # shuffles) and takes the identical posexplode fix.
     plan_c = physical_plan(_REG["g02c_dedup_simhash"].fn(spark, sf_dir))
@@ -491,7 +501,7 @@ def test_lsh_banding_single_corpus_pass(spark, sf_dir):
     # the same one-pass shape so a refactor can't regress one variant.
     plan_e = physical_plan(_REG["g02e_dedup_lsh_shingle"].fn(spark, sf_dir))
     assert plan_e.count("documents.parquet") <= 2, plan_e.count("documents.parquet")
-    assert plan_e.count("hashpartitioning(") <= 8, plan_e.count("hashpartitioning(")
+    assert plan_e.count("hashpartitioning(") <= 9, plan_e.count("hashpartitioning(")
 
 
 def test_shingle_lineage_has_no_inferred_transform_filter(spark, sf_dir):

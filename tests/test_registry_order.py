@@ -38,15 +38,23 @@ from data_lake_staging_engine_spark.registry import registry
 # CHANGED_IN) — the independent mirror.  Round-16 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
-    # ADVICE r15: r13 evidence, but both execute the round-15 reshaped
-    # _jaccard_pairs text (same route g02/g02d were marked for).
-    "g12_contamination",
-    "g21_dedup_agreement",
     # round 16: collision-free publish dirs (ADVICE r15 medium) —
     # every registered publisher's executed text changed.
     "a22_versioned_snapshot",
     "a31_versioned_compaction",
     "g32_dedup_band_probe",
+    # round 16: banding probe-side spread + pre-verify-distinct skip +
+    # rebalance flag + gated rep-id broadcast — every
+    # _jaccard_pairs/_finish_bitmask_verify user (includes the
+    # ADVICE-r15 g12/g21 markers, superseded at 16).
+    "g02_dedup_near",
+    "g02b_dedup_lsh",
+    "g02d_dedup_ngram",
+    "g02e_dedup_lsh_shingle",
+    "g12_contamination",
+    "g21_dedup_agreement",
+    "g26_dedup_clusters",
+    "g30_dedup_incremental",
 }
 
 # Registered only when google.protobuf is available; never-verified by
