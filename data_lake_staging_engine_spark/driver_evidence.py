@@ -198,6 +198,10 @@ CHANGED_IN: dict[str, int] = {
     "a22_versioned_snapshot": 16,
     "a31_versioned_compaction": 16,
     "g32_dedup_band_probe": 16,
+    # a14 upgraded R -> hash tier (VERDICT r15 #5): deterministic
+    # key-rule corruption + surviving-key digest, oracled in DuckDB
+    # without parsing the bad JSON.
+    "a14_bad_records": 16,
     # Round-16 banding rework: _minhash_lsh_candidates spreads its
     # probe side and skips the pre-verify distinct on popcount routes;
     # _finish_bitmask_verify gained the rebalance flag; the rep-id

@@ -659,22 +659,44 @@ def a21_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select("event_id", "user_id", "value", "event_type")
 
 
-@query("a14_bad_records", oracle=None)  # JSON corruption handling — rows-only tier
+@query(
+    "a14_bad_records",
+    oracle="""
+    WITH r AS (SELECT n_nationkey FROM nation),
+    good AS (SELECT n_nationkey FROM r WHERE n_nationkey % 5 <> 0)
+    SELECT (SELECT COUNT(*) FROM good) AS n_good,
+           (SELECT COUNT(*) FROM r WHERE n_nationkey % 5 = 0) AS n_bad,
+           md5(COALESCE(
+             (SELECT string_agg(CAST(n_nationkey AS VARCHAR), ','
+                                ORDER BY n_nationkey) FROM good),
+             '')) AS good_digest
+    """,
+)
 def a14_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corrupt-record quarantine: PERMISSIVE ingest with
-    _corrupt_record; emits (n_good, n_bad) for a landing file with 3
-    deliberately injected malformed lines. The reference genre routes
-    such rows to a dead-letter prefix; here they are countable and
-    filterable in one pass."""
+    """Corrupt-record quarantine, hash tier (VERDICT r15 #5 — f08b's
+    pattern applied to JSON ingest): rows where ``n_nationkey % 5 ==
+    0`` are deterministically mangled in flight (closing brace dropped,
+    so the line is unparseable JSON), the landing is read back
+    PERMISSIVE with ``_corrupt_record``, and the result carries
+    (n_good, n_bad, md5 digest of the surviving keys).  The oracle
+    recomputes WHICH rows corrupt from the same key rule — DuckDB
+    never parses the bad JSON, yet the hash compare proves the
+    quarantine caught exactly the mangled subset and nothing else.
+    The reference genre routes such rows to a dead-letter prefix;
+    here they are countable, filterable, and attributable in one
+    pass."""
     out = _tmpdir("badjson")
-    load(spark, sf_dir, "nation").coalesce(1).write.mode("overwrite").json(out)
-    part = [f for f in os.listdir(out) if f.endswith(".json")][0]
-    with open(os.path.join(out, part), "a") as f:
-        f.write('{"n_nationkey": "not-an-int...\n')
-        f.write("garbage line\n")
-        f.write('{"n_nationkey": 99, "n_name": }\n')
-    for crc in [f for f in os.listdir(out) if f.endswith(".crc")]:
-        os.remove(os.path.join(out, crc))  # stale checksums would fail the read
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    line = F.to_json(F.struct("n_nationkey", "n_name", "n_regionkey"))
+    mangled = F.when(
+        F.col("n_nationkey") % 5 == 0,
+        F.expr("substring(line, 1, length(line) - 1)"),
+    ).otherwise(F.col("line"))
+    n.withColumn("line", line).select(mangled.alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
     schema = StructType(
         [
             StructField("n_nationkey", IntegerType()),
@@ -689,9 +711,20 @@ def a14_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(out)
     ).cache()
+    ok = F.col("_corrupt_record").isNull()
+    # sort numerically THEN stringify: lexicographic "10" < "2" would
+    # diverge from the oracle's ORDER BY n_nationkey
+    good_keys = F.sort_array(
+        F.collect_list(F.when(ok, F.col("n_nationkey")))
+    )
     return df.agg(
-        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
-        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias("n_bad"),
+        F.sum(ok.cast("long")).alias("n_good"),
+        F.sum((~ok).cast("long")).alias("n_bad"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(good_keys, lambda k: k.cast("string"))
+            )
+        ).alias("good_digest"),
     )
 
 

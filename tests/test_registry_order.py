@@ -43,6 +43,8 @@ CHANGED_BAND: set[str] = {
     "a22_versioned_snapshot",
     "a31_versioned_compaction",
     "g32_dedup_band_probe",
+    # a14 upgraded to hash tier (VERDICT r15 #5)
+    "a14_bad_records",
     # round 16: banding probe-side spread + pre-verify-distinct skip +
     # rebalance flag + gated rep-id broadcast — every
     # _jaccard_pairs/_finish_bitmask_verify user (includes the
