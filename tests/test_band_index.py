@@ -306,3 +306,73 @@ def test_probe_pinned_version_stable_under_racing_republish(spark, tmp_path):
     latest = dict((d, v) for d, v, _m in _rows(idx.probe(newdocs, grown)))
     # every batch doc is IN the v3 corpus => all near
     assert set(latest.values()) == {"near"}
+
+
+def test_probe_cost_is_corpus_size_flat(spark, tmp_path):
+    """VERDICT r15 #6: the O(batch) probe claim, pinned as a CURVE
+    property rather than a single point.  A fixed batch probes two
+    prebuilt indexes whose corpora differ 16x in size; the probe's
+    wall-clock must stay within a generous band (4x) of the small-
+    corpus probe.  Runs are interleaved and the MIN per corpus is
+    compared, so a host load storm (which inflates both corpora's
+    readings together) cannot produce a false failure — only a
+    genuinely corpus-proportional probe term can.
+
+    The measured curve this pins (round 16, fixed 715-doc batch at
+    sf0.1 scale): 1x/4.3k-doc corpus ~6.6 s, 10x/49k ~6.1 s,
+    30x/149k ~6.2 s — flat across 30x (BASELINE.md round 16)."""
+    import time
+
+    d = load(spark, _SF, "documents").select("doc_id", "text")
+    batch = d.filter(F.col("doc_id") % 7 == 0).localCheckpoint(eager=True)
+    small_corpus = d.filter(F.col("doc_id") % 7 != 0).localCheckpoint(
+        eager=True
+    )
+    # 16x corpus of the same shape: per-copy id offset + per-copy
+    # letter rotation, so no artificial cross-copy near-dups densify
+    # the buckets (the make_replicated_copy discipline, in-memory).
+    copies = [small_corpus]
+    for i in range(1, 16):
+        rot = "".join(
+            chr((ord(c) - 97 + i) % 26 + 97) for c in map(chr, range(97, 123))
+        )
+        copies.append(
+            small_corpus.select(
+                (F.col("doc_id") + i * 100_000_000).alias("doc_id"),
+                F.translate(
+                    F.translate("text", "abcdefghijklmnopqrstuvwxyz", rot),
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                    rot.upper(),
+                ).alias("text"),
+            )
+        )
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big_corpus = big.localCheckpoint(eager=True)
+    assert big_corpus.count() == 16 * small_corpus.count()
+
+    stores = {}
+    for name, corpus in (("small", small_corpus), ("big", big_corpus)):
+        idx = BandSignatureIndex(str(tmp_path / name), spark)
+        idx.build(corpus)
+        stores[name] = (idx, corpus)
+
+    def probe_once(name):
+        idx, corpus = stores[name]
+        t0 = time.perf_counter()
+        incremental_band_probe(
+            batch, corpus, threshold=0.8, index_path=str(tmp_path / name)
+        ).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    probe_once("small")  # JVM/codegen warm-up, untimed
+    times = {"small": [], "big": []}
+    for _ in range(3):  # interleaved: storms hit both corpora alike
+        times["small"].append(probe_once("small"))
+        times["big"].append(probe_once("big"))
+    t_small, t_big = min(times["small"]), min(times["big"])
+    assert t_big <= 4 * t_small, (
+        f"probe cost grew with corpus size: small={times['small']} "
+        f"big={times['big']} — the O(batch) posture is broken"
+    )
