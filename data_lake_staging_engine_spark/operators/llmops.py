@@ -602,18 +602,56 @@ def _g02_bitmask(
                 n_reps, toks.sparkSession, expand=expand,
                 rebalance=False,  # banding pre-spreads its probe side
             )
-        p1 = pref.select(
-            F.col("rep").alias("r1"),
-            F.col("n").alias("n1"),
-            F.col("rnk").alias("i1"),
-            "tok_id",
-        ).alias("p1")
-        p2 = pref.select(
-            F.col("rep").alias("r2"),
-            F.col("n").alias("n2"),
-            F.col("rnk").alias("i2"),
-            "tok_id",
-        ).alias("p2")
+        # Collision-join strategy (round 16, measured on the 10x
+        # replica): the prefix frame is usually TINY next to its join
+        # OUTPUT (195k rows fanning out to 239M collisions there), so
+        # a sort-merge join pays sort+group-buffer cost per collision
+        # row — broadcasting one side made the identical count 10.4 s
+        # -> 2.2 s.  Two tiers, both gated on the broadcast estimate:
+        #   1. masks INLINE: ship the build side WITH its mask words,
+        #      so the popcount verify fuses into the collision join —
+        #      no rm_a/rm_b probes per collision at all (each probe is
+        #      a hash lookup + a ~(8*words)B row copy; at 63.5M
+        #      collisions those lookups were the verify's cost).
+        #   2. plain BHJ: masks too wide to ship per prefix row (the
+        #      gram corpora: ~30 words x ~30 prefix tokens/rep) —
+        #      broadcast the bare prefix side and keep the shared
+        #      rm-join verify tail.
+        # Past both gates (100 TB posture: prefix frame scales with
+        # the corpus), the SMJ shape below stands unchanged.
+        pref_rows = pref.count()  # checkpointed — a metadata-cheap scan
+        inline_bytes = pref_rows * (32 + 8 * len(wcols))
+        plain_bytes = pref_rows * 32
+        gate = 100 * 1024 * 1024
+        if inline_bytes <= gate:
+            p1m = pref.join(reps.select("rep", *wcols), "rep")
+            p1 = p1m.select(
+                F.col("rep").alias("r1"),
+                F.col("n").alias("n1"),
+                F.col("rnk").alias("i1"),
+                "tok_id",
+                *[F.col(c).alias(f"a_{c}") for c in wcols],
+            ).alias("p1")
+            p2 = p1m.select(
+                F.col("rep").alias("r2"),
+                F.col("n").alias("n2"),
+                F.col("rnk").alias("i2"),
+                "tok_id",
+                *[F.col(c).alias(f"b_{c}") for c in wcols],
+            ).alias("p2")
+        else:
+            p1 = pref.select(
+                F.col("rep").alias("r1"),
+                F.col("n").alias("n1"),
+                F.col("rnk").alias("i1"),
+                "tok_id",
+            ).alias("p1")
+            p2 = pref.select(
+                F.col("rep").alias("r2"),
+                F.col("n").alias("n2"),
+                F.col("rnk").alias("i2"),
+                "tok_id",
+            ).alias("p2")
         # PPJoin length filter: J >= t forces t*|B| <= |A| <= |B|/t, so
         # size-incompatible collisions are dropped inside the join
         # (same 1e-9 float-ceil guard as the prefix length).
@@ -641,14 +679,39 @@ def _g02_bitmask(
         # shuffle — the dedup happens on the far smaller QUALIFIED
         # output.  Measured at sf0.1: candidate distinct 14.2 s ->
         # verify-then-distinct 6.6 s.
+        if inline_bytes <= gate:
+            # Fused collision join + popcount verify: one BHJ, the
+            # masks ride the rows, qualified pairs dedup after.
+            qual = (
+                p1.join(
+                    F.broadcast(p2), F.col("p1.tok_id") == F.col("p2.tok_id")
+                )
+                .filter(
+                    (F.col("r1") < F.col("r2"))
+                    & size_ok
+                    & pos_ok
+                    & (jac >= threshold)
+                )
+                .select("r1", "r2", duck_round(jac, 6).alias("jaccard"))
+                .distinct()
+            )
+            return _expand_mask_pairs(qual, d2r) if expand else (qual, d2r)
         cands = (
-            p1.join(p2, F.col("p1.tok_id") == F.col("p2.tok_id"))
+            p1.join(
+                F.broadcast(p2) if plain_bytes <= gate else p2,
+                F.col("p1.tok_id") == F.col("p2.tok_id"),
+            )
             .filter((F.col("r1") < F.col("r2")) & size_ok & pos_ok)
             .select("r1", "r2")
         )
         return _finish_bitmask_verify(
             cands, d2r, rm_a, rm_b, wcols, jac, threshold,
             n_reps, toks.sparkSession, expand=expand,
+            # a broadcast collision join keeps the stream's task
+            # distribution balanced by probe rows, so skip the extra
+            # exchange exactly like the banding route does; the SMJ
+            # fallback keeps the measured wide-mask rebalance.
+            rebalance=plain_bytes > gate,
         )
 
 
