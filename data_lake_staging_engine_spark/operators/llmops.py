@@ -623,7 +623,16 @@ def _g02_bitmask(
         inline_bytes = pref_rows * (32 + 8 * len(wcols))
         plain_bytes = pref_rows * 32
         gate = 100 * 1024 * 1024
-        if inline_bytes <= gate:
+        # The inline tier pays its mask-widened collision stream back
+        # only when the QUALIFIED pair frame is the terminus
+        # (expand=False consumers: g26's rep graph, g30's near layer
+        # — measured decisive at 10x).  When the doc-pair expansion
+        # follows, the narrow rm tables are cache-resident and the
+        # rm-probe verify is cheaper than widening 60M+ collision
+        # rows — interleaved 10x A/B read a wash-to-slight-loss for
+        # inline there, so expanded outputs take the plain-BHJ tier.
+        use_inline = inline_bytes <= gate and not expand
+        if use_inline:
             p1m = pref.join(reps.select("rep", *wcols), "rep")
             p1 = p1m.select(
                 F.col("rep").alias("r1"),
@@ -679,7 +688,7 @@ def _g02_bitmask(
         # shuffle — the dedup happens on the far smaller QUALIFIED
         # output.  Measured at sf0.1: candidate distinct 14.2 s ->
         # verify-then-distinct 6.6 s.
-        if inline_bytes <= gate:
+        if use_inline:
             # Fused collision join + popcount verify: one BHJ, the
             # masks ride the rows, qualified pairs dedup after.
             qual = (
