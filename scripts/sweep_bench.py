@@ -88,6 +88,10 @@ def main() -> None:
                     )
                     if t >= 5.0
                 },
+                # full per-query table (r16): the optimization round's
+                # examined-every-operator checklist reads seconds off
+                # this dump instead of re-timing queries one by one.
+                "timings": timings,
                 "dist": {
                     "lt1": sum(v < 1 for v in vals),
                     "1to5": sum(1 <= v < 5 for v in vals),
