@@ -40,6 +40,32 @@ from data_lake_staging_engine_spark.session import release_local_checkpoint
 from data_lake_staging_engine_spark.sources import load
 
 
+def _spread_docs(df: DataFrame) -> DataFrame:
+    """Spread a narrow document scan to the cluster's parallelism
+    before per-doc CPU-heavy lineage (shingling, mask builds, strategy
+    probes) — scale-adaptively, never as a constant.
+
+    A small corpus reads as FEWER input splits than cores (the sf0.1
+    fixture is one ~15 MB parquet file = ONE task), so every stage
+    that pipelines into the scan — the char-split gram explode, the
+    vocab distinct's partial aggregate, the bitmap build's partial
+    bit_or — runs serially while the rest of the machine idles
+    (measured at sf0.1: the g02d probe+vocab+mask chain was 21 s of
+    single-task work; spread, the same chain is 4.5 s).  The exchange
+    this inserts is one pass over the RAW doc frame (15 MB there) —
+    trivially cheaper than serializing the explode work behind it.
+
+    At scale the gate makes it a provable no-op: a corpus with >=
+    defaultParallelism input splits (any real table, let alone 100 TB)
+    returns unchanged, so no corpus-sized shuffle is ever introduced —
+    this adapts partitioning to the input instead of tuning a constant
+    for either local mode or the cluster (optimization guide §2)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _tokens_raw(df: DataFrame) -> DataFrame:
     """(doc_id, tok) token stream WITH duplicates — whitespace split.
     The cheap pre-distinct lineage: strategy probes sketch this (HLL is
@@ -228,7 +254,7 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     token join. Both paths compute shared/union on exact ints then one
     double divide, so results are bit-identical to the DuckDB oracle;
     see the strategy docstrings below for the scale analysis."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
 
 
@@ -347,6 +373,17 @@ def _bitmap_vocab_n(toks: DataFrame, probe: DataFrame | None = None) -> int | No
     """Size-only view of ``_bitmap_vocab`` (tests / size-only callers)."""
     hit = _bitmap_vocab(toks, probe=probe)
     return None if hit is None else hit[1]
+
+
+def _n_shuffle_parts(spark: SparkSession) -> int:
+    """Scale-adaptive partition count for explicit re-spreads: the
+    session's shuffle-partition conf, falling back to the cluster's
+    default parallelism on platforms whose AQE auto-optimized shuffle
+    reports the conf as the non-numeric string 'auto' (ADVICE r12)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
 
 
 def _jaccard_pairs(
@@ -632,9 +669,26 @@ def _g02_bitmask(
         # rows — interleaved 10x A/B read a wash-to-slight-loss for
         # inline there, so expanded outputs take the plain-BHJ tier.
         use_inline = inline_bytes <= gate and not expand
+        # Probe-side spread (round 16, second finding): pref is a
+        # checkpointed AGGREGATE output small enough for AQE to have
+        # coalesced to ONE partition — but the collision join's OUTPUT
+        # is the O(sum C(df,2)) collision stream, so on the broadcast
+        # tiers (no shuffle of the probe side anywhere downstream) the
+        # whole fan-out + fused verify ran serially in that single
+        # task: measured at the 10x word corpus, the inline tier's
+        # qual stage was 33-44 s on 1 task vs 3-10 s spread over the
+        # shuffle-partition count.  Same class and same cure as the
+        # banding route's signature spread (_minhash_lsh_candidates);
+        # the exchange itself is O(pref) — linear and tiny (195k rows
+        # there) next to the collision stream it parallelizes.  The
+        # SMJ fallback reshuffles both sides by key anyway, so it
+        # keeps the downstream rebalance instead.
+        n_parts = _n_shuffle_parts(toks.sparkSession)
         if use_inline:
             p1m = pref.join(reps.select("rep", *wcols), "rep")
-            p1 = p1m.select(
+            # spread only the PROBE side; the build side is broadcast
+            # whole, so an exchange in its lineage would be pure cost
+            p1 = p1m.repartition(n_parts).select(
                 F.col("rep").alias("r1"),
                 F.col("n").alias("n1"),
                 F.col("rnk").alias("i1"),
@@ -649,7 +703,10 @@ def _g02_bitmask(
                 *[F.col(c).alias(f"b_{c}") for c in wcols],
             ).alias("p2")
         else:
-            p1 = pref.select(
+            p1_src = (
+                pref.repartition(n_parts) if plain_bytes <= gate else pref
+            )
+            p1 = p1_src.select(
                 F.col("rep").alias("r1"),
                 F.col("n").alias("n1"),
                 F.col("rnk").alias("i1"),
@@ -758,15 +815,7 @@ def _finish_bitmask_verify(
     # False``); the prefix-join route stays key-partitioned and keeps
     # the measured rebalance win.
     if rebalance and len(wcols) >= 16:
-        # Platforms with AQE auto-optimized shuffle report the conf
-        # as the non-numeric string 'auto' (ADVICE r12) — fall back
-        # to the cluster's default parallelism rather than crash.
-        conf_val = spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            n_parts = int(conf_val)
-        except (TypeError, ValueError):
-            n_parts = spark.sparkContext.defaultParallelism
-        cands = cands.repartition(n_parts)
+        cands = cands.repartition(_n_shuffle_parts(spark))
     # The rep tables are n_reps x (16 + 8*words) bytes — tiny next
     # to the candidate stream, but right at Spark's 10 MB default
     # broadcast threshold at the 10x-study scale, where missing the
@@ -958,7 +1007,7 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan. A 100 TB pipeline that only needs representatives should
     consume g26 (cluster -> keep-min) instead of materializing pairs.
     """
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return _minhash_lsh_neardup(_tokens(d), probe=_tokens_raw(d))
 
 
@@ -1036,10 +1085,7 @@ def _minhash_lsh_candidates(
     so per-task pair output balances by construction instead of
     concentrating a b^2/2 block in one task."""
     sigs = _band_signatures(toks, n_hashes=n_hashes, bands=bands)
-    try:
-        n_parts = int(toks.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n_parts = toks.sparkSession.sparkContext.defaultParallelism
+    n_parts = _n_shuffle_parts(toks.sparkSession)
     a, b_ = sigs.repartition(n_parts).alias("a"), sigs.alias("b")
     pairs = (
         a.join(
@@ -1137,7 +1183,7 @@ def g02e_dedup_lsh_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come only from band-signature collisions, then the same
     strategy-switched exact verify. Approximate recall => rows-only;
     g02d is the exact twin carrying the hash burden."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return _minhash_lsh_neardup(_shingles(d), probe=_shingles_raw(d))
 
 
@@ -1164,7 +1210,7 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap Hamming-bounded candidate GENERATOR feeding a verify
     stage; g02b/g02e (MinHash banding, precision 1, recall 0.95-1.0)
     are the recall-safe default dedup scale paths."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     # materialize the 64-bit token hash ONCE per (doc, tok) row; the 64
     # per-bit aggregates below then read the same column instead of each
     # re-evaluating xxhash64 (measured 10.8 s -> ~4.5 s warm at sf0.1)
@@ -1253,7 +1299,7 @@ def g02d_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact self-join carries the correctness tier at test scale and the
     scale path is MinHash over shingles — identical banding machinery
     to g02b with ``_tokens`` swapped for this shingler."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     return _jaccard_pairs(
         _shingles(d), threshold=0.8, probe=_shingles_raw(d)
     )
@@ -2077,7 +2123,8 @@ def g12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to their source labels; source pair is canonicalized
     least/greatest so the report is orientation-free."""
     d = load(spark, sf_dir, "documents")
-    pairs = _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
+    dd = _spread_docs(d)
+    pairs = _jaccard_pairs(_tokens(dd), threshold=0.8, probe=_tokens_raw(dd))
     src = d.select("doc_id", "source")
     s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
     s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
@@ -2529,7 +2576,7 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs scan (25s -> ~7s at sf0.1, identical result: filtering
     a superset then intersecting equals intersecting both filtered
     sets)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     text_pairs = _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -2542,6 +2589,26 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = e.select(
         F.col("vec_id").alias("d2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
     )
+    # Join-strategy pick for the two embedding lookups (round 16,
+    # measured at the 10x replica): the text-pair stream is tens of
+    # millions of rows while the embedding table is n_vecs x ~(24 +
+    # 8*dim) bytes — there the table read 10.7 MB, just past Spark's
+    # 10 MB auto-broadcast threshold, so AQE fell back to a sort-merge
+    # join that SORTED the 29.7M-pair stream twice (34-57 s).  Hint
+    # the broadcast while the table provably fits (tail: 3-5 s); past
+    # the gate prefer shuffled-hash over sort-merge — an equi-LOOKUP
+    # of an unsorted pair stream never profits from sorting it, and
+    # the per-partition build side stays bounded under scale-adaptive
+    # partition counts (guide: pick the join deliberately).  Size
+    # estimate from parquet-metadata count + one-row dim probe — no
+    # data-sized scan to make the decision.
+    n_vecs = e.count()
+    dim_row = e.select(F.size("v").alias("k")).first()
+    est_bytes = n_vecs * (24 + 8 * (dim_row["k"] if dim_row else 0))
+    if est_bytes <= 100 * 1024 * 1024:
+        e1, e2 = F.broadcast(e1), F.broadcast(e2)
+    else:
+        e1, e2 = e1.hint("shuffle_hash"), e2.hint("shuffle_hash")
     # try_divide: a zero-norm embedding aligned to a text-flagged pair
     # must yield NULL cosine (agreement impossible), not an ANSI throw.
     cos = F.try_divide(F.col("dot"), F.col("n1") * F.col("n2"))
@@ -2818,7 +2885,7 @@ def g26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the docs the expanded pair list would mention.  Template
     corpora collapse: the label iterations shuffle group-level edges,
     never the m^2 same-set blobs (BASELINE.md r15)."""
-    d = load(spark, sf_dir, "documents")
+    d = _spread_docs(load(spark, sf_dir, "documents"))
     toks = _tokens(d)
     hit = _bitmap_vocab(toks, probe=_tokens_raw(d))
     if hit is not None:
@@ -3326,8 +3393,10 @@ def incremental_dedup(
         .groupBy("doc_id")
         .agg(F.min("cid").alias("exact_m"))
     )
-    alldocs = newdocs.select("doc_id", "text").unionByName(
-        corpus.select("doc_id", "text")
+    alldocs = _spread_docs(
+        newdocs.select("doc_id", "text").unionByName(
+            corpus.select("doc_id", "text")
+        )
     )
     toks = _tokens(alldocs)
     new_ids = newdocs.select("doc_id")
@@ -3841,7 +3910,9 @@ def incremental_band_probe(
     corpus_hit = corpus.select("doc_id", "text").join(
         F.broadcast(cand_ids), "doc_id", "left_semi"
     )
-    alldocs = newdocs.select("doc_id", "text").unionByName(corpus_hit)
+    alldocs = _spread_docs(
+        newdocs.select("doc_id", "text").unionByName(corpus_hit)
+    )
     toks = _tokens(alldocs)
     hit = _bitmap_vocab(toks, probe=_tokens_raw(alldocs))
     if hit is not None:
