@@ -218,6 +218,9 @@ CHANGED_IN: dict[str, int] = {
     "g21_dedup_agreement": 16,
     "g26_dedup_clusters": 16,
     "g30_dedup_incremental": 16,
+    # (Round-16 second wave — prefix-tier probe-side spread, g21's
+    # size-gated embedding broadcast, _spread_docs on the gram
+    # entries — touches only names already marked above.)
 }
 
 # Convenience view: every query with any first-party driver evidence.

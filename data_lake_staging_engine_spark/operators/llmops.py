@@ -59,7 +59,16 @@ def _spread_docs(df: DataFrame) -> DataFrame:
     defaultParallelism input splits (any real table, let alone 100 TB)
     returns unchanged, so no corpus-sized shuffle is ever introduced —
     this adapts partitioning to the input instead of tuning a constant
-    for either local mode or the cluster (optimization guide §2)."""
+    for either local mode or the cluster (optimization guide §2).
+
+    Applied ONLY to the gram-shingle entries (g02d/g02e): the char-
+    split explode is ~10x the per-row cost of a word split, so the
+    serial scan task is the measured bottleneck there (interleaved
+    sf0.1 A/B: g02d 7.2 -> 4.5 s).  On word-token lineage the explode
+    is cheap and the extra exchange re-executed by every job that
+    re-reads the doc frame LOSES ~1 s at sf0.1 (g02 interleaved A/B:
+    2.8-5.8 plain vs 3.5-6.6 spread) and is a wash for g02b/g07 —
+    measured round 16, kept out there."""
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
@@ -254,7 +263,7 @@ def g02_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     token join. Both paths compute shared/union on exact ints then one
     double divide, so results are bit-identical to the DuckDB oracle;
     see the strategy docstrings below for the scale analysis."""
-    d = _spread_docs(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     return _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
 
 
@@ -1007,7 +1016,7 @@ def g02b_dedup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan. A 100 TB pipeline that only needs representatives should
     consume g26 (cluster -> keep-min) instead of materializing pairs.
     """
-    d = _spread_docs(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     return _minhash_lsh_neardup(_tokens(d), probe=_tokens_raw(d))
 
 
@@ -1210,7 +1219,7 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap Hamming-bounded candidate GENERATOR feeding a verify
     stage; g02b/g02e (MinHash banding, precision 1, recall 0.95-1.0)
     are the recall-safe default dedup scale paths."""
-    d = _spread_docs(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     # materialize the 64-bit token hash ONCE per (doc, tok) row; the 64
     # per-bit aggregates below then read the same column instead of each
     # re-evaluating xxhash64 (measured 10.8 s -> ~4.5 s warm at sf0.1)
@@ -2123,8 +2132,7 @@ def g12_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to their source labels; source pair is canonicalized
     least/greatest so the report is orientation-free."""
     d = load(spark, sf_dir, "documents")
-    dd = _spread_docs(d)
-    pairs = _jaccard_pairs(_tokens(dd), threshold=0.8, probe=_tokens_raw(dd))
+    pairs = _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
     src = d.select("doc_id", "source")
     s1 = src.select(F.col("doc_id").alias("d1"), F.col("source").alias("src1"))
     s2 = src.select(F.col("doc_id").alias("d2"), F.col("source").alias("src2"))
@@ -2576,7 +2584,7 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs scan (25s -> ~7s at sf0.1, identical result: filtering
     a superset then intersecting equals intersecting both filtered
     sets)."""
-    d = _spread_docs(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     text_pairs = _jaccard_pairs(_tokens(d), threshold=0.8, probe=_tokens_raw(d))
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -2885,7 +2893,7 @@ def g26_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the docs the expanded pair list would mention.  Template
     corpora collapse: the label iterations shuffle group-level edges,
     never the m^2 same-set blobs (BASELINE.md r15)."""
-    d = _spread_docs(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents")
     toks = _tokens(d)
     hit = _bitmap_vocab(toks, probe=_tokens_raw(d))
     if hit is not None:
@@ -3393,10 +3401,8 @@ def incremental_dedup(
         .groupBy("doc_id")
         .agg(F.min("cid").alias("exact_m"))
     )
-    alldocs = _spread_docs(
-        newdocs.select("doc_id", "text").unionByName(
-            corpus.select("doc_id", "text")
-        )
+    alldocs = newdocs.select("doc_id", "text").unionByName(
+        corpus.select("doc_id", "text")
     )
     toks = _tokens(alldocs)
     new_ids = newdocs.select("doc_id")
@@ -3910,9 +3916,7 @@ def incremental_band_probe(
     corpus_hit = corpus.select("doc_id", "text").join(
         F.broadcast(cand_ids), "doc_id", "left_semi"
     )
-    alldocs = _spread_docs(
-        newdocs.select("doc_id", "text").unionByName(corpus_hit)
-    )
+    alldocs = newdocs.select("doc_id", "text").unionByName(corpus_hit)
     toks = _tokens(alldocs)
     hit = _bitmap_vocab(toks, probe=_tokens_raw(alldocs))
     if hit is not None:
