@@ -31,7 +31,7 @@ import math
 import os
 import warnings
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_lake_staging_engine_spark.functions.determinism import as_long, dec_sum, duck_round
@@ -3001,9 +3001,14 @@ def _min_label_components_rounds(
     ).persist()
     try:
         edges.count()  # materialize once; every iteration re-reads it
+        # The node count rides the checkpoint job as an observed
+        # metric instead of a separate count() pass (round 16) — at
+        # scale each avoided probe is a full label-table scan.
+        obs0 = Observation()
         labels = (
             edges.select(F.col("d1").alias("node")).distinct()
             .withColumn("label", F.col("node"))
+            .observe(obs0, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
         prev_ckpt = labels  # superseded checkpoints are released per round
@@ -3016,7 +3021,7 @@ def _min_label_components_rounds(
         # well under the driver/executor budget); above the cap, fall
         # back to the shuffle join.
         frontier = labels
-        frontier_size = labels.count()
+        frontier_size = int(obs0.get["n"])
         for rounds in range(1, max_rounds + 1):
             will_broadcast = frontier_size <= _FRONTIER_BROADCAST_CAP
             src = F.broadcast(frontier) if will_broadcast else frontier
@@ -3033,7 +3038,14 @@ def _min_label_components_rounds(
                 ),
             )
             # pointer doubling: label <- min(label, label(label)); label
-            # values are node ids, so this is a self-join on label=node
+            # values are node ids, so this is a self-join on label=node.
+            # The convergence probe (count of changed labels == next
+            # round's frontier size) rides the checkpoint job as an
+            # observed metric (round 16): the separate filter+count
+            # pass this replaces re-scanned the whole checkpointed
+            # label table once per round — a fixed extra job at bench
+            # scale and a full-table pass at 100 TB.
+            obs = Observation()
             new_labels = (
                 prop.alias("x")
                 .join(
@@ -3049,6 +3061,12 @@ def _min_label_components_rounds(
                         F.col("x.plabel"), F.coalesce("llabel", F.col("x.plabel"))
                     ).alias("label"),
                     F.col("x.olabel").alias("olabel"),
+                )
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("label") != F.col("olabel")).cast("long")
+                    ).alias("changed"),
                 )
                 .localCheckpoint(eager=True)
             )
@@ -3076,7 +3094,9 @@ def _min_label_components_rounds(
                         is not None,
                     }
                 )
-            frontier_size = frontier.count()
+            # sum() over an empty frame observes NULL — an empty label
+            # table means nothing can change; coalesce to 0.
+            frontier_size = int(obs.get["changed"] or 0)
             labels = new_labels.select("node", "label")
             # The previous round's checkpoint can never be read again
             # (every live frame derives from new_labels) — release its
