@@ -516,9 +516,25 @@ def _g02_bitmask(
     vs ~KB of raw text, so staging replaces three recomputations of the
     tokenize+aggregate pipeline."""
     masks, wcols = _doc_bitmaps(toks, vocab_n, vocab=vocab)
-    d2r = masks.withColumn(
-        "rep", F.min("doc_id").over(Window.partitionBy(*wcols))
-    ).localCheckpoint(eager=True)
+    # n_reps rides the d2r checkpoint as an observed metric (round 16,
+    # same mechanism as the components convergence probe): the
+    # separate reps.count() job this replaces re-scanned the staged
+    # table once per invocation — a fixed extra job at bench scale, a
+    # full d2r pass at 100 TB.  Empty corpus: sum over an empty frame
+    # observes NULL -> 0, matching the old count.
+    obs_reps = Observation()
+    d2r = (
+        masks.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy(*wcols))
+        )
+        .observe(
+            obs_reps,
+            F.sum(
+                (F.col("doc_id") == F.col("rep")).cast("long")
+            ).alias("n_reps"),
+        )
+        .localCheckpoint(eager=True)
+    )
     popcnt = sum((F.bit_count(F.col(c)) for c in wcols), F.lit(0))
     reps = d2r.filter(F.col("doc_id") == F.col("rep")).withColumn("n", popcnt)
 
@@ -544,9 +560,10 @@ def _g02_bitmask(
         F.col("rep").alias("r2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
     )
 
-    # One-scalar plan constant off the checkpointed frame (the same
-    # driver-side-count precedent as the vocab/anchor/idf constants).
-    n_reps = reps.count()
+    # One-scalar plan constant, observed during the checkpoint job
+    # (the same driver-side-constant precedent as the vocab/anchor/idf
+    # counts, minus the extra scan).
+    n_reps = int(obs_reps.get["n_reps"] or 0)
     if n_reps <= _ALLPAIRS_MAX_REPS:
         # Small distinct-set universe: brute all-pairs popcount verify
         # in one broadcast-NLJ codegen loop — no candidate machinery,
@@ -593,9 +610,11 @@ def _g02_bitmask(
         # the collision stream): read by the collision-budget probe
         # below and by BOTH join sides, instead of re-running the
         # membership window three times.
+        obs_pref = Observation()
         pref = (
             ranked.filter(F.col("rnk") <= prefix_len)
             .select("rep", "n", "rnk", "tok_id")
+            .observe(obs_pref, F.count(F.lit(1)).alias("rows"))
             .localCheckpoint(eager=True)
         )
         # Plan-time collision prediction: the prefix equi-join emits
@@ -665,7 +684,7 @@ def _g02_bitmask(
         #      rm-join verify tail.
         # Past both gates (100 TB posture: prefix frame scales with
         # the corpus), the SMJ shape below stands unchanged.
-        pref_rows = pref.count()  # checkpointed — a metadata-cheap scan
+        pref_rows = int(obs_pref.get["rows"])  # observed at checkpoint
         inline_bytes = pref_rows * (32 + 8 * len(wcols))
         plain_bytes = pref_rows * 32
         gate = 100 * 1024 * 1024
