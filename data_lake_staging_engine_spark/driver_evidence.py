@@ -66,6 +66,14 @@ History of the window rotation:
   evidence after the fold: r12 (26 names — the window/function
   singles plus g04/g07-g08b/g11/g18/g20/g23/g28/g29), which leads
   the r16 window behind the round-16 changed band below.
+- r16 led with the twelve round-16 changed markers (collision-free
+  publish dirs, the a14 hash-tier upgrade, the banding/collision-join
+  optimization band) and drained the whole r12 band plus the oldest
+  r13 entries — 46 hash-green, 4 R-tier rows-only ran (g02b g02e g28
+  g32), 0 failures.  All markers satisfied; oldest remaining
+  evidence after the fold: r13 (26 names — the e-stream family,
+  f03-f10, the g03 ANN family, g05/g05b/g13/g16), which leads the
+  r17 window behind the round-17 changed band below.
 
 ``LAST_VERIFIED`` maps each query to the round of its most recent
 first-party row (hash-green, or rows-only-ran for R-tier).
@@ -89,8 +97,8 @@ After each round, fold the new CORRECTNESS greens in here (bump the
 round number, drop satisfied CHANGED_IN markers) and update
 tests/test_registry_order.py.  ``scripts/fold_evidence.py`` prints the
 ready-to-paste bands.  Source of truth:
-CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12,13,14,15}.json, folded
-2026-08-16 at round-16 entry (the fold is machine-checked by
+CORRECTNESS_r{01,02,03,05,06,07,08,09,10,11,12,13,14,15,16}.json,
+folded 2026-08-18 at round-17 entry (the fold is machine-checked by
 test_last_verified_matches_correctness_artifacts).
 """
 
@@ -99,87 +107,83 @@ from __future__ import annotations
 import types
 
 # fmt: off
-_R12 = (  # CORRECTNESS_r12.json greens not re-proven since — the
-    # stalest evidence in the registry; they lead band 1 of the r16
-    # window (VERDICT r15 #1: drain the r12 band).
-    "b35_join_salted_skew", "b36_histogram", "b38_sql_cte_chain",
-    "c01_win_ranking", "c03_win_running_sum", "c04_win_moving_rows",
-    "c05_win_range_interval", "c07_gapfill", "c09_win_nth_trailing",
-    "d03_fn_math", "d04_fn_cond", "d05_fn_array", "d08_fn_struct",
-    "d12_fn_trig", "f02_pandas_udf_scalar", "f05_map_in_pandas",
-    "g04_centroids", "g07_text_tfidf", "g08_text_stats",
-    "g08b_text_quality", "g11_events_user_join", "g18_embed_quantize",
-    "g20_unigram_logprob", "g23_text_repetition", "g28_semantic_dedup",
-    "g29_quality_gate",
-)
-_R13 = (
-    # CORRECTNESS_r13.json greens not re-proven since.
-    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
-    "a04_normalize_columns", "a05_apply_schema_cast",
-    "a06_partition_derive", "a07_dedup_keep_latest",
-    "a08_quality_nullcounts", "a10_compaction", "a23_schema_widening",
-    "a24_sink_orc", "a30_landing_reconcile", "e01_stream_tumbling",
-    "e02_stream_sliding", "e03_stream_session", "e04_stream_watermark",
-    "e05_stream_dedup", "e06_stream_stateful", "e08_stream_stream_join",
-    "e09_stream_static_join", "e10_batch_twin",
+_R13 = (  # CORRECTNESS_r13.json greens not re-proven since — the
+    # stalest evidence in the registry; they lead band 1 of the r17
+    # window.
+    "e01_stream_tumbling", "e02_stream_sliding", "e03_stream_session",
+    "e04_stream_watermark", "e05_stream_dedup", "e06_stream_stateful",
+    "e08_stream_stream_join", "e09_stream_static_join", "e10_batch_twin",
     "e11_stream_dedup_then_window", "e12_stream_outer_join",
     "f03_pandas_udf_grouped_agg", "f04_apply_in_pandas", "f06_udtf",
     "f07_arrow_udf", "f08_multimodal_decode", "f10_cogroup_in_pandas",
     "g03_simsearch_topk", "g03b_simsearch_knn", "g03c_simsearch_lsh",
     "g03d_embed_neardup", "g03e_simsearch_ivf", "g05_text_tokenize",
-    "g05b_token_bpe", "g12_contamination", "g13_kmeans_iterations",
-    "g16_event_funnel", "g21_dedup_agreement",
+    "g05b_token_bpe", "g13_kmeans_iterations", "g16_event_funnel",
 )
-_R14 = (
-    # CORRECTNESS_r14.json greens not re-proven since.
+_R14 = (  # CORRECTNESS_r14.json greens not re-proven since.
     "a11_catalog_sync", "a12_incremental_ingest",
-    "a13_stream_ingest_foreachbatch", "a14_bad_records",
-    "a15_bucketed_join", "a18_python_datasource", "a19_stream_upsert",
-    "a21_schema_evolution", "a25_scan_xml", "a26_scan_binaryfile",
-    "a28_multi_format_union", "a29_scd2_dimension", "b02_filter_pred",
-    "b03_distinct", "b10_join_inner", "b11_join_left",
-    "b12_join_right_full", "b13_join_semi", "b18_join_asof",
-    "b37_null_ordering", "b40_sort_limit_topk", "b41_topk_per_group",
-    "b42_group_by_all", "b50_union_all", "b51_intersect", "b52_except",
-    "b53_subquery_scalar", "b54_subquery_in", "b55_subquery_corr_exists",
-    "b56_join_lateral", "d07_fn_json", "d09_fn_variant",
-    "d10_fn_decimal_interval", "f08b_multimodal_quarantine",
-    "g02c_dedup_simhash", "g06_text_wordcount", "g08c_text_langid",
-    "g08d_text_fingerprint", "g09_multimodal_record", "g10_embed_join_docs",
-    "g14_text_clean", "g15_vocab_prune", "g17_text_bigrams",
-    "g19_stratified_sample", "g22_corpus_split", "g24_pii_scrub",
-    "g27_corpus_mixture",
+    "a13_stream_ingest_foreachbatch", "a15_bucketed_join",
+    "a18_python_datasource", "a19_stream_upsert", "a21_schema_evolution",
+    "a25_scan_xml", "a26_scan_binaryfile", "a28_multi_format_union",
+    "a29_scd2_dimension", "b02_filter_pred", "b03_distinct",
+    "b10_join_inner", "b11_join_left", "b12_join_right_full",
+    "b13_join_semi", "b18_join_asof", "b37_null_ordering",
+    "b40_sort_limit_topk", "b41_topk_per_group", "b42_group_by_all",
+    "b50_union_all", "b51_intersect", "b52_except", "b53_subquery_scalar",
+    "b54_subquery_in", "b55_subquery_corr_exists", "b56_join_lateral",
+    "d07_fn_json", "d09_fn_variant", "d10_fn_decimal_interval",
+    "f08b_multimodal_quarantine", "g02c_dedup_simhash",
+    "g06_text_wordcount", "g08c_text_langid", "g08d_text_fingerprint",
+    "g09_multimodal_record", "g10_embed_join_docs", "g14_text_clean",
+    "g15_vocab_prune", "g17_text_bigrams", "g19_stratified_sample",
+    "g22_corpus_split", "g24_pii_scrub", "g27_corpus_mixture",
 )
-_R15 = (
-    # CORRECTNESS_r15.json — 50-row window, 46 hash-green + 4 R-tier
-    # rows-only (b23 g02b g02e g32); led with the nine round-15
-    # changed markers (rep-space dedup rework) plus the whole r11 band
-    # and the oldest r12 entries; all markers satisfied, band drained.
+_R15 = (  # CORRECTNESS_r15.json greens not re-proven since.
     "a09_sink_parquet_partitioned", "a16_partition_pruned_scan",
     "a17_dynamic_partition_overwrite", "a20_observed_metrics",
-    "a22_versioned_snapshot", "a27_scan_text", "a31_versioned_compaction",
-    "b01_project_arith", "b14_join_anti", "b15_join_broadcast",
-    "b16_join_theta", "b17_join_range_interval", "b19_join_cross",
-    "b20_agg_groupby", "b21_agg_having", "b22_agg_countdistinct",
-    "b23_agg_approx_cd", "b24_agg_rollup", "b25_agg_cube",
-    "b26_agg_grouping_sets", "b27_agg_stats", "b28_agg_percentile",
-    "b29_agg_collect_sorted", "b30_agg_minmax_by", "b31_agg_salted_skew",
-    "b32_pivot", "b33_unpivot", "b34_sample_systematic", "c02_win_lag_lead",
-    "c06_win_first_last", "c08_win_forward_fill", "c10_win_sessionize",
-    "d01_fn_string", "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise",
-    "d13_fn_url", "e07_stream_late_data", "f01_udf_python",
-    "f09_multimodal_framesample", "g01_dedup_exact", "g02_dedup_near",
-    "g02b_dedup_lsh", "g02d_dedup_ngram", "g02e_dedup_lsh_shingle",
-    "g25_sequence_pack", "g26_dedup_clusters", "g30_dedup_incremental",
-    "g31_dedup_segments", "g32_dedup_band_probe",
+    "a27_scan_text", "b01_project_arith", "b14_join_anti",
+    "b15_join_broadcast", "b16_join_theta", "b17_join_range_interval",
+    "b19_join_cross", "b20_agg_groupby", "b21_agg_having",
+    "b22_agg_countdistinct", "b23_agg_approx_cd", "b24_agg_rollup",
+    "b25_agg_cube", "b26_agg_grouping_sets", "b27_agg_stats",
+    "b28_agg_percentile", "b29_agg_collect_sorted", "b30_agg_minmax_by",
+    "b31_agg_salted_skew", "b32_pivot", "b33_unpivot",
+    "b34_sample_systematic", "c02_win_lag_lead", "c06_win_first_last",
+    "c08_win_forward_fill", "c10_win_sessionize", "d01_fn_string",
+    "d02_fn_date", "d06_fn_explode", "d11_fn_bitwise", "d13_fn_url",
+    "e07_stream_late_data", "f01_udf_python", "f09_multimodal_framesample",
+    "g01_dedup_exact", "g25_sequence_pack", "g31_dedup_segments",
+)
+_R16 = (  # CORRECTNESS_r16.json — 50-row window, 46 hash-green + 4
+    # R-tier rows-only (g02b g02e g28 g32); led with the twelve
+    # round-16 changed markers, then the whole r12 band and the oldest
+    # r13 entries; all markers satisfied, band drained.
+    "a01_scan_parquet", "a02_scan_csv", "a03_scan_json",
+    "a04_normalize_columns", "a05_apply_schema_cast",
+    "a06_partition_derive", "a07_dedup_keep_latest",
+    "a08_quality_nullcounts", "a10_compaction", "a14_bad_records",
+    "a22_versioned_snapshot", "a23_schema_widening", "a24_sink_orc",
+    "a30_landing_reconcile", "a31_versioned_compaction",
+    "b35_join_salted_skew", "b36_histogram", "b38_sql_cte_chain",
+    "c01_win_ranking", "c03_win_running_sum", "c04_win_moving_rows",
+    "c05_win_range_interval", "c07_gapfill", "c09_win_nth_trailing",
+    "d03_fn_math", "d04_fn_cond", "d05_fn_array", "d08_fn_struct",
+    "d12_fn_trig", "f02_pandas_udf_scalar", "f05_map_in_pandas",
+    "g02_dedup_near", "g02b_dedup_lsh", "g02d_dedup_ngram",
+    "g02e_dedup_lsh_shingle", "g04_centroids", "g07_text_tfidf",
+    "g08_text_stats", "g08b_text_quality", "g11_events_user_join",
+    "g12_contamination", "g18_embed_quantize", "g20_unigram_logprob",
+    "g21_dedup_agreement", "g23_text_repetition", "g26_dedup_clusters",
+    "g28_semantic_dedup", "g29_quality_gate", "g30_dedup_incremental",
+    "g32_dedup_band_probe",
 )
 # fmt: on
 
 LAST_VERIFIED: dict[str, int] = {
-    **{name: 12 for name in _R12},
     **{name: 13 for name in _R13},
     **{name: 14 for name in _R14},
     **{name: 15 for name in _R15},
+    **{name: 16 for name in _R16},
 }
 
 # Queries whose Spark code or oracle text materially changed in the
@@ -187,40 +191,31 @@ LAST_VERIFIED: dict[str, int] = {
 # evidence predates the current text => band 0 (ADVICE r06).  Drop an
 # entry once a later CORRECTNESS round re-proves the query.
 CHANGED_IN: dict[str, int] = {
-    # All nine round-15 markers (a22 a31 g02 g02b g02d g02e g26 g30
-    # g32) were satisfied by CORRECTNESS_r15 and dropped in the r16
-    # fold.  Round-16 edits add their markers below as they land.
+    # All twelve round-16 markers were satisfied by CORRECTNESS_r16
+    # and dropped in the r17 fold.  Round-17 (second optimization
+    # round) edits add their markers below as they land.
     #
-    # VersionedTable.publish writes collision-free v<N>-<token> dirs
-    # (ADVICE r15 medium) — executed text of every registered
-    # publisher changed: a22 publishes directly, a31 via
-    # compact_staged(versioned=True), g32 via BandSignatureIndex.build.
-    "a22_versioned_snapshot": 16,
-    "a31_versioned_compaction": 16,
-    "g32_dedup_band_probe": 16,
-    # a14 upgraded R -> hash tier (VERDICT r15 #5): deterministic
-    # key-rule corruption + surviving-key digest, oracled in DuckDB
-    # without parsing the bad JSON.
-    "a14_bad_records": 16,
-    # Round-16 banding rework: _minhash_lsh_candidates spreads its
-    # probe side and skips the pre-verify distinct on popcount routes;
-    # _finish_bitmask_verify gained the rebalance flag; the rep-id
-    # semi-join broadcast is size-gated (ADVICE r15 low).  Executed
-    # text of every _jaccard_pairs/_finish_bitmask_verify user
-    # changed.  (g12/g21 were already marked at 15 per ADVICE r15 —
-    # the r16 text supersedes; all nine re-verified hash-green or
-    # exact-row from a vanilla /tmp session on final text.)
-    "g02_dedup_near": 16,
-    "g02b_dedup_lsh": 16,
-    "g02d_dedup_ngram": 16,
-    "g02e_dedup_lsh_shingle": 16,
-    "g12_contamination": 16,
-    "g21_dedup_agreement": 16,
-    "g26_dedup_clusters": 16,
-    "g30_dedup_incremental": 16,
-    # (Round-16 second wave — prefix-tier probe-side spread, g21's
-    # size-gated embedding broadcast, _spread_docs on the gram
-    # entries — touches only names already marked above.)
+    # _bitmap_vocab's exact size now rides the vocab checkpoint as an
+    # observed metric (one fewer job per strategy-routed dedup
+    # invocation) and _minhash_lsh_neardup's n_reps rides the d2r
+    # checkpoint the same way — executed text of every strategy-core
+    # user changed.
+    "g02_dedup_near": 17,
+    "g02b_dedup_lsh": 17,
+    "g02d_dedup_ngram": 17,
+    "g02e_dedup_lsh_shingle": 17,
+    "g12_contamination": 17,
+    "g26_dedup_clusters": 17,
+    "g30_dedup_incremental": 17,
+    "g32_dedup_band_probe": 17,
+    # g21: the two embedding lookups now join ONE shared broadcast
+    # relation (ReusedExchange) with a NULL-safe dim probe and a 32 MB
+    # gate (ADVICE r16 both items).
+    "g21_dedup_agreement": 17,
+    # g02c: the Manku Hamming verify (bit_count(xor) <= 8) rides the
+    # collision join — OUTPUT changed (R-tier; VERDICT r16 #5 ordered
+    # the re-band; recall floor re-measured 0.92/0.9219).
+    "g02c_dedup_simhash": 17,
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -366,13 +366,21 @@ def _bitmap_vocab(
     )
     if approx_n > _BITMAP_MAX_VOCAB * 1.15:
         return None
+    # The exact size rides the checkpoint job as an observed metric
+    # (round 17, the _g02_bitmask template): the separate
+    # vocab.count() this replaces was one extra job in EVERY
+    # strategy-routed dedup invocation — g02/g02d/g02e/g12/g21/g26/
+    # g30/g31/g32 all pass through here.  The metric sits above the
+    # LIMIT, so it counts exactly the checkpointed rows.
+    obs = Observation()
     vocab = (
         toks.select("tok")
         .distinct()
         .limit(_BITMAP_MAX_VOCAB + 1)
+        .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    vocab_n = vocab.count()
+    vocab_n = int(obs.get["n"] or 0)
     if vocab_n > _BITMAP_MAX_VOCAB:
         return None
     return vocab, vocab_n
@@ -1156,11 +1164,26 @@ def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> Dat
         )
     vocab, vocab_n = hit
     masks, wcols = _doc_bitmaps(toks, vocab_n, vocab=vocab)
-    d2r = masks.withColumn(
-        "rep", F.min("doc_id").over(Window.partitionBy(*wcols))
-    ).localCheckpoint(eager=True)
+    # n_reps rides the d2r checkpoint as an observed metric (round 17,
+    # the _g02_bitmask template): the separate reps.count() this
+    # replaces was one extra job per invocation at bench scale and a
+    # full staged-table pass at 100 TB.  Empty corpus: sum over an
+    # empty frame observes NULL -> 0, matching the old count.
+    obs_reps = Observation()
+    d2r = (
+        masks.withColumn(
+            "rep", F.min("doc_id").over(Window.partitionBy(*wcols))
+        )
+        .observe(
+            obs_reps,
+            F.sum(
+                (F.col("doc_id") == F.col("rep")).cast("long")
+            ).alias("n_reps"),
+        )
+        .localCheckpoint(eager=True)
+    )
     reps = d2r.filter(F.col("doc_id") == F.col("rep"))
-    n_reps = reps.count()
+    n_reps = int(obs_reps.get["n_reps"] or 0)
     # Band the RAW tokens of the representatives only — same hash
     # stream as doc-space banding, so candidate groups are identical.
     # The rep-id semi-join side is broadcast only under the same ~200
@@ -1231,13 +1254,17 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only (approximate family); recall floor pinned in
     tests/test_dedup_recall.py.
 
-    Positioning (measured round 14, BASELINE.md): recall 0.92-0.98
-    flat across the ladder, but the emitted pairs are UNVERIFIED and
-    the candidate volume carries a quadratic random term
-    (~28/65536 x C(N,2)) plus a corpus-correlation term — use this as
-    the cheap Hamming-bounded candidate GENERATOR feeding a verify
-    stage; g02b/g02e (MinHash banding, precision 1, recall 0.95-1.0)
-    are the recall-safe default dedup scale paths."""
+    Positioning (measured rounds 14/17, BASELINE.md): recall 0.92
+    flat across the ladder.  Round 17 added the Manku VERIFY step —
+    ``bit_count(sig1 xor sig2) <= 8`` rides the collision join — so
+    the emitted pairs are a principled Hamming-bounded candidate set
+    (<= 8, with collisions at 7-8 probabilistic), not raw block
+    collisions: candidate volume dropped 4.41M -> 1.52M at sf0.1 and
+    the quadratic random term is now bounded by the corpus's true
+    Hamming<=8 mass.  Use this as the cheap Hamming-bounded candidate
+    GENERATOR feeding an exact verify stage; g02b/g02e (MinHash
+    banding, precision 1, recall 0.95-1.0) are the recall-safe
+    default dedup scale paths."""
     d = load(spark, sf_dir, "documents")
     # materialize the 64-bit token hash ONCE per (doc, tok) row; the 64
     # per-bit aggregates below then read the same column instead of each
@@ -1279,15 +1306,41 @@ def g02c_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(i + 1, 8)
     ]
     bands = sim.select(
-        "doc_id", F.posexplode(F.array(*pair_keys)).alias("band", "chunk")
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*pair_keys)).alias("band", "chunk"),
     )
     a, b_ = bands.alias("a"), bands.alias("b")
+    # Hamming verify INSIDE the join (round 17, VERDICT r16 #5): block
+    # collision alone passed 35% of the sf0.1 pair space (4.41M rows)
+    # because this corpus's Zipfian head tokens dominate every sign-sum
+    # — unrelated docs sit at Hamming 7-16, well inside two-clean-block
+    # collision range.  The signature IS on both join sides, so the
+    # Manku verify step (bit_count(xor) <= 8) costs two codegen ops per
+    # collision row and drops the junk before the distinct shuffle:
+    # measured 4.41M -> 1.52M candidates at sf0.1 (2.9x) with candidate
+    # recall 0.9219 vs the 0.9766 of the unverified set (sf0.01: 0.92
+    # -> 0.92 exactly — every near pair the blocking caught at Hamming
+    # 7-8 passes the verify; the 0.85 floor holds with margin).  The
+    # budget is 8, not the blocking guarantee 6: the measured near-dup
+    # band extends to Hamming 8 (19/25 pairs <= 6, 23/25 <= 8 at
+    # sf0.01), so verifying at 6 would throw away real recall (0.76)
+    # while 10+ re-admits the junk wall (the all-pair histogram peaks
+    # at 12).  A >=5x cut is NOT reachable at this recall: the exact
+    # Hamming<=8 pair mass is ~1.5M at sf0.1 — precisely what survives
+    # — so the verify emits the principled candidate set, not a sample.
     return (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                )
+                <= 8
+            ),
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
@@ -2610,12 +2663,6 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("v"),
     )
     e = e.withColumn("norm", F.sqrt(_dot(F.col("v"), F.col("v"))))
-    e1 = e.select(
-        F.col("vec_id").alias("d1"), F.col("v").alias("v1"), F.col("norm").alias("n1")
-    )
-    e2 = e.select(
-        F.col("vec_id").alias("d2"), F.col("v").alias("v2"), F.col("norm").alias("n2")
-    )
     # Join-strategy pick for the two embedding lookups (round 16,
     # measured at the 10x replica): the text-pair stream is tens of
     # millions of rows while the embedding table is n_vecs x ~(24 +
@@ -2627,22 +2674,36 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of an unsorted pair stream never profits from sorting it, and
     # the per-partition build side stays bounded under scale-adaptive
     # partition counts (guide: pick the join deliberately).  Size
-    # estimate from parquet-metadata count + one-row dim probe — no
-    # data-sized scan to make the decision.
+    # estimate from parquet-metadata count + one-row dim probe — the
+    # probe filters out NULL vectors (a NULL first row would poison
+    # the arithmetic, ADVICE r16) and is LIMIT-1 cheap.
+    # Round 17: both lookups join the SAME projection with explicit
+    # conditions, so the built relation is planned once and the second
+    # join reuses it (ReusedExchange) — the old per-alias projections
+    # built two broadcast copies of the table, doubling executor-held
+    # broadcast state (ADVICE r16).  The HashedRelation for an array
+    # column inflates over raw bytes (object headers, ~2-4x), so the
+    # gate is 32 MB of ESTIMATED bytes, not 100.
     n_vecs = e.count()
-    dim_row = e.select(F.size("v").alias("k")).first()
-    est_bytes = n_vecs * (24 + 8 * (dim_row["k"] if dim_row else 0))
-    if est_bytes <= 100 * 1024 * 1024:
-        e1, e2 = F.broadcast(e1), F.broadcast(e2)
+    dim_row = (
+        e.filter(F.col("v").isNotNull()).select(F.size("v").alias("k")).first()
+    )
+    est_bytes = n_vecs * (24 + 8 * ((dim_row["k"] if dim_row else 0) or 0))
+    eb = e.select("vec_id", "v", "norm")
+    if est_bytes <= 32 * 1024 * 1024:
+        eb = F.broadcast(eb)
     else:
-        e1, e2 = e1.hint("shuffle_hash"), e2.hint("shuffle_hash")
+        eb = eb.hint("shuffle_hash")
+    ea, eb2 = eb.alias("ea"), eb.alias("eb2")
     # try_divide: a zero-norm embedding aligned to a text-flagged pair
     # must yield NULL cosine (agreement impossible), not an ANSI throw.
-    cos = F.try_divide(F.col("dot"), F.col("n1") * F.col("n2"))
+    cos = F.try_divide(
+        F.col("dot"), F.col("ea.norm") * F.col("eb2.norm")
+    )
     return (
-        text_pairs.join(e1, "d1")
-        .join(e2, "d2")
-        .withColumn("dot", _dot(F.col("v1"), F.col("v2")))
+        text_pairs.join(ea, F.col("d1") == F.col("ea.vec_id"))
+        .join(eb2, F.col("d2") == F.col("eb2.vec_id"))
+        .withColumn("dot", _dot(F.col("ea.v"), F.col("eb2.v")))
         .filter(cos >= 0.4)
         .select("d1", "d2", "jaccard", duck_round(cos, 4).alias("cos_sim"))
     )

@@ -34,29 +34,27 @@ from data_lake_staging_engine_spark.driver_evidence import (
 )
 from data_lake_staging_engine_spark.registry import registry
 
-# Text newer than driver evidence as of round 16 (see driver_evidence
-# CHANGED_IN) — the independent mirror.  Round-16 edits add names here
+# Text newer than driver evidence as of round 17 (see driver_evidence
+# CHANGED_IN) — the independent mirror.  Round-17 edits add names here
 # in the same commit that adds their CHANGED_IN marker.
 CHANGED_BAND: set[str] = {
-    # round 16: collision-free publish dirs (ADVICE r15 medium) —
-    # every registered publisher's executed text changed.
-    "a22_versioned_snapshot",
-    "a31_versioned_compaction",
-    "g32_dedup_band_probe",
-    # a14 upgraded to hash tier (VERDICT r15 #5)
-    "a14_bad_records",
-    # round 16: banding probe-side spread + pre-verify-distinct skip +
-    # rebalance flag + gated rep-id broadcast — every
-    # _jaccard_pairs/_finish_bitmask_verify user (includes the
-    # ADVICE-r15 g12/g21 markers, superseded at 16).
+    # round 17: _bitmap_vocab's exact size and _minhash_lsh_neardup's
+    # n_reps ride their checkpoint jobs as observed metrics — executed
+    # text of every strategy-core user changed.
     "g02_dedup_near",
     "g02b_dedup_lsh",
     "g02d_dedup_ngram",
     "g02e_dedup_lsh_shingle",
     "g12_contamination",
-    "g21_dedup_agreement",
     "g26_dedup_clusters",
     "g30_dedup_incremental",
+    "g32_dedup_band_probe",
+    # round 17: g21's embedding lookups share ONE broadcast relation
+    # (NULL-safe dim probe, 32 MB gate — ADVICE r16).
+    "g21_dedup_agreement",
+    # round 17: g02c gained the Manku Hamming verify (output changed;
+    # VERDICT r16 #5).
+    "g02c_dedup_simhash",
 }
 
 # Registered only when google.protobuf is available; never-verified by
@@ -116,23 +114,23 @@ def test_window_fills_with_stalest_evidence():
     names = list(reg)
     window = names[:50]
     head = _band0(reg)
-    # Band 1 is ordered stalest-first: r12, then r13, then r14/r15.
-    assert not any(r <= 11 for r in LAST_VERIFIED.values())
-    stale_r12 = sorted(
-        n for n, r in LAST_VERIFIED.items() if r == 12 and not changed_since_verified(n)
-    )
-    # the post-r15-fold stalest band is 26 names; members with a
-    # round-16 CHANGED_IN marker sit in band 0 instead
-    assert sum(1 for r in LAST_VERIFIED.values() if r == 12) == 26
-    assert len(stale_r12) == 26 - sum(
-        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 12
-    )
+    # Band 1 is ordered stalest-first: r13, then r14, then r15/r16.
+    assert not any(r <= 12 for r in LAST_VERIFIED.values())
     stale_r13 = sorted(
         n for n, r in LAST_VERIFIED.items() if r == 13 and not changed_since_verified(n)
     )
-    # head + 26 r12 fill the first 26+len(head) slots; the oldest r13
+    # the post-r16-fold stalest band is 26 names; members with a
+    # round-17 CHANGED_IN marker sit in band 0 instead
+    assert sum(1 for r in LAST_VERIFIED.values() if r == 13) == 26
+    assert len(stale_r13) == 26 - sum(
+        1 for n in CHANGED_BAND if LAST_VERIFIED.get(n) == 13
+    )
+    stale_r14 = sorted(
+        n for n, r in LAST_VERIFIED.items() if r == 14 and not changed_since_verified(n)
+    )
+    # head + 26 r13 fill the first 26+len(head) slots; the oldest r14
     # entries complete the 50.
-    assert window == (head + stale_r12 + stale_r13)[:50]
+    assert window == (head + stale_r13 + stale_r14)[:50]
     # Everything past the window is ordered by non-decreasing evidence
     # round (r13 remainder <= r14 <= r15).
     tail_rounds = [LAST_VERIFIED[n] for n in names[50:]]
@@ -140,12 +138,12 @@ def test_window_fills_with_stalest_evidence():
 
 
 def test_sweep_rank_orders_by_staleness():
-    r12 = sweep_rank("b36_histogram", True)
     r13 = sweep_rank("g16_event_funnel", True)
     r14 = sweep_rank("b40_sort_limit_topk", True)
     r15 = sweep_rank("b14_join_anti", True)
-    assert r12 < r13 < r14 < r15
-    assert r12[0] == 1  # verified, just stale — band 1
+    r16 = sweep_rank("b36_histogram", True)
+    assert r13 < r14 < r15 < r16
+    assert r13[0] == 1  # verified, just stale — band 1
     # Marked edits re-enter band 0 ahead of everything.
     for name in CHANGED_BAND:
         assert sweep_rank(name, True)[0] == 0
