@@ -42,6 +42,9 @@ keep suite runtime bounded.
 
 import duckdb
 import pytest
+# Slow tier (pytest.ini): adversarial-corpus parity drive.
+pytestmark = pytest.mark.slow
+
 
 from data_lake_staging_engine_spark.registry import registry
 from data_lake_staging_engine_spark.testing import (

@@ -7,6 +7,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+# Slow tier (pytest.ini): runs the full bench.py (the driver benches itself).
+pytestmark = pytest.mark.slow
+
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

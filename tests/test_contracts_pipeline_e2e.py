@@ -24,6 +24,9 @@ import os
 
 import duckdb
 import pytest
+# Slow tier (pytest.ini): end-to-end pipeline drives.
+pytestmark = pytest.mark.slow
+
 
 from pyspark.sql import functions as F
 

@@ -18,6 +18,11 @@ from hypothesis import strategies as st
 
 from data_lake_staging_engine_spark.contracts import validate_ingest
 
+import pytest
+# Slow tier (pytest.ini): property-based contract fuzzing.
+pytestmark = pytest.mark.slow
+
+
 _SCHEMA = "event_id long, ts timestamp, user_id long, value double"
 
 _BASE_TS = dt.datetime(2024, 3, 1, 12, 0, 0)

@@ -30,10 +30,14 @@ _SMALL_SF = "/root/testdata/sf0.001"
 _REG = registry()
 _ORACLE_NAMES = [n for n, rq in _REG.items() if rq.oracle is not None]
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_TEST_SF_DIR") == _SMALL_SF,
-    reason="session SF override already runs the main parity suite at sf0.001",
-)
+# Slow tier (pytest.ini): full-registry second-SF parity drive.
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        os.environ.get("SPARK_GRAFT_TEST_SF_DIR") == _SMALL_SF,
+        reason="session SF override already runs the main parity suite at sf0.001",
+    ),
+]
 
 
 @pytest.fixture(scope="module")

@@ -29,6 +29,9 @@ EXPECTED_NONZERO so a new nonzero emitter is a conscious decision.
 import os
 
 import pytest
+# Slow tier (pytest.ini): full-registry empty-corpus survival drive (171 tests).
+pytestmark = pytest.mark.slow
+
 
 from data_lake_staging_engine_spark.registry import registry
 

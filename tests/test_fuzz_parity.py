@@ -46,6 +46,9 @@ from __future__ import annotations
 import duckdb
 import pyarrow as pa
 import pytest
+# Slow tier (pytest.ini): randomized property-fuzz parity sweeps.
+pytestmark = pytest.mark.slow
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

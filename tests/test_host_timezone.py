@@ -30,6 +30,11 @@ spark = SparkSession.builder.master("local[4]").getOrCreate()
 import __spark_entry__ as E
 qs, osql = E.queries(), E.oracle_sql()
 from data_lake_staging_engine_spark.testing import compare, duck_connection
+
+import pytest
+# Slow tier (pytest.ini): displaced-TZ subprocess sweep.
+pytestmark = pytest.mark.slow
+
 con = duck_connection("/root/testdata/sf0.001")
 for name in ("d02_fn_date", "c06_win_first_last", "a01_scan_parquet"):
     res = compare(name, qs[name](spark, "/root/testdata/sf0.001"), con, osql[name])

@@ -17,6 +17,9 @@ import json
 import os
 
 import pytest
+# Slow tier (pytest.ini): republish kill-point suite.
+pytestmark = pytest.mark.slow
+
 
 from data_lake_staging_engine_spark.fs import LocalFS, write_json_replace
 from data_lake_staging_engine_spark.versioning import VersionedTable

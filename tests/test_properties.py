@@ -5,6 +5,7 @@ fast and run wide."""
 import math
 
 import duckdb
+import pytest
 from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
@@ -167,6 +168,7 @@ _corpora = st.lists(
 )
 
 
+@pytest.mark.slow  # 40+ s hypothesis drive — slow tier (pytest.ini)
 @settings(
     max_examples=5,
     deadline=None,

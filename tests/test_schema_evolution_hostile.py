@@ -22,6 +22,9 @@ the loud failure, every other cell pins oracle parity.
 
 import duckdb
 import pytest
+# Slow tier (pytest.ini): hostile schema-evolution drive.
+pytestmark = pytest.mark.slow
+
 
 from data_lake_staging_engine_spark.registry import registry
 from data_lake_staging_engine_spark.testing import TESTDATA_TABLES, compare

@@ -44,6 +44,9 @@ import tempfile
 import time
 
 import pytest
+# Slow tier (pytest.ini): hard-kill / restart recovery suite.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 

@@ -41,6 +41,9 @@ import os
 
 import duckdb
 import pytest
+# Slow tier (pytest.ini): hostile-text full parity sweep.
+pytestmark = pytest.mark.slow
+
 
 from pyspark.sql import functions as F
 

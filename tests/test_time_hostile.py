@@ -39,6 +39,9 @@ import os
 
 import duckdb
 import pytest
+# Slow tier (pytest.ini): hostile-timestamp parity sweep.
+pytestmark = pytest.mark.slow
+
 
 from pyspark.sql import functions as F
 

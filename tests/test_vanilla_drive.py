@@ -21,6 +21,11 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 spark = SparkSession.builder.master("local[4]").getOrCreate()
 import __spark_entry__ as E
+
+import pytest
+# Slow tier (pytest.ini): /tmp vanilla-session contract drive (the verify recipe runs this by hand).
+pytestmark = pytest.mark.slow
+
 qs = E.queries()
 for name in [
     "f01_udf_python", "f02_pandas_udf_scalar", "f03_pandas_udf_grouped_agg",

@@ -23,6 +23,9 @@ import os
 import shutil
 
 import pytest
+# Slow tier (pytest.ini): kill-point / crash-recovery suite.
+pytestmark = pytest.mark.slow
+
 
 from data_lake_staging_engine_spark.pipeline import StagingPipeline
 from data_lake_staging_engine_spark.streaming.runner import landing_copy
