@@ -546,15 +546,18 @@ def _g02_bitmask(
     popcnt = sum((F.bit_count(F.col(c)) for c in wcols), F.lit(0))
     reps = d2r.filter(F.col("doc_id") == F.col("rep")).withColumn("n", popcnt)
 
-    # Verify arithmetic (round 17): |A u B| = |A| + |B| - |A n B|, and
-    # the set sizes are computed ONCE per representative (the popcnt
-    # column riding the rep tables as n1/n2) — so the per-collision
-    # verify pays ONE masked popcount chain (the AND), not two.  At the
-    # 10x gram corpus the verify runs 30-word popcounts over a ~28M-row
-    # collision stream; halving the bit_count work is the single
-    # largest per-row cut available (guide: make the per-task work
-    # cheap once the shape is right).  The value is bit-identical: both
-    # forms divide the same two integers.
+    # Verify arithmetic: the OR-union form, deliberately (round 17
+    # negative result, recorded so round 18 does not re-try): both
+    # "one masked chain + two unary popcount chains" and "sizes as
+    # n1/n2 join columns" were built and measured at the 10x replica —
+    # the column form sends Catalyst constraint propagation into a
+    # driver heap OOM (with the sizes as aliased expressions AND as
+    # stored checkpoint columns), and the unary-chain form measured a
+    # wash-to-loss interleaved (74.9/77.5 s vs 63.7 s entry): the
+    # verify's cost is the 2x ~240 B broadcast-hashtable row fetch per
+    # collision, not the bit_count arithmetic, so shrinking the
+    # arithmetic moves nothing and the row cut (the size filter in
+    # _minhash_lsh_candidates) is the lever that pays.
     shared = sum(
         (
             F.bit_count(F.col(f"a_{c}").bitwiseAND(F.col(f"b_{c}")))
@@ -562,16 +565,19 @@ def _g02_bitmask(
         ),
         F.lit(0),
     )
-    jac = shared * F.lit(1.0) / (F.col("n1") + F.col("n2") - shared)
+    union = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    jac = shared * F.lit(1.0) / union
     rm_a = reps.select(
-        F.col("rep").alias("r1"),
-        F.col("n").alias("n1"),
-        *[F.col(c).alias(f"a_{c}") for c in wcols],
+        F.col("rep").alias("r1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
     )
     rm_b = reps.select(
-        F.col("rep").alias("r2"),
-        F.col("n").alias("n2"),
-        *[F.col(c).alias(f"b_{c}") for c in wcols],
+        F.col("rep").alias("r2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
     )
 
     # One-scalar plan constant, observed during the checkpoint job
@@ -675,6 +681,11 @@ def _g02_bitmask(
                     F.col("tok_id").alias("tok"),
                 ),
                 distinct=False,  # popcount verify dedups after
+                # exact PPJoin length filter rides the signatures —
+                # size-incompatible collisions never reach the wide
+                # rm-mask verify (measured 1.47x row cut at 10x)
+                sizes=reps.select(F.col("rep").alias("doc_id"), "n"),
+                size_threshold=threshold,
             ).select(F.col("d1").alias("r1"), F.col("d2").alias("r2"))
             return _finish_bitmask_verify(
                 cands, d2r, rm_a, rm_b, wcols, jac, threshold,
@@ -994,19 +1005,11 @@ def _verify_pairs_bitmap(
     staged once (see ``_g02_bitmask``) for the two join sides."""
     masks, wcols = _doc_bitmaps(toks, vocab_n, vocab=vocab)
     masks = masks.localCheckpoint(eager=True)
-    # Set sizes computed once per doc row (n1/n2) so the per-candidate
-    # verify pays one popcount chain, not two: |A u B| = n1 + n2 -
-    # |A n B| (round 17; same integers, same jac).
-    popcnt = sum((F.bit_count(F.col(c)) for c in wcols), F.lit(0))
     m1 = masks.select(
-        F.col("doc_id").alias("d1"),
-        popcnt.alias("n1"),
-        *[F.col(c).alias(f"a_{c}") for c in wcols],
+        F.col("doc_id").alias("d1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
     )
     m2 = masks.select(
-        F.col("doc_id").alias("d2"),
-        popcnt.alias("n2"),
-        *[F.col(c).alias(f"b_{c}") for c in wcols],
+        F.col("doc_id").alias("d2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
     )
     paired = cands.join(m1, "d1").join(m2, "d2")
     shared = sum(
@@ -1016,7 +1019,14 @@ def _verify_pairs_bitmap(
         ),
         F.lit(0),
     )
-    jac = shared * F.lit(1.0) / (F.col("n1") + F.col("n2") - shared)
+    union = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    jac = shared * F.lit(1.0) / union
     return paired.filter(jac >= threshold).select(
         "d1", "d2", duck_round(jac, 6).alias("jaccard")
     )
@@ -1096,7 +1106,12 @@ def _band_signatures(
 
 
 def _minhash_lsh_candidates(
-    toks: DataFrame, n_hashes: int = 16, bands: int = 4, distinct: bool = True
+    toks: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    distinct: bool = True,
+    sizes: DataFrame | None = None,
+    size_threshold: float | None = None,
 ) -> DataFrame:
     """MinHash banding candidate generation over any (doc_id, tok) set
     stream: docs sharing any band signature (``_band_signatures``)
@@ -1128,16 +1143,36 @@ def _minhash_lsh_candidates(
     so per-task pair output balances by construction instead of
     concentrating a b^2/2 block in one task."""
     sigs = _band_signatures(toks, n_hashes=n_hashes, bands=bands)
+    # PPJoin LENGTH filter inside the collision join (round 17,
+    # VERDICT r16 #4): when the caller knows each doc's exact set size
+    # (the bitmap branches do — it's a popcount), J >= t forces
+    # t*|B| <= |A| <= |B|/t, so size-incompatible collisions drop
+    # BEFORE the downstream verify ever fetches their ~480 B of mask
+    # words from the rm hashtables — which the 10x component profile
+    # showed IS the verify's cost (rm joins + popcount filter: 29.6 s
+    # of a 38 s tail; the collision join itself: 1.2 s).  Measured at
+    # the 10x gram corpus: 30.52M -> 20.78M collision rows (1.47x),
+    # evaluated at ~zero cost because n1/n2 ride the signature rows.
+    # Exact (pigeonhole on sizes, same 1e-9 float-ceil guard class as
+    # the prefix filter): no qualified pair can be dropped.
+    if sizes is not None and size_threshold is not None:
+        sigs = sigs.join(F.broadcast(sizes), "doc_id")
     n_parts = _n_shuffle_parts(toks.sparkSession)
     a, b_ = sigs.repartition(n_parts).alias("a"), sigs.alias("b")
-    pairs = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if sizes is not None and size_threshold is not None:
+        cond = cond & (
+            F.least(F.col("a.n"), F.col("b.n"))
+            >= F.lit(size_threshold)
+            * F.greatest(F.col("a.n"), F.col("b.n"))
+            - F.lit(1e-9)
         )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    pairs = a.join(b_, cond).select(
+        F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
     )
     return pairs.distinct() if distinct else pairs
 
@@ -1202,22 +1237,21 @@ def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> Dat
     if n_reps * 24 <= 200 * 1024 * 1024:
         rep_ids = F.broadcast(rep_ids)
     rep_toks = toks.join(rep_ids, "doc_id", "left_semi")
-    cands = _minhash_lsh_candidates(rep_toks, distinct=False).select(
-        F.col("d1").alias("r1"), F.col("d2").alias("r2")
-    )
-    # Set sizes computed once per rep (n1/n2 ride the rep tables) so
-    # the per-collision verify pays one popcount chain, not two:
-    # |A u B| = n1 + n2 - |A n B| (round 17; same integers, same jac).
     popcnt = sum((F.bit_count(F.col(c)) for c in wcols), F.lit(0))
+    cands = _minhash_lsh_candidates(
+        rep_toks,
+        distinct=False,
+        # exact PPJoin length filter (see _minhash_lsh_candidates):
+        # sizes are one popcount per REP row, computed in the tiny
+        # broadcast build side
+        sizes=reps.select("doc_id", popcnt.alias("n")),
+        size_threshold=0.8,
+    ).select(F.col("d1").alias("r1"), F.col("d2").alias("r2"))
     rm_a = reps.select(
-        F.col("rep").alias("r1"),
-        popcnt.alias("n1"),
-        *[F.col(c).alias(f"a_{c}") for c in wcols],
+        F.col("rep").alias("r1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
     )
     rm_b = reps.select(
-        F.col("rep").alias("r2"),
-        popcnt.alias("n2"),
-        *[F.col(c).alias(f"b_{c}") for c in wcols],
+        F.col("rep").alias("r2"), *[F.col(c).alias(f"b_{c}") for c in wcols]
     )
     shared = sum(
         (
@@ -1226,7 +1260,14 @@ def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> Dat
         ),
         F.lit(0),
     )
-    jac = shared * F.lit(1.0) / (F.col("n1") + F.col("n2") - shared)
+    union = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    jac = shared * F.lit(1.0) / union
     return _finish_bitmask_verify(
         cands, d2r, rm_a, rm_b, wcols, jac, 0.8, n_reps,
         toks.sparkSession, rebalance=False,
@@ -3884,18 +3925,15 @@ def _probe_rep_space(
         .select(F.col("p.doc_id").alias("d1"), F.col("cs.rep").alias("r2"))
         .distinct()
     )
-    # Set sizes computed once per row (n1/n2) so the per-candidate
-    # verify pays one popcount chain, not two: |A u B| = n1 + n2 -
-    # |A n B| (round 17; same integers, same jac).
-    popcnt = sum((F.bit_count(F.col(c)) for c in wcols), F.lit(0))
-    m1 = masks.select(
+    # m1 reads the CHECKPOINTED frame (round 17) — the raw masks
+    # lineage it read before re-ran the tokenize+aggregate pipeline
+    # for the verify side.
+    m1 = d2r.select(
         F.col("doc_id").alias("d1"),
-        popcnt.alias("n1"),
         *[F.col(c).alias(f"a_{c}") for c in wcols],
     )
     rmask = d2r.filter(F.col("doc_id") == F.col("rep")).select(
         F.col("rep").alias("r2"),
-        popcnt.alias("n2"),
         *[F.col(c).alias(f"b_{c}") for c in wcols],
     )
     shared = sum(
@@ -3905,7 +3943,14 @@ def _probe_rep_space(
         ),
         F.lit(0),
     )
-    jac = shared * F.lit(1.0) / (F.col("n1") + F.col("n2") - shared)
+    union = sum(
+        (
+            F.bit_count(F.col(f"a_{c}").bitwiseOR(F.col(f"b_{c}")))
+            for c in wcols
+        ),
+        F.lit(0),
+    )
+    jac = shared * F.lit(1.0) / union
     qual = (
         F.broadcast(rep_cands)
         .join(m1, "d1")
