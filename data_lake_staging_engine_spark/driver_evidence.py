@@ -216,6 +216,22 @@ CHANGED_IN: dict[str, int] = {
     # collision join — OUTPUT changed (R-tier; VERDICT r16 #5 ordered
     # the re-band; recall floor re-measured 0.92/0.9219).
     "g02c_dedup_simhash": 17,
+    # run_to_memory freezes the sink JVM-side (localCheckpoint)
+    # instead of the collect+createDataFrame Python round-trip —
+    # executed text of every run_to_memory streaming query changed.
+    # (e10_transform_with_state shares the change but is env-gated/
+    # never-verified, so it carries no marker by the band-0 rule.)
+    "e01_stream_tumbling": 17,
+    "e02_stream_sliding": 17,
+    "e03_stream_session": 17,
+    "e04_stream_watermark": 17,
+    "e05_stream_dedup": 17,
+    "e06_stream_stateful": 17,
+    "e07_stream_late_data": 17,
+    "e08_stream_stream_join": 17,
+    "e09_stream_static_join": 17,
+    "e11_stream_dedup_then_window": 17,
+    "e12_stream_outer_join": 17,
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -135,12 +135,21 @@ def run_to_memory(
             spark.conf.set("spark.sql.shuffle.partitions", saved_shuffle)
     _capture_run_stats(q, checkpoint)
     sink = spark.table(name)
-    rows = sink.collect()
-    schema = sink.schema
+    # Freeze the sink contents JVM-side (round 17): the old
+    # collect() + createDataFrame(rows, schema) decoupled the returned
+    # frame from the about-to-be-dropped temp view by shipping EVERY
+    # output row JVM -> Python -> JVM — pickled both ways, paid by all
+    # 13 streaming queries per invocation (guide §4: don't cross the
+    # Python boundary with data the computation never needed there).
+    # An eager localCheckpoint decouples identically — the frame owns
+    # its blocks, so the view drop and checkpoint cleanup below cannot
+    # invalidate it — with zero Python traffic and the same schema and
+    # row order.
+    frozen = sink.localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     spark.streams.resetTerminated()
     shutil.rmtree(checkpoint, ignore_errors=True)
-    return spark.createDataFrame(rows, schema)
+    return frozen
 
 
 #: Stats of the most recent ``run_to_memory`` drain — state-store rows

@@ -55,6 +55,19 @@ CHANGED_BAND: set[str] = {
     # round 17: g02c gained the Manku Hamming verify (output changed;
     # VERDICT r16 #5).
     "g02c_dedup_simhash",
+    # round 17: run_to_memory freezes the sink JVM-side — every
+    # registered streaming drain's executed text changed.
+    "e01_stream_tumbling",
+    "e02_stream_sliding",
+    "e03_stream_session",
+    "e04_stream_watermark",
+    "e05_stream_dedup",
+    "e06_stream_stateful",
+    "e07_stream_late_data",
+    "e08_stream_stream_join",
+    "e09_stream_static_join",
+    "e11_stream_dedup_then_window",
+    "e12_stream_outer_join",
 }
 
 # Registered only when google.protobuf is available; never-verified by
