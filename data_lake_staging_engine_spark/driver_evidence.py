@@ -208,9 +208,9 @@ CHANGED_IN: dict[str, int] = {
     "g26_dedup_clusters": 17,
     "g30_dedup_incremental": 17,
     "g32_dedup_band_probe": 17,
-    # g21: the two embedding lookups now join ONE shared broadcast
-    # relation (ReusedExchange) with a NULL-safe dim probe and a 32 MB
-    # gate (ADVICE r16 both items).
+    # g21: the two embedding lookups share one projection, the dim
+    # probe is NULL-safe, and the broadcast gate drops to 32 MB
+    # (ADVICE r16 both items).
     "g21_dedup_agreement": 17,
     # g02c: the Manku Hamming verify (bit_count(xor) <= 8) rides the
     # collision join — OUTPUT changed (R-tier; VERDICT r16 #5 ordered

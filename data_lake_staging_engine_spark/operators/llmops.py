@@ -2726,13 +2726,15 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     # estimate from parquet-metadata count + one-row dim probe — the
     # probe filters out NULL vectors (a NULL first row would poison
     # the arithmetic, ADVICE r16) and is LIMIT-1 cheap.
-    # Round 17: both lookups join the SAME projection with explicit
-    # conditions, so the built relation is planned once and the second
-    # join reuses it (ReusedExchange) — the old per-alias projections
-    # built two broadcast copies of the table, doubling executor-held
-    # broadcast state (ADVICE r16).  The HashedRelation for an array
-    # column inflates over raw bytes (object headers, ~2-4x), so the
-    # gate is 32 MB of ESTIMATED bytes, not 100.
+    # Round 17: both lookups join the SAME projection — reuse-eligible
+    # for ReuseExchange, though the executed plan was CHECKED and the
+    # planner still builds two broadcast relations here (exprId-fresh
+    # aliases defeat the canonical match), so the operative defense
+    # against doubled executor-held broadcast state (ADVICE r16) is
+    # the tighter gate: the HashedRelation for an array column
+    # inflates over raw bytes (object headers, ~2-4x), so the gate is
+    # 32 MB of ESTIMATED bytes, not 100 — worst case ~2 x 4 x 32 MB
+    # in flight.
     n_vecs = e.count()
     dim_row = (
         e.filter(F.col("v").isNotNull()).select(F.size("v").alias("k")).first()

@@ -49,7 +49,7 @@ CHANGED_BAND: set[str] = {
     "g26_dedup_clusters",
     "g30_dedup_incremental",
     "g32_dedup_band_probe",
-    # round 17: g21's embedding lookups share ONE broadcast relation
+    # round 17: g21's embedding lookups share one projection
     # (NULL-safe dim probe, 32 MB gate — ADVICE r16).
     "g21_dedup_agreement",
     # round 17: g02c gained the Manku Hamming verify (output changed;
