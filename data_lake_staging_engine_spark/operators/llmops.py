@@ -686,6 +686,7 @@ def _g02_bitmask(
                 # rm-mask verify (measured 1.47x row cut at 10x)
                 sizes=reps.select(F.col("rep").alias("doc_id"), "n"),
                 size_threshold=threshold,
+                n_docs=n_reps,
             ).select(F.col("d1").alias("r1"), F.col("d2").alias("r2"))
             return _finish_bitmask_verify(
                 cands, d2r, rm_a, rm_b, wcols, jac, threshold,
@@ -1112,6 +1113,7 @@ def _minhash_lsh_candidates(
     distinct: bool = True,
     sizes: DataFrame | None = None,
     size_threshold: float | None = None,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """MinHash banding candidate generation over any (doc_id, tok) set
     stream: docs sharing any band signature (``_band_signatures``)
@@ -1158,7 +1160,22 @@ def _minhash_lsh_candidates(
     if sizes is not None and size_threshold is not None:
         sigs = sigs.join(F.broadcast(sizes), "doc_id")
     n_parts = _n_shuffle_parts(toks.sparkSession)
-    a, b_ = sigs.repartition(n_parts).alias("a"), sigs.alias("b")
+    # Keep the collision join a BHJ when the signature table is
+    # provably small (round 17 regression fix): joining the sizes onto
+    # the signature stream above inflates Catalyst's size ESTIMATE
+    # (join output = left x right heuristic), so the self-join that
+    # auto-broadcast used to pick BHJ for fell back to a sort-merge —
+    # two new (band, sig) exchanges + sorts on the collision path at
+    # bench scale (test_plans caught the 9 -> 11 exchange count).  The
+    # caller knows the exact signature row count (n_docs x bands — one
+    # observed scalar, no extra job); gate like g21's embedding
+    # lookups: 32 MB of estimated raw bytes, leaving 2-4x headroom for
+    # HashedRelation inflation.  Past the gate the estimate-driven SMJ
+    # stands (100 TB posture unchanged).
+    build = sigs
+    if n_docs is not None and n_docs * bands * 48 <= 32 * 1024 * 1024:
+        build = F.broadcast(build)
+    a, b_ = sigs.repartition(n_parts).alias("a"), build.alias("b")
     cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.sig") == F.col("b.sig"))
@@ -1246,6 +1263,7 @@ def _minhash_lsh_neardup(toks: DataFrame, probe: DataFrame | None = None) -> Dat
         # broadcast build side
         sizes=reps.select("doc_id", popcnt.alias("n")),
         size_threshold=0.8,
+        n_docs=n_reps,
     ).select(F.col("d1").alias("r1"), F.col("d2").alias("r2"))
     rm_a = reps.select(
         F.col("rep").alias("r1"), *[F.col(c).alias(f"a_{c}") for c in wcols]
