@@ -232,6 +232,14 @@ CHANGED_IN: dict[str, int] = {
     "e09_stream_static_join": 17,
     "e11_stream_dedup_then_window": 17,
     "e12_stream_outer_join": 17,
+    # g03e/g28: map-only centroid assignment (the k x N row_number
+    # windows replaced by an in-row comparator sort against a one-row
+    # broadcast codebook) + the normalized working set materialized
+    # once (g28's k-sizing count observe-fused onto it) — outputs
+    # proven byte-identical at sf0.001/0.01/0.1, but the executed
+    # text changed materially.
+    "g03e_simsearch_ivf": 17,
+    "g28_semantic_dedup": 17,
 }
 
 # Convenience view: every query with any first-party driver evidence.

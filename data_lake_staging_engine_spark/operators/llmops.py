@@ -1791,6 +1791,47 @@ _IVF_NASSIGN = 2
 _IVF_NPROBE = 8
 
 
+def _ivf_codebook(cent: DataFrame):
+    """The codebook as ONE collected-struct row (k x 64 doubles),
+    broadcast — the nested-loop join against it is a map-side widen,
+    so centroid assignment never expands the vector table k-fold
+    across an exchange (round 17, guide §2.3/§2.4).  Same broadcast
+    bytes as the k-row form it replaces; assumes the codebook fits a
+    broadcast, which the k-row cross join assumed identically."""
+    return F.broadcast(
+        cent.groupBy().agg(
+            F.collect_list(F.struct("list_id", "c")).alias("cents")
+        )
+    )
+
+
+def _ivf_top_lists(k: int):
+    """Per-row nearest-k (sim, list_id) lists against the `cents`
+    codebook column, ordered (sim DESC, list_id ASC) — the exact
+    ordering of the row_number window this replaces.  The comparator
+    mirrors SQL double comparison semantics (NaN greatest, -0.0 ==
+    0.0); sims can never be -0.0 because the dot fold starts at +0.0
+    and IEEE addition of such operands never yields -0.0."""
+    sims = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            _dot(F.col("u"), s["c"]).alias("sim"),
+            s["list_id"].alias("list_id"),
+        ),
+    )
+
+    def cmp(l, r):
+        return (
+            F.when(l["sim"] > r["sim"], -1)
+            .when(l["sim"] < r["sim"], 1)
+            .when(l["list_id"] < r["list_id"], -1)
+            .when(l["list_id"] > r["list_id"], 1)
+            .otherwise(0)
+        )
+
+    return F.slice(F.array_sort(sims, cmp), 1, k)
+
+
 @query("g03e_simsearch_ivf", oracle=None)  # approximate — rows-only tier
 def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: k-means coarse quantizer (k=32), multi-assignment
@@ -1817,7 +1858,23 @@ def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probe a partition-local scan; the iterative build broadcasts
     only the k x 64 codebook per round and ships it as a tiny artifact
     (localCheckpoint here truncates the Lloyd lineage so the search
-    plan is scan + broadcast joins)."""
+    plan is scan + broadcast joins).
+
+    Round 17 (guide §2.3/§2.4 — aggregate before you shuffle; remove
+    shuffles outright): centroid assignment is MAP-ONLY.  The old form
+    cross-joined each vector against the k centroid ROWS (k x N
+    intermediate rows, each carrying the 64-double vector AND the
+    64-double centroid) and ranked them with a row_number window —
+    a full k x N x ~1 KB exchange + sort per Lloyd iteration and a
+    third for the search-side assignment.  Now the whole codebook
+    rides ONE collected-struct row (a 1-row broadcast nested-loop
+    join, k x 64 doubles ~ 16 KB), each vector computes its k sims
+    in-row with `transform` and takes its top lists with a comparator
+    `array_sort` over k elements — identical (sim DESC, list_id ASC)
+    order, zero exchange.  The only remaining build shuffle is the
+    per-(list, pos) mean recompute, which partial-aggregates map-side
+    to <= k x 64 rows per task.  Plan: 3 window exchanges + sorts
+    removed (plans/r17/g03e_simsearch_ivf_{before,after}.txt)."""
     e = load(spark, sf_dir, "embeddings")
     # Zero-norm vectors are unindexable (undefined direction — no unit
     # normalization exists): exclude them up front instead of throwing
@@ -1831,6 +1888,15 @@ def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform(F.col("ve"), lambda x: x / F.col("nrm")).alias("u"),
         )
+        # Materialized ONCE (round 17, guide §1/§5): the normalized
+        # working set feeds the seed TakeOrdered, every Lloyd
+        # iteration, and the search-side assignment — un-truncated,
+        # each of those re-ran the scan + normalize (measured ~1.2 s
+        # per pass of a 6-8 s query at sf0.1, paid 4x).  Persisting
+        # the working set across Lloyd rounds is the canonical
+        # k-means shape; at scale this is one corpus-sized local
+        # materialization versus iters+2 corpus re-scans.
+        .localCheckpoint(eager=True)
     )
 
     # --- build: digest-seeded codebook + Lloyd iterations ------------
@@ -1844,16 +1910,12 @@ def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w_seed) - 1).cast("long").alias("list_id"),
         F.col("u").alias("c"),
     )
+
     for _ in range(_IVF_ITERS):
-        w_assign = Window.partitionBy("vec_id").orderBy(
-            F.desc("sim"), F.asc("list_id")
-        )
-        assigned = (
-            vn.join(F.broadcast(cent))
-            .withColumn("sim", _dot(F.col("u"), F.col("c")))
-            .withColumn("_rn", F.row_number().over(w_assign))
-            .filter(F.col("_rn") == 1)
-            .select("vec_id", "list_id", "u")
+        assigned = vn.join(_ivf_codebook(cent)).select(
+            "vec_id",
+            F.get(_ivf_top_lists(1), 0)["list_id"].alias("list_id"),
+            "u",
         )
         cent = (
             assigned.select("list_id", F.posexplode("u").alias("pos", "x"))
@@ -1878,23 +1940,25 @@ def g03e_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = cent.localCheckpoint(eager=True)
 
     # --- search: multi-assign index, nprobe query fan-out -------------
-    ranked = (
-        vn.join(F.broadcast(cent))
-        .withColumn("sim", _dot(F.col("u"), F.col("c")))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("sim"), F.asc("list_id")
-                )
-            ),
+    # One map-only pass computes each vector's nprobe-nearest lists;
+    # the index keeps the top nassign (a prefix of the same ordered
+    # array), so no second assignment pass and no window exchange.
+    ranked = vn.join(_ivf_codebook(cent)).withColumn(
+        "top", _ivf_top_lists(_IVF_NPROBE)
+    )
+    index = ranked.select(
+        F.col("vec_id").alias("cid"),
+        F.col("u").alias("cu"),
+        F.explode(F.slice("top", 1, _IVF_NASSIGN)).alias("t"),
+    ).select("cid", "cu", F.col("t.list_id").alias("list_id"))
+    q = (
+        ranked.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("u").alias("qu"),
+            F.explode("top").alias("t"),
         )
-    )
-    index = ranked.filter(F.col("_rn") <= _IVF_NASSIGN).select(
-        F.col("vec_id").alias("cid"), F.col("u").alias("cu"), "list_id"
-    )
-    q = ranked.filter((F.col("vec_id") < 10) & (F.col("_rn") <= _IVF_NPROBE)).select(
-        F.col("vec_id").alias("qid"), F.col("u").alias("qu"), "list_id"
+        .select("qid", "qu", F.col("t.list_id").alias("list_id"))
     )
     pairs = (
         F.broadcast(q)
@@ -3354,6 +3418,13 @@ def g28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Zero-norm vectors are unindexable and have undefined cosine to
     # everything — they can never be semantic duplicates; exclude them
     # up front (round-9 adversarial audit; same rule as g03e).
+    # Materialized ONCE with the vector count riding the checkpoint
+    # job as an observed metric (round 17, the _g02_bitmask template):
+    # the working set feeds the k sizing, the seed TakeOrdered, the
+    # assignment, and the singleton anti-join — un-truncated, each
+    # re-ran the scan + normalize, and the k sizing was its own
+    # count() job besides.
+    obs_n = Observation()
     vn = (
         e.select("vec_id", F.col("embedding").cast("array<double>").alias("ve"))
         .withColumn("nrm", F.sqrt(_dot(F.col("ve"), F.col("ve"))))
@@ -3362,15 +3433,17 @@ def g28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.transform(F.col("ve"), lambda x: x / F.col("nrm")).alias("u"),
         )
+        .observe(obs_n, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
     # nlist ~ sqrt(N) (floor 16): the standard IVF sizing — with a
     # FIXED codebook, bucket occupancy grows linearly with the corpus
     # and the in-bucket exact-cosine stage goes quadratic (the round-12
     # 10x study measured 10.4 s -> 544 s on 10x vectors at k=16; k ~
     # sqrt(N) keeps sum(|bucket|^2) ~ N^1.5 / ... ~ linear-ish in N).
-    # One driver-side scalar off a one-scan lineage — the same plan-
-    # constant precedent as the vocab/anchor/idf counts.
-    k = max(16, math.isqrt(max(vn.count(), 1)))
+    # One observed scalar — the same plan-constant precedent as the
+    # vocab/anchor/idf counts.
+    k = max(16, math.isqrt(max(int(obs_n.get["n"] or 0), 1)))
     seeds = (
         vn.select(F.md5(F.col("vec_id").cast("string")).alias("dg"), "vec_id", "u")
         .orderBy("dg", "vec_id")
@@ -3382,19 +3455,28 @@ def g28_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("c"),
     ).localCheckpoint(eager=True)
 
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("list_id"))
     # Staged once (eager localCheckpoint): the assignment subplan feeds
     # BOTH sides of the in-bucket self-join and the components helper's
-    # persist — without staging, the normalize + broadcast-assign +
-    # window pipeline re-executes three times (measured 17.5 s -> ~10 s
-    # at sf0.1). Same posture as the g02 mask-table staging: this is the
+    # persist — without staging, the normalize + assign pipeline
+    # re-executes three times (measured 17.5 s -> ~10 s at sf0.1).
+    # Same posture as the g02 mask-table staging: this is the
     # inverted-list index a production dedup writes anyway.
+    # Round 17 (guide §2.3/§2.4): assignment is MAP-ONLY — the k ~
+    # sqrt(N) codebook rides one collected-struct broadcast row and
+    # each vector takes its top-2 lists with an in-row comparator sort
+    # (_ivf_top_lists), replacing the k x N row_number window whose
+    # exchange carried the 64-double vector k-fold (at sf0.1: k=179,
+    # a ~5.7M-row x ~0.5 KB sort+shuffle; identical (sim DESC, list_id
+    # ASC) order by construction).
     assigned = (
-        vn.join(F.broadcast(cent))
-        .withColumn("sim", _dot(F.col("u"), F.col("c")))
-        .withColumn("_rn", F.row_number().over(w_assign))
-        .filter(F.col("_rn") <= 2)  # nassign=2: boundary pairs share a bucket
-        .select("list_id", "vec_id", "u")
+        vn.join(_ivf_codebook(cent))
+        .select(
+            "vec_id",
+            "u",
+            # nassign=2: boundary pairs share a bucket
+            F.explode(_ivf_top_lists(2)).alias("t"),
+        )
+        .select(F.col("t.list_id").alias("list_id"), "vec_id", "u")
         .localCheckpoint(eager=True)
     )
     a = assigned.select(

@@ -68,6 +68,11 @@ CHANGED_BAND: set[str] = {
     "e09_stream_static_join",
     "e11_stream_dedup_then_window",
     "e12_stream_outer_join",
+    # round 17: g03e/g28 centroid assignment went map-only (window ->
+    # in-row comparator sort) with the normalized working set
+    # materialized once; outputs byte-identical, executed text changed.
+    "g03e_simsearch_ivf",
+    "g28_semantic_dedup",
 }
 
 # Registered only when google.protobuf is available; never-verified by
