@@ -1634,6 +1634,15 @@ def g03c_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominant per-vector cost (round-7 PLANS.md audit: 4 embeddings
     # scans). The materialized table is (vec_id, table, bucket) — 48
     # small rows per vector, never the embeddings.
+    # Round 17 negative result (measured, reverted — recorded so a
+    # later round does not re-try): checkpointing the full vector
+    # frame v instead (embeddings + norms + buckets; q/c then read the
+    # checkpoint instead of re-scanning parquet) interleaved as a WASH
+    # at sf0.1 (3.1-3.5 s vs 3.1-4.0 s) — the saved pruned re-scans
+    # are bought back by the wider checkpoint write — and at scale a
+    # corpus-sized embedding materialization is strictly worse local
+    # I/O than two column-pruned parquet scans.  The skinny-checkpoint
+    # form stands.
     sigs = v.select(
         "vec_id", F.posexplode("buckets").alias("table", "bucket")
     ).localCheckpoint(eager=True)
