@@ -240,6 +240,12 @@ CHANGED_IN: dict[str, int] = {
     # text changed materially.
     "g03e_simsearch_ivf": 17,
     "g28_semantic_dedup": 17,
+    # f10: the customer side's c_custkey < 200 predicate applied
+    # transitively to the events scan before the cogroup (Spark cannot
+    # infer a filter across the opaque pandas function) — output proven
+    # byte-identical at sf0.001/0.01/0.1 and oracle-green, but the
+    # executed text changed materially.
+    "f10_cogroup_in_pandas": 17,
 }
 
 # Convenience view: every query with any first-party driver evidence.

@@ -887,7 +887,22 @@ def f10_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    e = load(spark, sf_dir, "events").select("user_id", "value")
+    # The customer side's c_custkey < 200 predicate transits the
+    # cogroup key: an event with user_id >= 200 (or NULL) can never
+    # cogroup with a surviving customer row, and merge() emits nothing
+    # when cust_pdf is empty — so those events only ride the shuffle
+    # and the Python boundary to be discarded. Spark cannot infer a
+    # filter across FlatMapCoGroupsInPandas (the pandas function is
+    # opaque), so the transitive predicate is applied by hand; it
+    # reaches the events scan as a pushed parquet filter. Events with
+    # user_id < 200 but no customer row still form an (events, empty)
+    # cogroup either way — dropped by the len(cust_pdf)==0 branch — so
+    # the output is unchanged row-for-row.
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 200)
+        .select("user_id", "value")
+    )
     c = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 200)

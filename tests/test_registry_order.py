@@ -73,6 +73,9 @@ CHANGED_BAND: set[str] = {
     # materialized once; outputs byte-identical, executed text changed.
     "g03e_simsearch_ivf",
     "g28_semantic_dedup",
+    # round 17: f10's events scan carries the transitive c_custkey
+    # < 200 predicate (output byte-identical, oracle-green).
+    "f10_cogroup_in_pandas",
 }
 
 # Registered only when google.protobuf is available; never-verified by
