@@ -4021,6 +4021,14 @@ def _probe_rep_space(
     # both the match_id answer and the signature carrier.  (The rep
     # itself may be a BATCH doc — same mask, same sigs, but absent
     # from the index — hence the explicit corpus-side carrier.)
+    # Round 17 negative result (measured, reverted — VERDICT r16 #3
+    # job audit): grp feeds TWO broadcast builds (carrier signatures
+    # and the final min_d2 answer join), so an eager localCheckpoint
+    # looked like a free dedup of its semi-join + aggregate lineage.
+    # Measured at sf0.1: jobs 34 -> 35 and warm probe 4.2-5.2 s ->
+    # 5.3-7.1 s — the checkpoint is a synchronous barrier on the
+    # critical path, while the duplicate lineage runs are tiny
+    # broadcast builds AQE executes off it.  Leave grp lazy.
     grp = (
         d2r.join(F.broadcast(cand_ids), "doc_id", "left_semi")
         .groupBy("rep")
