@@ -896,8 +896,31 @@ def _expand_mask_pairs(qual: DataFrame, d2r: DataFrame) -> DataFrame:
     distinct masks, so the two doc groups are disjoint and
     least/greatest yields d1 < d2 directly.  Docs sharing one mask
     have IDENTICAL token sets: jaccard 1.0."""
-    e1 = d2r.select(F.col("rep").alias("r1"), F.col("doc_id").alias("da"))
-    e2 = d2r.select(F.col("rep").alias("r2"), F.col("doc_id").alias("db"))
+    # Round 17 (guide §2, the r16 probe-side-spread discipline): d2r
+    # rides an eager localCheckpoint whose layout froze whatever AQE
+    # coalesced its build shuffle to — 1-2 partitions at bench scale
+    # (skinny rows) — and the joins below EXPLODE their probe side by
+    # the mask-group sizes (2.97M doc pairs at sf0.1 ran in 2 tasks
+    # while 30 cores idled; the dominant stage of every expand=True
+    # caller).  When the frozen layout is below the cluster's
+    # parallelism, spread the pre-explosion sides: one exchange of the
+    # SKINNY rep-level rows (d2r is one row per doc, qual one per
+    # qualified rep pair) buys full fan-out parallelism.  The gate
+    # makes it a provable no-op at scale — a d2r with >= parallelism
+    # partitions (any real corpus) passes through untouched, so no
+    # corpus-sized shuffle is ever introduced.
+    n = _n_shuffle_parts(d2r.sparkSession)
+    if d2r.rdd.getNumPartitions() < n:
+        qual = qual.repartition(n)
+        d2r_spread = d2r.repartition(n)
+    else:
+        d2r_spread = d2r
+    e1 = d2r_spread.select(
+        F.col("rep").alias("r1"), F.col("doc_id").alias("da")
+    )
+    e2 = d2r_spread.select(
+        F.col("rep").alias("r2"), F.col("doc_id").alias("db")
+    )
     cross = (
         qual.join(e1, "r1")
         .join(e2, "r2")
@@ -907,8 +930,8 @@ def _expand_mask_pairs(qual: DataFrame, d2r: DataFrame) -> DataFrame:
             "jaccard",
         )
     )
-    g1 = d2r.select("rep", F.col("doc_id").alias("d1")).alias("g1")
-    g2 = d2r.select("rep", F.col("doc_id").alias("d2")).alias("g2")
+    g1 = d2r_spread.select("rep", F.col("doc_id").alias("d1")).alias("g1")
+    g2 = d2r_spread.select("rep", F.col("doc_id").alias("d2")).alias("g2")
     same = (
         g1.join(g2, F.col("g1.rep") == F.col("g2.rep"))
         .filter(F.col("d1") < F.col("d2"))
@@ -2836,6 +2859,18 @@ def g21_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         eb = F.broadcast(eb)
     else:
         eb = eb.hint("shuffle_hash")
+    # Round 17 negative result (measured interleaved, reverted): the
+    # qualified pair stream is skinny (~24 B/row), so AQE coalesces it
+    # to 2 partitions at sf0.1 (2.97M pairs) and the broadcast-tier
+    # cosine work fuses into that 2-task stage.  A round-robin spread
+    # of text_pairs before the lookups looked like the §2 fix, but
+    # interleaved A/B measured a WASH (old {5.3-6.3 s} vs new
+    # {4.2-6.5 s}): the 2-task stage is dominated by the pair
+    # EXPANSION inside _jaccard_pairs, which sits before any spread
+    # this function can add — the exchange only parallelizes the cheap
+    # cosine map.  The expansion's own partitioning is the strategy
+    # core's concern (r16/r17 probe-side spreads), not a per-caller
+    # repartition.
     ea, eb2 = eb.alias("ea"), eb.alias("eb2")
     # try_divide: a zero-norm embedding aligned to a text-flagged pair
     # must yield NULL cosine (agreement impossible), not an ANSI throw.

@@ -30,15 +30,15 @@ from data_lake_staging_engine_spark.registry import registry  # noqa: E402
 # plans/r17/).  Everything else was examined and deliberately left
 # alone -- the table says why.
 CHANGED = {
-    "g02_dedup_near": "CHANGED S4+S5: vocab size observe-fused onto its checkpoint (one fewer job per strategy invocation); exact PPJoin length filter rides the banding-route collision join (activates past 8192 reps -- the new 3x bench row, 6.1-6.4 s, is its first driver-visible measurement)",
-    "g02b_dedup_lsh": "CHANGED S4+S5+S5b: n_reps rides the d2r checkpoint; PPJoin length filter in _minhash_lsh_neardup; collision join's broadcast tier restored under an exact-count 32 MB gate after the sizes join wrecked Catalyst's estimate (plans/r17/g02b_*)",
-    "g02d_dedup_ngram": "CHANGED S5: the 10x popcount-verify floor cut by the length filter -- collision rows 30.52M -> 20.78M, 10x median ~72 -> ~61 s (6 interleaved pairs, steal recorded); hash oracle green",
-    "g02e_dedup_lsh_shingle": "CHANGED S5: same length filter via _minhash_lsh_neardup; 10x 53.2 -> 43.9 s; R-tier rows re-proven byte-for-byte",
+    "g02_dedup_near": "CHANGED S4+S5: vocab size observe-fused onto its checkpoint (one fewer job per strategy invocation); exact PPJoin length filter rides the banding-route collision join (activates past 8192 reps -- the new 3x bench row, 6.1-6.4 s, is its first driver-visible measurement) + S15: expansion fan-out spread (the frozen 2-partition checkpoint explosion; sweep second here PREDATES S15)",
+    "g02b_dedup_lsh": "CHANGED S4+S5+S5b: n_reps rides the d2r checkpoint; PPJoin length filter in _minhash_lsh_neardup; collision join's broadcast tier restored under an exact-count 32 MB gate after the sizes join wrecked Catalyst's estimate (plans/r17/g02b_*) + S15: expansion fan-out spread (the frozen 2-partition checkpoint explosion; sweep second here PREDATES S15)",
+    "g02d_dedup_ngram": "CHANGED S5: the 10x popcount-verify floor cut by the length filter -- collision rows 30.52M -> 20.78M, 10x median ~72 -> ~61 s (6 interleaved pairs, steal recorded); hash oracle green + S15: expansion fan-out spread (the frozen 2-partition checkpoint explosion; sweep second here PREDATES S15)",
+    "g02e_dedup_lsh_shingle": "CHANGED S5: same length filter via _minhash_lsh_neardup; 10x 53.2 -> 43.9 s; R-tier rows re-proven byte-for-byte + S15: expansion fan-out spread (the frozen 2-partition checkpoint explosion; sweep second here PREDATES S15)",
     "g02c_dedup_simhash": "CHANGED S6 (VERDICT r16 #5, output changed): Manku Hamming verify bit_count(xor)<=8 rides the collision join -- candidates 4.41M -> 1.52M at sf0.1 (2.9x), recall 0.92/0.9219 inside the pin; >=5x shown mutually exclusive with the recall floor on this corpus",
-    "g12_contamination": "CHANGED S4 via the strategy core: vocab-size job fused into the checkpoint (one fewer job per invocation)",
-    "g21_dedup_agreement": "CHANGED S4 (ADVICE r16 both items): NULL-safe dim probe, one shared embedding projection, broadcast gate 100 -> 32 MB for 2-relation HashedRelation inflation",
+    "g12_contamination": "CHANGED S4 via the strategy core: vocab-size job fused into the checkpoint (one fewer job per invocation) + S15: expansion fan-out spread (the frozen 2-partition checkpoint explosion; sweep second here PREDATES S15)",
+    "g21_dedup_agreement": "CHANGED S4 (ADVICE r16 both items): NULL-safe dim probe, shared projection, 32 MB gate + S15: the expansion fan-out spread took it 5.6-5.9 -> 2.6-2.7 s warm (its 2.97M-pair explosion ran in 2 tasks; sweep second predates S15)",
     "g26_dedup_clusters": "CHANGED S4 job cuts; S8: large-star/small-star edge-halving measured at 10x and DECLINED with numbers (4 broadcast-frontier rounds, memory-resident edges -- a per-round edge shuffle buys back ~1 s/round scan); 10x wall 26.6 -> 24.5 s from the strategy-core cuts",
-    "g30_dedup_incremental": "CHANGED S4 via the strategy core (vocab job fused); bench row 3.2-3.3 s calm",
+    "g30_dedup_incremental": "CHANGED S4 via the strategy core (vocab job fused); bench row 3.2-3.3 s calm + S15: expansion fan-out spread (the frozen 2-partition checkpoint explosion; sweep second here PREDATES S15)",
     "g32_dedup_band_probe": "CHANGED S4 (strategy core); probe-chain job audit (VERDICT r16 #3): 34 jobs/invocation profiled phase-by-phase -- the lazy tail is 14 small AQE/broadcast jobs; eager grp checkpoint measured jobs 34 -> 35 and 4.2-5.2 -> 5.3-7.1 s, REVERTED (negative result at the site)",
     "e01_stream_tumbling": "CHANGED S7: run_to_memory freezes the sink JVM-side (localCheckpoint) instead of collect+createDataFrame -- the Python row round-trip is gone from every drain; measured a wash at this output size, bounded-positive for large outputs",
     "e02_stream_sliding": "CHANGED S7: same JVM-side sink freeze (all run_to_memory drains)",

@@ -471,3 +471,53 @@ def test_release_local_checkpoint_frees_blocks(spark):
     # non-checkpointed frame: must be a silent no-op
     release_local_checkpoint(spark.range(5))
     assert _wait_storage_count(jsc, before) == before
+
+
+def test_expand_mask_pairs_spread_gate_and_rows(spark):
+    """The expansion spread (round 17): a d2r checkpoint frozen into
+    fewer partitions than the session's shuffle parallelism gets its
+    explosion inputs round-robin spread (the plan carries
+    RoundRobinPartitioning), a well-partitioned d2r passes through
+    untouched — and the emitted doc pairs are identical to the
+    brute-force expectation either way (a repartition must never
+    change rows)."""
+    from data_lake_staging_engine_spark.operators.llmops import (
+        _expand_mask_pairs,
+        _n_shuffle_parts,
+    )
+
+    # Two mask groups (reps 1 and 4) plus a singleton; one qualified
+    # cross-group rep pair.
+    d2r_rows = [(1, 1), (1, 2), (1, 3), (4, 4), (4, 5), (6, 6)]
+    expected = sorted(
+        # cross-group expansion of (r1=1, r2=4) at jaccard 0.85
+        [(1, 4, 0.85), (1, 5, 0.85), (2, 4, 0.85), (2, 5, 0.85),
+         (3, 4, 0.85), (3, 5, 0.85)]
+        # within-group identical-mask pairs at jaccard 1.0
+        + [(1, 2, 1.0), (1, 3, 1.0), (2, 3, 1.0), (4, 5, 1.0)]
+    )
+    n = _n_shuffle_parts(spark)
+    qual = spark.createDataFrame(
+        [(1, 4, 0.85)], "r1 long, r2 long, jaccard double"
+    )
+
+    def run(n_parts):
+        d2r = (
+            spark.createDataFrame(d2r_rows, "rep long, doc_id long")
+            .repartition(n_parts)
+            .localCheckpoint(eager=True)
+        )
+        out = _expand_mask_pairs(qual, d2r)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        rows = sorted(
+            (r["d1"], r["d2"], r["jaccard"]) for r in out.collect()
+        )
+        return plan, rows
+
+    plan_low, rows_low = run(1)  # frozen below parallelism -> spread
+    assert "RoundRobinPartitioning" in plan_low
+    assert rows_low == expected
+
+    plan_ok, rows_ok = run(n)  # already at parallelism -> no-op gate
+    assert "roundrobinpartitioning" not in plan_ok.lower()
+    assert rows_ok == expected
